@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same sfDir
+parquet tables, sorts columns by name, and compares row-by-row.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no parquet output")
+            n_fail += 1
+            continue
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracles:
+            print(f"skip  {name}: no oracle ({len(spark_df)} rows)")
+            n_skip += 1
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        s, d = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL  {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL  {name}: rows {len(s)} vs {len(d)}")
+            n_fail += 1
+            continue
+        # exact compare, with dtype harmonization
+        bad = None
+        for c in s.columns:
+            a, b = s[c], d[c]
+            try:
+                a = a.astype(b.dtype) if a.dtype != b.dtype else a
+            except Exception:
+                pass
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = (a == b) | (a.isna() & b.isna())
+            else:
+                eq = (a.astype(str) == b.astype(str)) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int(eq.idxmin())
+                bad = (c, i, a.iloc[i], b.iloc[i])
+                break
+        if bad:
+            c, i, va, vb = bad
+            print(f"FAIL  {name}: col {c} row {i}: spark={va!r} duck={vb!r}")
+            n_fail += 1
+        else:
+            print(f"pass  {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,163 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2B + §7.
+  *
+  * Every implemented operator from the SURVEY.md §2B inventory has a key in
+  * `queries`; oracle-checkable ones also carry equivalent ANSI SQL in
+  * `oracleSql` (run by the driver in DuckDB over the same parquet files).
+  *
+  * Determinism conventions (SURVEY.md §2B):
+  *  - every row-level query ends in ORDER BY over a unique key;
+  *  - every floating-point aggregate / computed float is `round(x, 4)` in
+  *    BOTH formulations (summation-order ulp drift cannot break the hash);
+  *  - nullable output keys are coalesced to sentinels (Spark sorts nulls
+  *    first, DuckDB last);
+  *  - column names are aliased identically in both formulations.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q6 shape, reference TpchQuery6.java:19-50) on
+    * sf0.001; driver smoke-checks rows>0 — q6 returns exactly one row.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q6(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6"              -> (Relational.q6 _),
+    "scan_project"    -> (Relational.scanProject _),
+    "filter_conj"     -> (Relational.filterConj _),
+    "join_inner_hash" -> (Relational.joinInnerHash _),
+    "join_broadcast"  -> (Relational.joinBroadcast _),
+    "join_multiway"   -> (Relational.joinMultiway _),
+    "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_semi"       -> (Relational.joinSemi _),
+    "join_anti"       -> (Relational.joinAnti _),
+    "join_range_theta"-> (Relational.joinRangeTheta _),
+    "join_asof"       -> (Relational.joinAsof _),
+    "agg_group"       -> (Relational.aggGroup _),
+    "agg_distinct"    -> (Relational.aggDistinct _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "scan_project" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    "filter_conj" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_returnflag, l_quantity, l_discount, l_tax
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_quantity BETWEEN 10 AND 20
+        |  AND (l_discount < 0.03 OR l_tax > 0.05)
+        |  AND l_linestatus IS NOT NULL
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM region
+        |JOIN nation   ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey,
+        |       coalesce(o_orderkey, -1)  AS o_key,
+        |       coalesce(o_totalprice, 0.0) AS price
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_key""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range_theta" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_extendedprice, p_retailprice
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 55.0
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, matched_order FROM (
+        |  SELECT e.event_id,
+        |         coalesce(o.o_orderkey, -1) AS matched_order,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate <= e.ts - INTERVAL 26 YEAR
+        |) WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
 }

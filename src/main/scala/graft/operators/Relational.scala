@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core — scan / filter / join / aggregate (SURVEY.md §2B
+  * Q01–Q13).
+  *
+  * Flagship semantics anchor: the reference's single query, TPC-H Q6
+  * (reference: README.md:6-15, TpchQuery6.java:19-50). Everything else
+  * generalizes the reference's scan→filter→project→aggregate pipeline to
+  * the full relational algebra using Catalyst built-ins so that predicate
+  * pushdown, column pruning, partial aggregation and whole-stage codegen
+  * apply automatically (SURVEY.md §4).
+  *
+  * Scale notes (100 TB design intent):
+  *  - all filters/projections are Column expressions → pushed into the
+  *    parquet scan (row-group skipping via min/max, column projection);
+  *  - small dimensions (region/nation, and customer at bench scale) are
+  *    broadcast, eliminating the shuffle on the probe side;
+  *  - aggregations use groupBy().agg() → HashAggregateExec with map-side
+  *    partial aggregation before the exchange;
+  *  - the as-of join is formulated as aggregation (max(struct)) instead of
+  *    a row_number window, so it benefits from partial aggregation and
+  *    avoids a full per-partition sort of the joined fact table.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------------
+  // Q01 `q6` — flagship. Reference: TpchQuery6.java:19-50 (5-conjunct
+  // filter, fused project+sum; golden comment at :38-39). The reference
+  // window ['1994-01-01','1995-01-01) is empty on the driver testdata
+  // (shipdates span 1995..2001), so the same query shape runs on
+  // ['1996-01-01','1997-01-01). Half-open date range (string/date order
+  // identical for ISO dates, TpchQuery6.java:45-46), closed discount band,
+  // strict quantity bound.
+  // ---------------------------------------------------------------------
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // Q02 `scan_project` — parquet scan + named projection; Catalyst
+  // ColumnPruning pushes the 6-column ReadSchema into the scan
+  // (reference analogue: positional column binding, TpchQuery6.java:25-28).
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+      .orderBy(Tables.lineitemKey.map(col): _*)
+
+  // Q03 `filter_conj` — conjunctive + disjunctive predicates, IN, BETWEEN,
+  // IS NOT NULL (reference analogue: the 5-term && chain,
+  // TpchQuery6.java:43-50). All conjuncts are pushdown-eligible.
+  def filterConj(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_returnflag").isin("A", "R") &&
+        col("l_quantity").between(10, 20) &&
+        (col("l_discount") < 0.03 || col("l_tax") > 0.05) &&
+        col("l_linestatus").isNotNull)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_quantity", "l_discount", "l_tax")
+      .orderBy(Tables.lineitemKey.map(col): _*)
+
+  // Q04 `join_inner_hash` — equi inner join orders ⋈ customer. At 100 TB
+  // both sides are large → shuffled hash / sort-merge on the join key;
+  // here AQE picks the strategy.
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  // Q05 `join_broadcast` — dimension chain customer→nation→region with
+  // explicit broadcast of the small dims: zero shuffle on the fact side.
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_name", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  // Q06 `join_multiway` — 5-table TPC-H Q5 shape:
+  // region→nation→customer→orders→lineitem + group-agg. Dimension chain
+  // broadcasts; orders⋈lineitem is the only large shuffle. Catalyst
+  // pushes r_name and the o_orderdate range below the joins.
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(spark, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(spark, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  // Q07 `join_left_outer` — null-extending outer join; nullable right-side
+  // keys are coalesced to sentinels so the terminal ORDER BY is
+  // deterministic across engines (Spark sorts NULLS FIRST, DuckDB LAST).
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 450000.0),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price"))
+      .orderBy("c_custkey", "o_key")
+
+  // Q08 `join_semi` — EXISTS: customers having at least one big order.
+  // left_semi keeps only left columns and deduplicates matches.
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // Q09 `join_anti` — NOT EXISTS: customers with no big order.
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // Q10 `join_range_theta` — equi key + theta (range) residual:
+  // lineitems priced above 55× the part's retail price. The equi
+  // component keeps it a hash join with a non-equi filter residual
+  // (at scale: no cartesian blowup).
+  def joinRangeTheta(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey") &&
+        col("l_extendedprice") > col("p_retailprice") * 55.0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("p_retailprice"))
+      .orderBy(Tables.lineitemKey.map(col): _*)
+
+  // Q11 `join_asof` — as-of join: each event matched to the latest order
+  // of the same user placed on-or-before the event's time, shifted back
+  // 26 years to overlay the events epoch (2024-01) onto the orders epoch
+  // (1995-2001). Formulated as aggregation — max(struct(date,key)) with
+  // map-side partial agg — rather than a row_number window, which would
+  // need a full sort of the joined table per partition. Unmatched events
+  // are kept (left join) with sentinel -1.
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      (col("ts") - expr("INTERVAL 26 YEARS")).as("asof_ts"))
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    e.join(o,
+        col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("asof_ts"), "left_outer")
+      .groupBy("event_id")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(
+        col("event_id"),
+        coalesce(col("m.o_orderkey"), lit(-1L)).as("matched_order"))
+      .orderBy("event_id")
+  }
+
+  // Q12 `agg_group` — TPC-H Q1 shape: grouped sum/avg/min/max/count with
+  // automatic partial+final aggregation (reference analogue: the scalar
+  // accumulator, TpchQuery6.java:21,32 — generalized to grouped).
+  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // Q13 `agg_distinct` — exact distinct aggregation (expands to a
+  // two-phase aggregate in Spark; scales via the shuffle on the group key
+  // + distinct key).
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+}
