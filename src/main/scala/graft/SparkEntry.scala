@@ -39,6 +39,22 @@ object SparkEntry {
     "join_asof"       -> (Relational.joinAsof _),
     "agg_group"       -> (Relational.aggGroup _),
     "agg_distinct"    -> (Relational.aggDistinct _),
+    "agg_approx_distinct" -> (Analytic.aggApproxDistinct _),
+    "agg_rollup"      -> (Analytic.aggRollup _),
+    "agg_cube"        -> (Analytic.aggCube _),
+    "agg_grouping_sets" -> (Analytic.aggGroupingSets _),
+    "win_rank"        -> (Analytic.winRank _),
+    "win_running"     -> (Analytic.winRunning _),
+    "win_lag_lead"    -> (Analytic.winLagLead _),
+    "win_moving_avg"  -> (Analytic.winMovingAvg _),
+    "sort_limit_topk" -> (Analytic.sortLimitTopk _),
+    "set_union_all"   -> (Analytic.setUnionAll _),
+    "set_union_distinct" -> (Analytic.setUnionDistinct _),
+    "set_intersect"   -> (Analytic.setIntersect _),
+    "set_except"      -> (Analytic.setExcept _),
+    "str_funcs"       -> (Analytic.strFuncs _),
+    "date_funcs"      -> (Analytic.dateFuncs _),
+    "math_funcs"      -> (Analytic.mathFuncs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -159,5 +175,141 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       round(sum(o_totalprice), 4) AS sum_price,
+        |       count(*) AS n_orders,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "win_rank" ->
+      """SELECT c_custkey, c_nationkey,
+        |       row_number() OVER (PARTITION BY c_nationkey
+        |                          ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |       ntile(4)     OVER (PARTITION BY c_nationkey
+        |                          ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+        |       rank()       OVER (PARTITION BY c_nationkey
+        |                          ORDER BY c_mktsegment) AS seg_rank,
+        |       dense_rank() OVER (PARTITION BY c_nationkey
+        |                          ORDER BY c_mktsegment) AS seg_dense_rank
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER w, 4) AS running_total,
+        |       count(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id,
+        |       lag(value, 1)  OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT event_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        |         AS moving_avg
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT p_partkey,
+        |       lower(p_name) AS lname,
+        |       upper(p_brand) AS ubrand,
+        |       substring(p_name, 1, 8) AS prefix8,
+        |       length(p_name) AS name_len,
+        |       trim(p_name) AS trimmed,
+        |       concat(p_brand, '#', p_type) AS brand_type,
+        |       p_name LIKE '%an%' AS has_an,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       len(string_split(p_name, ' ')) AS n_tokens
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       day(o_orderdate) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS ds
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       round(abs(l_discount - 0.05), 4) AS abs_d,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |       round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |       round(pow(l_quantity, 1.5), 4) AS qty_pow,
+        |       l_orderkey % 7 AS mod7,
+        |       round(ln(l_extendedprice), 4) AS ln_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
   )
 }

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic layer — SURVEY.md §2B Q14–Q29: approximate/multi-dimensional
+  * aggregation, window functions, top-k, set operations, and the scalar
+  * function suites (string/date/math).
+  *
+  * Everything here is Catalyst built-ins (whole-stage-codegen eligible;
+  * SURVEY.md §4 "no custom work needed"). Cross-engine determinism
+  * conventions as in SparkEntry: terminal ORDER BY on unique keys,
+  * round(·,4) on computed floats, integer-typed results cast to long
+  * (Spark's int vs DuckDB's BIGINT), rollup/cube NULL keys coalesced to
+  * 'ALL' sentinels.
+  *
+  * Scale notes: window functions shuffle once on partitionBy keys —
+  * partition keys chosen with bounded cardinality per key (user_id,
+  * custkey) so a single key's rows fit an executor; top-k uses
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * never a global sort); rollup/cube expand via a single Expand node with
+  * partial aggregation before the exchange.
+  */
+object Analytic {
+
+  // Q14 `agg_approx_distinct` — HyperLogLog++ distinct. At 100 TB this is
+  // the only sane distinct: fixed-size sketch, merged map-side, no
+  // shuffle of distinct values. Unit-tested vs exact (±5%), no SQL oracle.
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // Q15 `agg_rollup` — hierarchical totals with grouping_id.
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"), col("gid"))
+      .orderBy("gid", "rf", "ls")
+
+  // Q16 `agg_cube` — all 2^k grouping combinations.
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("o_totalprice")), 4).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n_orders"), col("gid"))
+      .orderBy("gid", "status", "priority")
+
+  // Q17 `agg_grouping_sets` — explicit grouping sets via SQL (the DSL has
+  // no grouping-sets method; this also exercises the SQL entry path).
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  // Q18 `win_rank` — ranking family. w1 has a unique total order (ties
+  // broken by c_custkey) for row_number/ntile determinism; w2 ranks over a
+  // low-cardinality key so rank/dense_rank actually see ties (tied rows
+  // get equal rank → deterministic output regardless of intra-tie order).
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val w2 = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_mktsegment"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        row_number().over(w1).cast("long").as("rn"),
+        ntile(4).over(w1).cast("long").as("quartile"),
+        rank().over(w2).cast("long").as("seg_rank"),
+        dense_rank().over(w2).cast("long").as("seg_dense_rank"))
+      .orderBy("c_custkey")
+  }
+
+  // Q19 `win_running` — cumulative frame rowsBetween(unboundedPreceding,
+  // current). Both engines accumulate left-to-right over the same unique
+  // order → identical float sequence; round(·,4) belt-and-braces.
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("o_orderkey")
+  }
+
+  // Q20 `win_lag_lead` — offset functions; NULL at partition edges in both
+  // engines (values pass through exactly, no rounding needed).
+  def winLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  // Q21 `win_moving_avg` — bounded sliding frame rowsBetween(-2, 0).
+  def winMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        round(avg(col("value")).over(w), 4).as("moving_avg"))
+      .orderBy("event_id")
+  }
+
+  // Q22 `sort_limit_topk` — global top-k. orderBy+limit plans as
+  // TakeOrderedAndProject: per-partition heap of k, driver merges k·p rows
+  // — no global sort/shuffle, the only top-k that works at 100 TB.
+  def sortLimitTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def setLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+
+  private def setRight(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey").as("custkey"))
+
+  // Q23–Q26 set operations on projected key sets.
+  def setUnionAll(spark: SparkSession, dir: String): DataFrame =
+    setLeft(spark, dir).unionAll(setRight(spark, dir)).orderBy("custkey")
+
+  def setUnionDistinct(spark: SparkSession, dir: String): DataFrame =
+    setLeft(spark, dir).union(setRight(spark, dir)).distinct().orderBy("custkey")
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    setLeft(spark, dir).intersect(setRight(spark, dir)).orderBy("custkey")
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    setLeft(spark, dir).except(setRight(spark, dir)).orderBy("custkey")
+
+  // Q27 `str_funcs` — string expression suite over part.
+  def strFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        trim(col("p_name")).as("trimmed"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        col("p_name").like("%an%").as("has_an"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"))
+      .orderBy("p_partkey")
+
+  // Q28 `date_funcs` — datetime expression suite over orders.
+  // date_trunc cast to date (DuckDB returns DATE at month granularity,
+  // Spark TIMESTAMP); extraction fields cast to long.
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_2002"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .orderBy("o_orderkey")
+
+  // Q29 `math_funcs` — math expression suite over lineitem. sqrt/pow/ln
+  // rounded to 4 (libm last-ulp differences across engines); ceil/floor
+  // cast to long (Spark) / from double (DuckDB).
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("abs_d"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(pow(col("l_quantity"), 1.5), 4).as("qty_pow"),
+        (col("l_orderkey") % 7).as("mod7"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"))
+      .orderBy(Tables.lineitemKey.map(col): _*)
+}
