@@ -55,6 +55,14 @@ object SparkEntry {
     "str_funcs"       -> (Analytic.strFuncs _),
     "date_funcs"      -> (Analytic.dateFuncs _),
     "math_funcs"      -> (Analytic.mathFuncs _),
+    "array_funcs"     -> (SemiStructured.arrayFuncs _),
+    "array_explode"   -> (SemiStructured.arrayExplode _),
+    "map_funcs"       -> (SemiStructured.mapFuncs _),
+    "json_funcs"      -> (SemiStructured.jsonFuncs _),
+    "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
+    "stream_sliding"  -> (graft.streaming.Streams.sliding _),
+    "stream_session"  -> (graft.streaming.Streams.session _),
+    "stream_late_data"-> (graft.streaming.Streams.lateData _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -311,5 +319,85 @@ object SparkEntry {
         |       round(ln(l_extendedprice), 4) AS ln_price
         |FROM lineitem
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |       round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val,
+        |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+        |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
+        |       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 4) AS sum_first8
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "array_explode" ->
+      """SELECT vec_id, pos, round(CAST(val AS DOUBLE), 4) AS val
+        |FROM (
+        |  SELECT vec_id,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(embedding) AS val
+        |  FROM embeddings
+        |)
+        |WHERE pos < 8
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click')    AS clicks,
+        |       count(*) FILTER (event_type = 'view')     AS views,
+        |       count(*) FILTER (event_type = 'purchase') AS purchases,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "json_funcs" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT ws, ws + INTERVAL '1 hour' AS we, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - (k * INTERVAL '15 minutes') AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+        |)
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Semi-structured layer — SURVEY.md §2B Q30–Q32: arrays (embeddings),
+  * maps, JSON. All higher-order functions (`aggregate`, `transform`,
+  * element access) run inside codegen over the array values — no explode
+  * unless the query's shape genuinely needs one row per element.
+  *
+  * Scale notes: array scalar ops are map-only (no shuffle); the explode
+  * variant multiplies rows ×dim — at 100 TB that is only done after
+  * slicing to the needed prefix; map construction aggregates per key with
+  * map-side partial aggregation first.
+  */
+object SemiStructured {
+
+  // Q30a `array_funcs` — scalar array ops: size / element_at / min / max /
+  // sequential sum over a slice (functions.aggregate — deterministic
+  // left-to-right fold, matching DuckDB's list_sum over the same slice;
+  // both accumulate in double).
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last_val"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+        round(
+          aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("sum_first8"))
+      .orderBy("vec_id")
+
+  // Q30b `array_explode` — posexplode (generator / UDTF category):
+  // one row per (vector, position) for the first 8 positions.
+  def arrayExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .filter(col("pos") < 8)
+      .select(
+        col("vec_id"),
+        col("pos").cast("long").as("pos"),
+        round(col("val").cast("double"), 4).as("val"))
+      .orderBy("vec_id", "pos")
+
+  // Q31 `map_funcs` — build a per-user map event_type→count
+  // (map_from_entries over a sorted entry list, so construction order is
+  // deterministic), then read it back with element_at / size. The oracle
+  // expresses the same result with FILTER counts — the map is the
+  // Spark-side representation under test.
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+        size(col("m")).cast("long").as("n_types"))
+      .orderBy("user_id")
+
+  // Q32 `json_funcs` — JSON path extraction from events.props, both the
+  // path form (get_json_object) and the schema form (from_json).
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_schema"))
+      .orderBy("event_id")
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming layer — SURVEY.md §2B Q33–Q36.
+  *
+  * Q33–Q35 use the streaming-native window constructs (`window(...)`,
+  * `session_window(...)`) evaluated in batch mode — the exact same
+  * expressions run under `readStream` (covered by StreamingSpec with
+  * MemoryStream sources). Their DuckDB oracles re-derive the window
+  * assignment relationally (date_trunc / time_bucket self-expansion /
+  * gaps-and-islands).
+  *
+  * Q36 actually runs a Structured Streaming query with a watermark over a
+  * MemoryStream and returns the append-mode sink contents, demonstrating
+  * late-event drop deterministically.
+  *
+  * Scale notes: tumbling/sliding window aggregation shuffles once on
+  * (window, key) with map-side partial aggregation; sliding windows
+  * multiply each row into width/slide windows (×4 here) *before* the
+  * partial agg, so the exchange carries aggregated buckets, not raw rows.
+  * Session windows require a per-key sort-merge; watermarks bound the
+  * state store size — without them a 100 TB stream accumulates unbounded
+  * state.
+  */
+object Streams {
+
+  // Q33 `stream_tumbling` — 1-hour tumbling windows (epoch-aligned, same
+  // alignment as the oracle's date_trunc('hour')).
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  // Q34 `stream_sliding` — 1-hour windows sliding every 15 minutes; each
+  // event lands in exactly 4 windows.
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  // Q35 `stream_session` — per-user session windows with a 30-minute gap.
+  // Spark semantics: a session's end = last event + gap; an event at
+  // exactly prev_ts+gap starts a NEW session (intervals are half-open) —
+  // the gaps-and-islands oracle uses `>= gap` accordingly.
+  def session(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  // Q36 `stream_late_data` — a real Structured Streaming run: tumbling
+  // 10-minute windows with a 10-minute watermark in append mode; an event
+  // arriving after the watermark passed its window is dropped. The
+  // returned rows are the windows the sink emitted — n=2 for the first
+  // window proves the late third event did not update it.
+  //
+  // Batch plan (deterministic, self-contained — `dir` unused):
+  //   batch1: 10:01 v=1.0, 10:05 v=2.0            (window 10:00)
+  //   batch2: 10:12 v=4.0, 10:25 v=8.0            → watermark 10:15,
+  //                                                  emits window 10:00
+  //   batch3: 10:03 v=100.0 (LATE — dropped), 10:45 v=16.0
+  //                                               → watermark 10:35,
+  //                                                  emits 10:10, 10:20
+  def lateData(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+
+    val name = s"late_data_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((t("10:01"), 1.0), (t("10:05"), 2.0))
+      q.processAllAvailable()
+      input.addData((t("10:12"), 4.0), (t("10:25"), 8.0))
+      q.processAllAvailable()
+      input.addData((t("10:03"), 100.0), (t("10:45"), 16.0)) // 10:03 is late
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy("ws")
+  }
+}
