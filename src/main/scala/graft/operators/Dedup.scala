@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication suite over the `documents` table — SURVEY.md §2B
+  * Q37/Q38 plus the exact-n-gram and SimHash variants (north-star
+  * LLM-data-pipeline operators; no reference analogue — the reference is
+  * a single-table scan engine, README.md:6-15).
+  *
+  * Four methods, one per dedup regime:
+  *  - `dedupExact`    — byte-identical (after normalization) content hash;
+  *  - `dedupNgram`    — exact shingle-set Jaccard via an inverted-index
+  *                      self-join (oracle-checkable; candidate generation
+  *                      by shared shingle — sub-quadratic on real corpora
+  *                      because only docs sharing an n-gram ever meet);
+  *  - `dedupNear`     — MinHash-LSH (MLlib), the 100 TB-scale path: fixed
+  *                      32-hash signature per doc, banded bucket join, no
+  *                      all-pairs comparison anywhere;
+  *  - `dedupSimhash`  — 64-bit SimHash fingerprint + banded Hamming
+  *                      candidate join (bitwise near-dup regime).
+  *
+  * Scale notes (100 TB design intent):
+  *  - shingling is map-only (explode after array_distinct) and never
+  *    materializes per-pair state outside aggregations;
+  *  - `dedupNgram`'s shingle join is the exact-verification path; its
+  *    worst case (a shingle shared by k docs → k² candidate rows) is the
+  *    reason the LSH/SimHash variants exist — at scale you run LSH first
+  *    and exact-verify only candidate buckets;
+  *  - LSH banding: P[pair surfaces] = 1-(1-J)^32 per §2B Q38 — a J≥0.9
+  *    pair is missed with probability < 1e-30, while J≤0.1 pairs are
+  *    filtered by the signature-distance threshold after the bucket join;
+  *  - everything shuffles on content-derived keys (hash/shingle/band), so
+  *    adding executors scales linearly; no driver-side collection.
+  */
+object Dedup {
+
+  /** Distinct k-word shingles per document: (doc_id, s). Map-only. */
+  private[operators] def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .filter(size(w) >= k)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(w) - k),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))).as("s"))
+  }
+
+  // Q37 `dedup_exact` — exact dedup on sha2(normalized text): one
+  // surviving doc (min doc_id) per content-hash group plus the group
+  // size. Single shuffle on the 256-bit hash; at 100 TB this is the
+  // standard first dedup pass (hash is computed map-side, only
+  // (hash, doc_id) pairs shuffle — not the text).
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("h"), col("n_copies"))
+      .orderBy("doc_id")
+
+  // Q38b `dedup_ngram` — exact 3-gram-shingle Jaccard ≥ 0.5 pairs via an
+  // inverted index: explode distinct shingles, self-join on the shingle
+  // (equi-join → hash join, candidates only where an n-gram is shared),
+  // count intersections per pair, Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
+  // The driver data plants ~25 true near-dup pairs (J ≥ 0.9) with a clean
+  // gap below 0.5, so the threshold is not load-bearing.
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh  = shingles(Tables.documents(spark, dir))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(j >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // Q38 `dedup_near` — MinHash-LSH near-dup detection (the scale path):
+  // distinct 3-shingles → binary term vector (2^18-dim hashed space) →
+  // 32-hash MinHash signature → banded bucket join
+  // (approxSimilarityJoin), keeping pairs with estimated Jaccard
+  // distance ≤ 0.5. Fixed seed → deterministic output. Never all-pairs:
+  // candidate generation is the OR-of-bands bucket join; the signature
+  // distance filter runs only on bucket collisions.
+  // Property-tested in DedupSpec: finds every planted exact-Jaccard≥0.9
+  // pair, estimates within ±0.15 of exact.
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+      .filter(size(w) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(0), size(w) - 3),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(3))))).as("sh"))
+    val tf = new HashingTF()
+      .setInputCol("sh").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val featured = tf.transform(docs)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(32).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.5, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document from its distinct 3-shingles: every
+    * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
+    * the sign. Relational formulation: explode (shingle × 64 bit
+    * positions), aggregate votes, bit_or the winning bits back together.
+    * (A custom TypedImperativeAggregate would cut the 64× row expansion;
+    * the relational form keeps everything in codegen'd built-ins and
+    * shuffles only (doc_id, bit, vote-sum) partials — see UdfSuite for
+    * the Aggregator extension surface.)
+    */
+  private[operators] def simhash(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(expr("bit_or(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)")
+        .as("simhash"))
+
+  // Q38c `dedup_simhash` — SimHash near-dup pairs: fingerprint every doc,
+  // split the 64 bits into 4×16-bit bands, join on any equal band
+  // (pigeonhole: Hamming ≤ 3 ⇒ at least one band identical), then exact
+  // Hamming filter ≤ 3 via bit_count(xor). Candidate join is banded —
+  // never all-pairs. Deterministic (xxhash64 is seedless and stable).
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(Tables.documents(spark, dir))
+    val banded = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(
+        expr("(simhash >> 0)  & 65535"),
+        expr("(simhash >> 16) & 65535"),
+        expr("(simhash >> 32) & 65535"),
+        expr("(simhash >> 48) & 65535"))).as(Seq("band", "bv")))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}
