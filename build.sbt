@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to stdout, NOT via sbt's
+// logger — the driver parses graft.Bench's one-line JSON from stdout and
+// the default LoggedOutput "[info] " prefix made it unparseable
+// (BENCH_r01/r02 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

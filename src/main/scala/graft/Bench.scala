@@ -1,24 +1,83 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (reference analogue: PureJavaTest.java:12-21 /
+  * TruffleTest.java:17-27 — 1000 warm iterations there; here one warm-up
+  * pass then one timed pass per query, full materialization).
+  *
+  * Measurement rules (VERDICT r1 items 1-3):
+  *  - every query is materialized through the noop sink
+  *    (`write.format("noop")`) — unlike `.count()`, this executes every
+  *    projected expression and keeps terminal sorts, so expression suites
+  *    time the declared query, not a row-count scan;
+  *  - one untimed warm-up pass first (parquet footer/page cache, codegen,
+  *    JIT) so per-query numbers are not session-warm-up noise;
+  *  - failures are recorded per-query (`"errors"`), never swallowed;
+  *  - `stream_late_data` is a real 3-microbatch Structured Streaming run
+  *    whose wall time is streaming *fixed latency*, not data-proportional
+  *    work — it is timed and reported, but excluded from the headline
+  *    `value` (reported separately as `streaming_fixed_sec`);
+  *  - the JSON line goes to raw stdout (build.sbt routes forked stdout
+  *    through unprefixed — the driver greps/parses it) AND to
+  *    `bench.json` in the cwd, so the gate can always read it.
+  */
 object Bench {
+  /** Queries whose wall time is dominated by streaming micro-batch fixed
+    * latency (checkpoint + 3 batches), not data volume. */
+  private val streamingFixed = Set("stream_late_data")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Either[String, Unit] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right(())
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up pass: untimed; streaming-fixed queries skipped (their cost
+    // is per-run fixed latency — warming doesn't change it).
+    names.filterNot(streamingFixed).foreach(runOnce)
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      runOnce(name).left.foreach(msg => errors += name -> msg)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val headline = results.collect {
+      case (k, v) if !streamingFixed(k) => v
+    }.sum
+    val streamingSec = results.collect {
+      case (k, v) if streamingFixed(k) => v
+    }.sum
+    val json =
+      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,""" +
+      s""""streaming_fixed_sec":$streamingSec,"n_errors":${errors.size},""" +
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("bench.json"), json)
     spark.stop()
   }
 }
