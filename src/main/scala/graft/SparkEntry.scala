@@ -63,6 +63,10 @@ object SparkEntry {
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
     "stream_session"  -> (graft.streaming.Streams.session _),
     "stream_late_data"-> (graft.streaming.Streams.lateData _),
+    "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_ngram"     -> (Dedup.dedupNgram _),
+    "dedup_near"      -> (Dedup.dedupNear _),
+    "dedup_simhash"   -> (Dedup.dedupSimhash _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -399,5 +403,37 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+        |       sha256(lower(trim(text))) AS h,
+        |       count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 2
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt na ON doc_a = na.doc_id
+        |JOIN cnt nb ON doc_b = nb.doc_id
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -21,6 +21,11 @@ import graft.Tables
   *  - `dedupSimhash`  — 64-bit SimHash fingerprint + banded Hamming
   *                      candidate join (bitwise near-dup regime).
   *
+  * All four regimes share ONE normalization — `tokens()`:
+  * lowercase, trim, split on runs of whitespace — so a pair that
+  * `dedupExact` treats as identical is exactly Jaccard-1.0 for the
+  * shingle-based regimes.
+  *
   * Scale notes (100 TB design intent):
   *  - shingling is map-only (explode after array_distinct) and never
   *    materializes per-pair state outside aggregations;
@@ -28,25 +33,33 @@ import graft.Tables
   *    worst case (a shingle shared by k docs → k² candidate rows) is the
   *    reason the LSH/SimHash variants exist — at scale you run LSH first
   *    and exact-verify only candidate buckets;
-  *  - LSH banding: P[pair surfaces] = 1-(1-J)^32 per §2B Q38 — a J≥0.9
-  *    pair is missed with probability < 1e-30, while J≤0.1 pairs are
-  *    filtered by the signature-distance threshold after the bucket join;
+  *  - LSH banding: with 32 single-row hash tables, P[pair surfaces] =
+  *    1-(1-J)^32 — a J≥0.9 pair is missed with probability < 1e-30,
+  *    while low-J pairs are removed by the Jaccard-distance filter that
+  *    runs only on bucket collisions;
   *  - everything shuffles on content-derived keys (hash/shingle/band), so
   *    adding executors scales linearly; no driver-side collection.
   */
 object Dedup {
 
-  /** Distinct k-word shingles per document: (doc_id, s). Map-only. */
-  private[operators] def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = split(col("text"), " ")
-    docs
-      .filter(size(w) >= k)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(w) - k),
-            i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))).as("s"))
+  /** Shared normalization: lowercase, trim, split on whitespace runs. */
+  private[operators] def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Distinct k-word shingle array of `text` (k = 5 per SURVEY.md §2B
+    * Q38). Evaluates entirely inside codegen — no explode. */
+  private[operators] def shingleArray(k: Int = 5): Column = {
+    val w = tokens(col("text"))
+    array_distinct(
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))
   }
+
+  /** Distinct k-word shingles per document: (doc_id, s). Map-only. */
+  private[operators] def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .filter(size(tokens(col("text"))) >= k)
+      .select(col("doc_id"), explode(shingleArray(k)).as("s"))
 
   // Q37 `dedup_exact` — exact dedup on sha2(normalized text): one
   // surviving doc (min doc_id) per content-hash group plus the group
@@ -60,12 +73,12 @@ object Dedup {
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy("doc_id")
 
-  // Q38b `dedup_ngram` — exact 3-gram-shingle Jaccard ≥ 0.5 pairs via an
+  // Q38b `dedup_ngram` — exact 5-gram-shingle Jaccard ≥ 0.8 pairs via an
   // inverted index: explode distinct shingles, self-join on the shingle
   // (equi-join → hash join, candidates only where an n-gram is shared),
   // count intersections per pair, Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
-  // The driver data plants ~25 true near-dup pairs (J ≥ 0.9) with a clean
-  // gap below 0.5, so the threshold is not load-bearing.
+  // The driver data plants 25 true near-dup pairs (5-gram J ≥ 0.875)
+  // with a clean gap below 0.3, so 0.8 separates cleanly.
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sh  = shingles(Tables.documents(spark, dir))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -79,30 +92,29 @@ object Dedup {
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(j >= 0.5)
+      .filter(j >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   // Q38 `dedup_near` — MinHash-LSH near-dup detection (the scale path):
-  // distinct 3-shingles → binary term vector (2^18-dim hashed space) →
+  // distinct 5-shingles → binary term vector (2^18-dim hashed space) →
   // 32-hash MinHash signature → banded bucket join
-  // (approxSimilarityJoin), keeping pairs with estimated Jaccard
-  // distance ≤ 0.5. Fixed seed → deterministic output. Never all-pairs:
-  // candidate generation is the OR-of-bands bucket join; the signature
-  // distance filter runs only on bucket collisions.
-  // Property-tested in DedupSpec: finds every planted exact-Jaccard≥0.9
-  // pair, estimates within ±0.15 of exact.
+  // (approxSimilarityJoin), keeping pairs with Jaccard distance ≤ 0.2
+  // (J ≥ 0.8). Fixed seed → deterministic output. Never all-pairs:
+  // candidate generation is the OR-of-bands bucket join; the distance
+  // filter runs only on bucket collisions. The reported `jaccard_h` is
+  // the EXACT Jaccard over the 2^18-hashed shingle space (that is what
+  // approxSimilarityJoin's keyDistance computes on collided pairs) —
+  // "approx" refers to candidate generation, which can only miss pairs,
+  // never report a wrong similarity. Property-tested in DedupSpec:
+  // finds every planted 5-gram-J≥0.875 pair, values within ±0.05 of the
+  // raw-shingle Jaccard.
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val w = split(col("text"), " ")
     val docs = Tables.documents(spark, dir)
-      .filter(size(w) >= 3)
-      .select(
-        col("doc_id"),
-        array_distinct(
-          transform(sequence(lit(0), size(w) - 3),
-            i => concat_ws(" ", slice(w, i + lit(1), lit(3))))).as("sh"))
+      .filter(size(tokens(col("text"))) >= 5)
+      .select(col("doc_id"), shingleArray(5).as("sh"))
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
@@ -111,16 +123,16 @@ object Dedup {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(32).setSeed(42L)
     val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.5, "dist")
+    model.approxSimilarityJoin(featured, featured, 0.2, "dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(
         col("datasetA.doc_id").as("doc_a"),
         col("datasetB.doc_id").as("doc_b"),
-        round(lit(1.0) - col("dist"), 4).as("est_jaccard"))
+        round(lit(1.0) - col("dist"), 4).as("jaccard_h"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document from its distinct 3-shingles: every
+  /** 64-bit SimHash per document from its distinct 5-shingles: every
     * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
     * the sign. Relational formulation: explode (shingle × 64 bit
     * positions), aggregate votes, bit_or the winning bits back together.
