@@ -67,6 +67,16 @@ object SparkEntry {
     "dedup_ngram"     -> (Dedup.dedupNgram _),
     "dedup_near"      -> (Dedup.dedupNear _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
+    "sim_topk"        -> (Similarity.simTopk _),
+    "sim_ann"         -> (Similarity.simAnn _),
+    "text_stats"      -> (TextAnalysis.textStats _),
+    "token_count"     -> (TextAnalysis.tokenCount _),
+    "text_quality"    -> (TextAnalysis.textQuality _),
+    "text_langid"     -> (TextAnalysis.textLangid _),
+    "text_fingerprint"-> (TextAnalysis.textFingerprint _),
+    "udf_suite"       -> (UdfSuite.udfSuite _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_decode" -> (Multimodal.multimodalDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,5 +445,150 @@ object SparkEntry {
         |JOIN cnt nb ON doc_b = nb.doc_id
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e GROUP BY vec_id
+        |), dots AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, sum(p.v * c.v) AS dot
+        |  FROM e p JOIN e c ON p.pos = c.pos
+        |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT probe_id, cand_id,
+        |         round(dot / (np.n * nc.n), 4) AS cosine
+        |  FROM dots
+        |  JOIN nrm np ON probe_id = np.vec_id
+        |  JOIN nrm nc ON cand_id = nc.vec_id
+        |)
+        |SELECT probe_id, cand_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                               ORDER BY cosine DESC, cand_id) AS rn
+        |  FROM cos
+        |) WHERE rn <= 10
+        |ORDER BY probe_id, cand_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT source) AS n_sources,
+        |       sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
+        |       round(avg(len(string_split_regex(trim(lower(text)), '\s+'))), 4) AS avg_tokens,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |       length(text) AS len_chars,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS w,
+        |         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alnum
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       length(text) AS len_chars,
+        |       len(w) AS n_tokens,
+        |       round(alnum * 1.0 / length(text), 4) AS alnum_ratio,
+        |       round(alnum * 1.0 / len(w), 4) AS avg_token_len,
+        |       round(len(list_filter(w, t -> t IN ('the', 'a', 'of'))) * 1.0 / len(w), 4) AS stop_ratio,
+        |       round(least(1.0, len(w) / 100.0) *
+        |             (1.0 - len(list_filter(w, t -> t IN ('the', 'a', 'of'))) * 1.0 / len(w)), 4) AS quality_score
+        |FROM q
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         len(regexp_extract_all(text, 'the')) + len(regexp_extract_all(text, 'and'))
+        |       + len(regexp_extract_all(text, 'ing')) + len(regexp_extract_all(text, 'ion')) AS score_en,
+        |         len(regexp_extract_all(text, 'der')) + len(regexp_extract_all(text, 'die'))
+        |       + len(regexp_extract_all(text, 'und')) + len(regexp_extract_all(text, 'sch')) AS score_de,
+        |         len(regexp_extract_all(text, 'les')) + len(regexp_extract_all(text, 'que'))
+        |       + len(regexp_extract_all(text, 'ent')) + len(regexp_extract_all(text, 'eau')) AS score_fr,
+        |         len(regexp_extract_all(text, 'los')) + len(regexp_extract_all(text, 'las'))
+        |       + len(regexp_extract_all(text, 'cion')) + len(regexp_extract_all(text, 'que')) AS score_es,
+        |         len(regexp_extract_all(text, 'de ')) + len(regexp_extract_all(text, 'shi'))
+        |       + len(regexp_extract_all(text, 'zhong')) + len(regexp_extract_all(text, 'wen')) AS score_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |       CASE WHEN score_en >= score_de AND score_en >= score_fr
+        |                 AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+        |            WHEN score_de >= score_fr AND score_de >= score_es
+        |                 AND score_de >= score_zh THEN 'de'
+        |            WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+        |            WHEN score_es >= score_zh THEN 'es'
+        |            ELSE 'zh' END AS pred_lang,
+        |       score_en, score_de, score_fr, score_es, score_zh
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), sk AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |         array_to_string(list_sort(list(md5(s)))[1:4], '|') AS sketch
+        |  FROM sh GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       md5(lower(trim(d.text))) AS doc_md5,
+        |       coalesce(sk.n_shingles, 0) AS n_shingles,
+        |       coalesce(sk.sketch, '') AS sketch
+        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "udf_suite" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       round(exp(avg(ln(n_chars))), 4) AS geo_chars,
+        |       sum(toks) AS total_tokens,
+        |       sum(CASE WHEN toks >= 2 THEN toks - 1 ELSE 0 END) AS n_bigrams
+        |FROM t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS blob_len,
+        |       sha256(text) AS sha,
+        |       lower(hex(encode(substr(text, 1, 4)))) AS header_hex
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |       16 + ascii(substr(text, 1, 1)) % 64 AS width,
+        |       16 + ascii(substr(text, 2, 1)) % 48 AS height,
+        |       CASE WHEN octet_length(encode(text)) % 2 = 0
+        |            THEN 'png' ELSE 'jpeg' END AS format,
+        |       octet_length(encode(text)) AS blob_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm
+  * float vectors, 10 cluster labels) — north-star LLM-pipeline
+  * operators; no reference analogue (the reference is a single-table
+  * scalar-aggregate engine, README.md:6-15).
+  *
+  * Two regimes:
+  *  - `simTopk` — brute-force cosine top-k: the exact baseline, and the
+  *    formulation the DuckDB oracle replays (SURVEY.md §2B Q39);
+  *  - `simAnn`  — random-hyperplane LSH bucketed top-k: the 100 TB scale
+  *    path. Sign-bit signatures put near-identical vectors in the same
+  *    bucket; only bucket collisions are scored.
+  *
+  * Scale notes (100 TB design intent):
+  *  - the probe set is small and BROADCAST — the candidate side never
+  *    shuffles; scoring is map-only over the candidate scan;
+  *  - dot products run as zip_with + aggregate (sequential fold inside
+  *    codegen'd higher-order builtins) — no posexplode row blowup
+  *    (N×dim rows) and no UDF;
+  *  - per-probe top-k uses one window over probe_id; with k probes the
+  *    sort is over N·p/k rows per partition. At 1B+ candidates, cut the
+  *    pre-sort volume with the ANN bucket filter (`simAnn`), which is
+  *    exactly why it exists;
+  *  - LSH hyperplanes are a deterministic seeded matrix compiled into
+  *    the plan as literals — no fit step, no driver state, identical
+  *    signatures on every executor.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, sequential left-to-right fold (deterministic). */
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ in double. */
+  private[operators] def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private val K = 10        // neighbours per probe
+  private val NProbes = 10  // probe vectors: vec_id < 10
+
+  // Q39 `sim_topk` — exact cosine top-10 for each of the 10 probe
+  // vectors over all other embeddings. round(·,4) before ranking so
+  // Spark and the oracle rank identically despite last-ulp summation
+  // differences; ties broken by cand_id.
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pn")))
+    val scored = emb.join(probes, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("probe_id", "cand_id", "cosine")
+      .orderBy("probe_id", "cand_id")
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) approximate nearest neighbour
+  // ------------------------------------------------------------------
+  private val NLists = 32   // k-means partitions (IVF lists)
+  private val NProbe = 8    // lists searched per probe
+
+  // Q39b `sim_ann` — IVF approximate top-10 (the FAISS-style scale
+  // path): k-means partitions the corpus into NLists inverted lists;
+  // every candidate is scored only if it lives in one of the NProbe
+  // lists whose centroids are nearest the probe. Searching NProbe/NLists
+  // of the corpus cuts scored pairs 4× here (and 100× at scale with
+  // NLists ~ sqrt(N)).
+  //
+  // Chosen over random-hyperplane LSH deliberately: this corpus's true
+  // top-10 neighbours sit at cosine 0.24-0.49 (weakly clustered), where
+  // sign-bit signatures collide with probability ~0.6 per bit — a
+  // 16-bit bucket join surfaces almost nothing. IVF degrades gracefully
+  // instead: recall is bounded below by the probed share of the corpus.
+  //
+  // Determinism: fixed seed + fixed data → fixed centroids → fixed
+  // output. Approximate ⇒ no SQL oracle; SimilaritySpec asserts
+  // recall@10 vs `simTopk`. At 100 TB: fit on a sample, centroids are
+  // k×dim (tiny, broadcast), assignment is map-only, and each probe's
+  // candidate scoring is a broadcast-hash join on the list id — no
+  // all-pairs anywhere.
+  def simAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"),
+        array_to_vector(col("embedding")).as("fv"))
+    val km = new KMeans().setK(NLists).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+    val model = km.fit(emb)
+    val listed = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+
+    // Centroid table: k×dim — tiny, broadcast. Comes from the fitted
+    // model (driver-held, standard for a trained index).
+    val spark2 = spark
+    import spark2.implicits._
+    val centroids = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("list_id", "centroid"))
+
+    // Each probe ranks centroids and keeps its NProbe nearest lists.
+    val probes = emb.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val wc = Window.partitionBy("probe_id")
+      .orderBy(col("cdist").asc, col("list_id"))
+    val probeLists = broadcast(
+      probes.crossJoin(centroids)
+        .withColumn("cdist",
+          -dot(col("pe"), col("centroid")) / col("pn"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= NProbe)
+        .select("probe_id", "pe", "pn", "list_id"))
+
+    // Score only candidates in probed lists (broadcast-hash join on the
+    // list id), then per-probe top-k.
+    val scored = listed.join(probeLists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("probe_id", "cand_id", "cosine")
+      .orderBy("probe_id", "cand_id")
+  }
+}

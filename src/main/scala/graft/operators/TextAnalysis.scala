@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis suite over the `documents` table — north-star
+  * LLM-data-pipeline operators (SURVEY.md §2B Q40 + extensions). No
+  * reference analogue: the reference's only string operation is a raw
+  * byte comparison (TpchQuery6.java:45-46).
+  *
+  * Operators:
+  *  - `textStats`       — per-language corpus statistics (Q40);
+  *  - `tokenCount`      — per-doc token counting: whitespace tokens and
+  *                        a BPE-ish regex segmentation, plus the
+  *                        chars/4 LLM-token heuristic;
+  *  - `textQuality`     — per-doc quality scoring: length, alnum ratio,
+  *                        stopword ratio, composite score;
+  *  - `textLangid`      — character-n-gram language-ID heuristic. NOTE:
+  *                        the synthetic corpus shares one English-ish
+  *                        vocabulary across its `lang` labels, so
+  *                        accuracy against `lang` is not meaningful
+  *                        here — the op validates the scoring plumbing
+  *                        and cross-engine determinism (exact oracle);
+  *  - `textFingerprint` — document fingerprinting: content md5 plus a
+  *                        4-min-hash sketch over 5-gram shingles
+  *                        (winnowing-style; the sketch is what you
+  *                        cluster on at scale).
+  *
+  * Scale notes (100 TB design intent): everything here is map-side
+  * expression work (codegen'd regex/array builtins) followed by at most
+  * one aggregation shuffle on a bounded key (lang) or on doc_id for the
+  * shingle sketch — no UDFs, no driver collection, linear in corpus
+  * size.
+  */
+object TextAnalysis {
+
+  private def toks: Column = Dedup.tokens(col("text"))
+
+  // Q40 `text_stats` — per-language doc counts, token counts, char
+  // stats, source fan-out. Single shuffle on `lang` (5 keys) with
+  // map-side partial aggregation.
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  // `token_count` — per-doc token counting three ways: whitespace
+  // split, BPE-ish regex segmentation (letter runs / digit runs /
+  // single other-chars — the shape of a byte-level BPE pre-tokenizer),
+  // and the chars/4 LLM heuristic. All codegen'd regex builtins.
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        ceil(length(col("text")) / 4.0).cast("long").as("approx_llm_tokens"))
+      .orderBy("doc_id")
+
+  // `text_quality` — per-doc quality signals: length, alphanumeric
+  // ratio, average token length, stopword ratio, and a deterministic
+  // composite score in [0,1] (coverage×(1-stopword dominance)) — the
+  // shape of a pretraining quality filter.
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(toks).cast("long")
+    val alnum = length(regexp_replace(col("text"), "[^a-z0-9]", ""))
+    val stopRatio =
+      size(filter(toks, t => t === "the" || t === "a" || t === "of"))
+        .cast("double") / nTokens
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        nTokens.as("n_tokens"),
+        round(alnum.cast("double") / length(col("text")), 4).as("alnum_ratio"),
+        round(alnum.cast("double") / nTokens, 4).as("avg_token_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(lit(1.0), nTokens / 100.0) * (lit(1.0) - stopRatio), 4)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language marker trigrams/words (public-knowledge function-word
+    * n-grams). Scoring = total occurrence count of each language's
+    * markers in the text. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion"),
+    "de" -> Seq("der", "die", "und", "sch"),
+    "fr" -> Seq("les", "que", "ent", "eau"),
+    "es" -> Seq("los", "las", "cion", "que"),
+    "zh" -> Seq("de ", "shi", "zhong", "wen"))
+
+  // `text_langid` — n-gram-heuristic language ID: per-language marker
+  // occurrence counts, argmax with deterministic order-of-declaration
+  // tiebreak ('en' first). Exact oracle (same CASE logic in SQL).
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (l, ms) =>
+      // markers are [a-z ] only — regex-safe as raw patterns (and kept
+      // byte-identical with the oracle SQL's patterns)
+      l -> ms.map(m =>
+        size(regexp_extract_all(col("text"), lit(m), lit(0))))
+        .reduce(_ + _).cast("long")
+    }
+    // argmax by score with declaration-order tiebreak: fold right so the
+    // earliest language wins ties (strict > against the running best).
+    val (bestLang, _) = scores.reverse.foldLeft(
+      (lit(scores.last._1), scores.last._2)) {
+      case ((accLang, accScore), (l, s)) =>
+        (when(s >= accScore, lit(l)).otherwise(accLang),
+         when(s >= accScore, s).otherwise(accScore))
+    }
+    val cols = scores.map { case (l, s) => s.as(s"score_$l") }
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang"), bestLang.as("pred_lang")) ++ cols: _*)
+      .orderBy("doc_id")
+  }
+
+  // `text_fingerprint` — md5 content fingerprint + 4-min-hash sketch
+  // over 5-gram shingles (the k smallest shingle hashes, winnowing
+  // style): at scale, docs sharing any sketch hash are near-dup
+  // candidates — the sketch is a fixed-size join key. Sketch rendered
+  // as a '|'-joined string so the parquet/oracle compare is exact.
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, 4))
+          .as("sketch"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("doc_md5"))
+      .join(sk, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("doc_md5"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("sketch"), lit("")).as("sketch"))
+      .orderBy("doc_id")
+  }
+}
