@@ -79,8 +79,13 @@ object Dedup {
   // count intersections per pair, Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
   // The driver data plants 25 true near-dup pairs (5-gram J ≥ 0.875)
   // with a clean gap below 0.3, so 0.8 separates cleanly.
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh  = shingles(Tables.documents(spark, dir))
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(Tables.documents(spark, dir))
+
+  /** Exact shingle-Jaccard pairs over any (doc_id, text) frame —
+    * factored out so DedupSpec can plant synthetic duplicates. */
+  private[operators] def ngramPairs(docs: DataFrame, minJ: Double = 0.8): DataFrame = {
+    val sh  = shingles(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -92,7 +97,7 @@ object Dedup {
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(j >= 0.8)
+      .filter(j >= minJ)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Q14 `agg_approx_distinct` correctness: HLL++ estimate within ±5% of
+  * the exact distinct count per group (the declared accuracy contract,
+  * SURVEY.md §2B Q14). */
+class ApproxDistinctSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact per returnflag") {
+    val approx = operators.Analytic.aggApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, n) =>
+      val est = approx(flag)
+      assert(math.abs(est - n).toDouble / n <= 0.05,
+        s"flag=$flag exact=$n approx=$est")
+    }
+  }
+}

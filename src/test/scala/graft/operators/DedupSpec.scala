@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup suite correctness (SURVEY.md §2B Q37/Q38).
+  *
+  * The driver corpus plants 25 near-dup pairs (5-gram Jaccard ≥ 0.875)
+  * with a clean similarity gap below 0.3 — `dedupNgram` is the exact
+  * ground truth (itself oracle-verified by the driver), and the
+  * approximate regimes are asserted against it. Synthetic planted
+  * duplicates cover the regression path end-to-end without depending on
+  * corpus specifics.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup_exact: corpus has no exact duplicates; grouping is total") {
+    val rows = Dedup.dedupExact(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.getLong(2) == 1L))
+  }
+
+  test("MinHash-LSH finds every planted pair (vs exact ngram ground truth)") {
+    val exact = pairs(Dedup.dedupNgram(spark, sf))
+    val near  = pairs(Dedup.dedupNear(spark, sf))
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(near === exact)
+  }
+
+  test("MinHash jaccard_h within 0.05 of exact shingle Jaccard") {
+    val exact = Dedup.dedupNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val near = Dedup.dedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    near.foreach { case (p, jh) =>
+      assert(math.abs(jh - exact(p)) <= 0.05, s"pair=$p jh=$jh exact=${exact(p)}")
+    }
+  }
+
+  test("SimHash pairs are a subset of exact near-dup pairs") {
+    val exact = pairs(Dedup.dedupNgram(spark, sf))
+    val sim   = pairs(Dedup.dedupSimhash(spark, sf))
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(exact))
+  }
+
+  test("planted synthetic duplicates: ngramPairs finds exactly the clones") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                   // exact clone (J=1.0)
+      (2L, "  " + base.toUpperCase + "  "),         // normalization clone
+      (3L, base.replace("sigma", "psi")),           // near-dup (few shingles differ)
+      (4L, "one two three four five six seven eight nine ten"), // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramPairs(docs, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L),
+      (1L, 3L), (2L, 3L)))
+    assert(got((0L, 1L)) === 1.0)   // identical text
+    assert(got((0L, 2L)) === 1.0)   // case/whitespace normalization agrees
+    assert(got((0L, 3L)) < 1.0)     // a real edit lowers Jaccard
+  }
+}

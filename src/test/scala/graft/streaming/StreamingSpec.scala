@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Structured-Streaming-native coverage for Q33–Q36 (SURVEY.md §2B):
+  * the SAME window expressions used by the batch formulations run under
+  * `readStream` from a MemoryStream, and the emitted result set must
+  * equal the batch result on the same input (batch/streaming
+  * equivalence), plus the watermark late-drop semantics of Q36.
+  *
+  * Protocol: feed all events, then a single far-future flush event to
+  * advance the watermark past every real window; append-mode emits all
+  * closed windows; drop the flush row's own window before comparing.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val flushTs = Timestamp.valueOf("2030-01-01 00:00:00")
+
+  /** Events sample as (ts, user_id, event_type, value). */
+  private lazy val sample: Seq[(Timestamp, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .select("ts", "user_id", "event_type", "value")
+      .limit(500).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+
+  /** Run `agg` over a MemoryStream of the sample + flush row, append
+    * mode, and return the sink contents. */
+  private def runStream(agg: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val name = s"stream_spec_sink_${System.nanoTime()}"
+    val q = agg(df).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_spec_ckpt_").toString)
+      .start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      input.addData((flushTs, 0L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private lazy val batchInput: DataFrame = {
+    import spark.implicits._
+    sample.toDF("ts", "user_id", "event_type", "value")
+  }
+
+  test("tumbling window: streaming emission == batch result") {
+    val streamed = runStream(
+      _.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value")))
+      .filter(col("event_type") =!= "flush")
+    val batch = batchInput
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("sliding window: streaming emission == batch result") {
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+    val streamed = runStream(d => agg(d.withWatermark("ts", "10 minutes")))
+      .filter(col("event_type") =!= "flush")
+    assert(canon(streamed) === canon(agg(batchInput)))
+  }
+
+  test("session window: streaming emission == batch result") {
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"),
+        col("sum_value"))
+    val streamed = runStream(d => agg(d.withWatermark("ts", "10 minutes")))
+      .filter(col("session_start") < lit(Timestamp.valueOf("2029-01-01 00:00:00")))
+    assert(canon(streamed) === canon(agg(batchInput)))
+  }
+
+  test("late data: watermark drops the late event (Q36 exact emission)") {
+    val rows = Streams.lateData(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),   // late 10:03 event NOT counted
+      ("2024-01-01 10:10:00.0", 1L, 4.0),
+      ("2024-01-01 10:20:00.0", 1L, 8.0)))  // 10:40 window still open ⇒ absent
+  }
+}
