@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -91,16 +92,20 @@ object Relational {
       .select("c_custkey", "c_name", "n_name", "r_name")
       .orderBy("c_custkey")
 
-  // Q06 `join_multiway` — 5-table TPC-H Q5 shape:
-  // region→nation→customer→orders→lineitem + group-agg. Dimension chain
-  // broadcasts; orders⋈lineitem is the only large shuffle. Catalyst
-  // pushes r_name and the o_orderdate range below the joins.
+  // Q06 `join_multiway` — full 6-table TPC-H Q5 shape:
+  // region→nation→customer→orders→lineitem→supplier with the Q5
+  // local-supplier condition (s_nationkey = c_nationkey). Dimension
+  // chain broadcasts; orders⋈lineitem is the only large shuffle.
+  // Catalyst pushes r_name and the o_orderdate range below the joins.
   def joinMultiway(spark: SparkSession, dir: String): DataFrame =
     Tables.region(spark, dir).filter(col("r_name") === "ASIA")
       .join(Tables.nation(spark, dir), col("r_regionkey") === col("n_regionkey"))
       .join(Tables.customer(spark, dir), col("n_nationkey") === col("c_nationkey"))
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy("n_name")
@@ -156,24 +161,39 @@ object Relational {
   // Q11 `join_asof` — as-of join: each event matched to the latest order
   // of the same user placed on-or-before the event's time, shifted back
   // 26 years to overlay the events epoch (2024-01) onto the orders epoch
-  // (1995-2001). Formulated as aggregation — max(struct(date,key)) with
-  // map-side partial agg — rather than a row_number window, which would
-  // need a full sort of the joined table per partition. Unmatched events
-  // are kept (left join) with sentinel -1.
+  // (1995-2001).
+  //
+  // Union-timeline plan (replaces the r1 inequality-join formulation,
+  // whose events×order-history fan-out was quadratic per user): orders
+  // and events union into ONE per-user timeline; a single shuffle+sort
+  // on (user, time) and `last(order_key, ignoreNulls)` over the
+  // running frame give each event the most recent order at or before
+  // it. Linear in input, one exchange, no join at all. At equal
+  // timestamps orders sort before events (kind 0 < 1 ⇒ inclusive
+  // match) and among same-date orders the largest o_orderkey wins
+  // (ascending sort, `last`) — matching the oracle's
+  // ORDER BY o_orderdate DESC, o_orderkey DESC tie-break.
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").as("uid"),
+      col("o_orderdate").as("t"),
+      col("o_orderkey").as("o_key"),
+      lit(0).as("kind"))
     val e = Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"),
-      (col("ts") - expr("INTERVAL 26 YEARS")).as("asof_ts"))
-    val o = Tables.orders(spark, dir)
-      .select("o_orderkey", "o_custkey", "o_orderdate")
-    e.join(o,
-        col("user_id") === col("o_custkey") &&
-        col("o_orderdate") <= col("asof_ts"), "left_outer")
-      .groupBy("event_id")
-      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
-      .select(
-        col("event_id"),
-        coalesce(col("m.o_orderkey"), lit(-1L)).as("matched_order"))
+      col("event_id"),
+      col("user_id").as("uid"),
+      (col("ts") - expr("INTERVAL 26 YEARS")).as("t"),
+      lit(null).cast("long").as("o_key"),
+      lit(1).as("kind"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t"), col("kind"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("matched", last(col("o_key"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"),
+        coalesce(col("matched"), lit(-1L)).as("matched_order"))
       .orderBy("event_id")
   }
 
