@@ -85,7 +85,12 @@ object Dedup {
   /** Exact shingle-Jaccard pairs over any (doc_id, text) frame —
     * factored out so DedupSpec can plant synthetic duplicates. */
   private[operators] def ngramPairs(docs: DataFrame, minJ: Double = 0.8): DataFrame = {
-    val sh  = shingles(docs)
+    // Join/aggregate on xxhash64 of the shingle, not the string: 8-byte
+    // fixed-width keys through the exchange instead of ~30-byte text.
+    // A cross-shingle hash collision (≈n²/2⁶⁵, ~1e-8 at sf0.1) would
+    // perturb one intersection count — accepted odds for halving
+    // shuffle volume.
+    val sh  = shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -124,9 +129,12 @@ object Dedup {
       .setInputCol("sh").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
     val featured = tf.transform(docs)
+    // 8 hash tables: a J≥0.8 pair misses all 8 single-hash bands with
+    // probability (1-J)^8 ≤ 2.6e-6 — plenty for the declared threshold,
+    // at 1/4 the bucket-join volume of 32 tables.
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(32).setSeed(42L)
+      .setNumHashTables(8).setSeed(42L)
     val model = lsh.fit(featured)
     model.approxSimilarityJoin(featured, featured, 0.2, "dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
@@ -139,23 +147,23 @@ object Dedup {
 
   /** 64-bit SimHash per document from its distinct 5-shingles: every
     * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
-    * the sign. Relational formulation: explode (shingle × 64 bit
-    * positions), aggregate votes, bit_or the winning bits back together.
-    * (A custom TypedImperativeAggregate would cut the 64× row expansion;
-    * the relational form keeps everything in codegen'd built-ins and
-    * shuffles only (doc_id, bit, vote-sum) partials — see UdfSuite for
-    * the Aggregator extension surface.)
+    * the sign. Formulated as ONE aggregation with 64 vote columns (one
+    * sum per bit, all map-side partial) — not a shingle×64 row explode,
+    * which would push 64× the shingle count through the exchange.
     */
-  private[operators] def simhash(docs: DataFrame): DataFrame =
+  private[operators] def simhash(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fingerprint = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
     shingles(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
       .groupBy("doc_id")
-      .agg(expr("bit_or(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)")
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
 
   // Q38c `dedup_simhash` — SimHash near-dup pairs: fingerprint every doc,
   // split the 64 bits into 4×16-bit bands, join on any equal band
