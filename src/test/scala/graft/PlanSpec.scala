@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions — the scale contract (SURVEY.md §4, scale
+  * notes in each operator file). These lock in the plan shapes that
+  * matter at 100 TB: filters reach the parquet scan, projections prune
+  * the read schema, small dimensions broadcast, top-k never global
+  * sorts, and the as-of join stays join-free with a single hash
+  * exchange. A regression that silently flips one of these (e.g. a
+  * broadcast falling back to sort-merge) fails here, not just in the
+  * bench numbers.
+  *
+  * AQE is disabled around plan construction so the executed plan prints
+  * its exchanges and codegen spans statically (with AQE on, stages
+  * materialize lazily and the toString hides them).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def withoutAQE[T](f: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def plan(df: => DataFrame): String =
+    withoutAQE { df.queryExecution.executedPlan.toString }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q6: filters pushed to parquet, read schema pruned to 4 columns") {
+    val p = plan(operators.Relational.q6(spark, sf))
+    // plan toString truncates long filter lists — match stable prefixes
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"))
+  }
+
+  test("scan_project: read schema contains only the projected columns") {
+    val p = plan(operators.Relational.scanProject(spark, sf))
+    assert(p.contains("l_orderkey") && p.contains("l_extendedprice"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_returnflag"))
+  }
+
+  test("join_broadcast: dimension joins broadcast, no sort-merge") {
+    val p = plan(operators.Relational.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sort_limit_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan(operators.Analytic.sortLimitTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange") === 0)
+  }
+
+  test("join_asof: join-free union-timeline with one hash exchange") {
+    val p = plan(operators.Relational.joinAsof(spark, sf))
+    assert(!p.contains("Join"), "as-of must not plan any join")
+    // one hashpartitioning exchange for the window + the terminal
+    // rangepartitioning for ORDER BY event_id — nothing else
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window"))
+  }
+
+  test("agg_group: partial + final hash aggregation (map-side combine)") {
+    val p = plan(operators.Relational.aggGroup(spark, sf))
+    assert(count(p, "HashAggregate") >= 2)
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("sim_topk: probe side broadcasts; candidates never shuffle for scoring") {
+    val p = plan(operators.Similarity.simTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dedup_exact: map-side hash, one pre-agg exchange + terminal sort only") {
+    val p = plan(operators.Dedup.dedupExact(spark, sf))
+    assert(count(p, "HashAggregate") >= 2, "needs partial aggregation")
+    assert(count(p, "Exchange") === 2)
+  }
+
+  test("whole-stage codegen fuses the q6 pipeline into one span") {
+    // `*(n)` markers are codegen span ids: filter, project and partial
+    // aggregate must share span 1 — the generated analogue of the
+    // reference's hand-fused row loop (TpchQuery6.java:30-35).
+    val p = plan(operators.Relational.q6(spark, sf))
+    assert(p.contains("*(1) Filter"))
+    assert(p.contains("*(1) Project"))
+    assert(p.contains("*(1) HashAggregate"))
+  }
+}
