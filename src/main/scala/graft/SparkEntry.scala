@@ -423,29 +423,12 @@ object SparkEntry {
         |GROUP BY 2
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
-        |  WHERE len(w) >= 5
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
-        |FROM inter
-        |JOIN cnt na ON doc_a = na.doc_id
-        |JOIN cnt nb ON doc_b = nb.doc_id
-        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_near contracts the SAME output as dedup_ngram (exact J>=0.8
+    // pairs) — banded-MinHash candidate generation is a pure
+    // optimization that only skips pairs with escape probability
+    // (1-J)^8 <= 2.6e-6, zero on this corpus.
+    "dedup_near" -> dedupPairsOracle,
+    "dedup_ngram" -> dedupPairsOracle,
 
     "sim_topk" ->
       """WITH e AS (
@@ -592,4 +575,30 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared by dedup_near and dedup_ngram: both contract exactly the
+    * J ≥ 0.8 five-gram-shingle Jaccard pairs. */
+  private def dedupPairsOracle: String =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt na ON doc_a = na.doc_id
+        |JOIN cnt nb ON doc_b = nb.doc_id
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
 }

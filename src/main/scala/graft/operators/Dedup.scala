@@ -108,40 +108,53 @@ object Dedup {
   }
 
   // Q38 `dedup_near` — MinHash-LSH near-dup detection (the scale path):
-  // distinct 5-shingles → binary term vector (2^18-dim hashed space) →
-  // 32-hash MinHash signature → banded bucket join
-  // (approxSimilarityJoin), keeping pairs with Jaccard distance ≤ 0.2
-  // (J ≥ 0.8). Fixed seed → deterministic output. Never all-pairs:
-  // candidate generation is the OR-of-bands bucket join; the distance
-  // filter runs only on bucket collisions. The reported `jaccard_h` is
-  // the EXACT Jaccard over the 2^18-hashed shingle space (that is what
-  // approxSimilarityJoin's keyDistance computes on collided pairs) —
-  // "approx" refers to candidate generation, which can only miss pairs,
-  // never report a wrong similarity. Property-tested in DedupSpec:
-  // finds every planted 5-gram-J≥0.875 pair, values within ±0.05 of the
-  // raw-shingle Jaccard.
-  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val docs = Tables.documents(spark, dir)
-      .filter(size(tokens(col("text"))) >= 5)
-      .select(col("doc_id"), shingleArray(5).as("sh"))
-    val tf = new HashingTF()
-      .setInputCol("sh").setOutputCol("features")
-      .setBinary(true).setNumFeatures(1 << 18)
-    val featured = tf.transform(docs)
-    // 8 hash tables: a J≥0.8 pair misses all 8 single-hash bands with
-    // probability (1-J)^8 ≤ 2.6e-6 — plenty for the declared threshold,
-    // at 1/4 the bucket-join volume of 32 tables.
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.2, "dist")
-      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-      .select(
-        col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        round(lit(1.0) - col("dist"), 4).as("jaccard_h"))
+  // banded MinHash candidate generation + exact Jaccard verification on
+  // candidates only. Output = exactly the J ≥ 0.8 pairs (same contract
+  // as `dedup_ngram`, hence the same SQL oracle), but candidate
+  // generation never goes all-pairs: a pair is scored only if it
+  // collides in one of the 8 MinHash bands. A J≥0.8 pair escapes all 8
+  // bands with probability (1-J)^8 ≤ 2.6e-6; everything is xxhash64 —
+  // seedless, deterministic, no fit step, no driver state.
+  def dedupNear(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+
+  /** Banded-MinHash near-dup pipeline over any (doc_id, text) frame:
+    *  1. signature: `bands` independent min-hashes, ONE aggregation pass
+    *     (min of xxhash64(band, shingle) per band — map-side partials);
+    *  2. candidates: posexplode (band, value) → self equi-join →
+    *     distinct pairs. Only docs sharing a band bucket ever meet;
+    *  3. verify: exact |A∩B| via joining candidate pairs back to the
+    *     hashed shingle sets — cost Σ_candidates |A|, not N².
+    */
+  private[operators] def minhashPairs(docs: DataFrame, minJ: Double = 0.8,
+      bands: Int = 8): DataFrame = {
+    val sh  = shingles(docs)
+    val hsh = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until bands).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val banded = sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(i => col(s"mh$i")): _*))
+          .as(Seq("band", "mh")))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("mh")),
+        Seq("band", "mh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cnt = hsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(hsh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(hsh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(j >= minJ)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -29,11 +29,11 @@ class GoldenSpec extends SparkSpec {
   test("every query key has either an oracle or a dedicated spec") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Each key here must be asserted by a unit spec in this suite tree:
-    // agg_approx_distinct → ApproxDistinctSpec; dedup_near/dedup_simhash
-    // → DedupSpec; sim_ann → SimilaritySpec; stream_late_data →
+    // agg_approx_distinct → ApproxDistinctSpec; dedup_simhash →
+    // DedupSpec; sim_ann → SimilaritySpec; stream_late_data →
     // StreamingSpec.
     assert(noOracle === Set(
-      "agg_approx_distinct", "dedup_near", "dedup_simhash", "sim_ann",
+      "agg_approx_distinct", "dedup_simhash", "sim_ann",
       "stream_late_data"))
   }
 }

@@ -30,14 +30,14 @@ class DedupSpec extends SparkSpec {
     assert(near === exact)
   }
 
-  test("MinHash jaccard_h within 0.05 of exact shingle Jaccard") {
+  test("MinHash pipeline reports the exact Jaccard for every pair") {
     val exact = Dedup.dedupNgram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val near = Dedup.dedupNear(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    near.foreach { case (p, jh) =>
-      assert(math.abs(jh - exact(p)) <= 0.05, s"pair=$p jh=$jh exact=${exact(p)}")
-    }
+    // candidate generation is approximate; the verify stage is exact —
+    // values must match dedup_ngram's to the digit
+    assert(near === exact)
   }
 
   test("SimHash pairs are a subset of exact near-dup pairs") {
