@@ -43,6 +43,10 @@ object SparkEntry {
     "agg_rollup"      -> (Analytic.aggRollup _),
     "agg_cube"        -> (Analytic.aggCube _),
     "agg_grouping_sets" -> (Analytic.aggGroupingSets _),
+    "agg_stats"       -> (Analytic.aggStats _),
+    "agg_percentile"  -> (Analytic.aggPercentile _),
+    "pivot_status"    -> (Analytic.pivotStatus _),
+    "win_extra"       -> (Analytic.winExtra _),
     "win_rank"        -> (Analytic.winRank _),
     "win_running"     -> (Analytic.winRunning _),
     "win_lag_lead"    -> (Analytic.winLagLead _),
@@ -227,6 +231,49 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4), 0.0) AS f_total,
+        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4), 0.0) AS o_total,
+        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4), 0.0) AS p_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "win_extra" ->
+      """SELECT c_custkey,
+        |       round(percent_rank() OVER w, 4) AS pct_rank,
+        |       round(cume_dist() OVER w, 4) AS cume,
+        |       first_value(c_custkey) OVER wf AS poorest,
+        |       last_value(c_custkey) OVER wf AS richest,
+        |       nth_value(c_custkey, 3) OVER wf AS third
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
 
     "win_rank" ->
       """SELECT c_custkey, c_nationkey,

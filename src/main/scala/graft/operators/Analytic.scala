@@ -202,6 +202,69 @@ object Analytic {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
       .orderBy("o_orderkey")
 
+  // `agg_stats` — statistical aggregates: sample stddev/variance,
+  // correlation, covariance. All stream as single-pass moment sketches
+  // with map-side partials (Welford-style merge) — the right statistics
+  // at 100 TB.
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // `agg_percentile` — exact interpolated percentiles (the
+  // quantile_cont definition both engines share). The approximate
+  // sketch variant (approx_percentile) is asserted against this exact
+  // result in ApproxDistinctSpec.
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderpriority")
+
+  // `pivot_status` — pivot (wide aggregation): order totals per
+  // priority, one column per order status. Explicit value list ⇒ a
+  // single pass, no extra distinct-values job; plans as one
+  // HashAggregate over (priority) with conditional partials.
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 4))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0.0)).as("f_total"),
+        coalesce(col("O"), lit(0.0)).as("o_total"),
+        coalesce(col("P"), lit(0.0)).as("p_total"))
+      .orderBy("o_orderpriority")
+
+  // `win_extra` — the remaining window family: percent_rank, cume_dist,
+  // first/last/nth value over an explicit full-partition frame, all on
+  // a unique total order for cross-engine determinism.
+  def winExtra(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        first(col("c_custkey")).over(full).as("poorest"),
+        last(col("c_custkey")).over(full).as("richest"),
+        nth_value(col("c_custkey"), 3).over(full).as("third"))
+      .orderBy("c_custkey")
+  }
+
   // Q29 `math_funcs` — math expression suite over lineitem. sqrt/pow/ln
   // rounded to 4 (libm last-ulp differences across engines); ceil/floor
   // cast to long (Spark) / from double (DuckDB).

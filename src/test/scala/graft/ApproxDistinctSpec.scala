@@ -21,4 +21,18 @@ class ApproxDistinctSpec extends SparkSpec {
         s"flag=$flag exact=$n approx=$est")
     }
   }
+
+  test("approx_percentile within 2% of the exact interpolated percentile") {
+    val rows = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e <= 0.02, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
 }
