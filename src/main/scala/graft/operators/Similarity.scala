@@ -46,20 +46,20 @@ object Similarity {
   private val NProbes = 10  // probe vectors: vec_id < 10
 
   // Q39 `sim_topk` — exact cosine top-10 for each of the 10 probe
-  // vectors over all other embeddings. round(·,4) before ranking so
-  // Spark and the oracle rank identically despite last-ulp summation
-  // differences; ties broken by cand_id.
+  // vectors over all other embeddings. The scoring inner loop is the
+  // native codegen'd CosineSim expression (one fused loop per pair, no
+  // zipped intermediate array — graft.functions.CosineSim); numerics
+  // are identical to the zip_with+aggregate formulation. round(·,4)
+  // before ranking so Spark and the oracle rank identically despite
+  // last-ulp summation differences; ties broken by cand_id.
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val probes = broadcast(
       emb.filter(col("vec_id") < NProbes)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("nrm").as("pn")))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val scored = emb.join(probes, col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4)
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
           .as("cosine"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -106,7 +106,7 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("list_id")
     val model = km.fit(emb)
     val listed = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+      .select(col("vec_id"), col("embedding"), col("list_id"))
 
     // Centroid table: k×dim — tiny, broadcast. Comes from the fitted
     // model (driver-held, standard for a trained index).
@@ -132,11 +132,12 @@ object Similarity {
         .select("probe_id", "pe", "pn", "list_id"))
 
     // Score only candidates in probed lists (broadcast-hash join on the
-    // list id), then per-probe top-k.
+    // list id), then per-probe top-k. Scoring uses the native codegen'd
+    // CosineSim expression (same numerics as the HOF formulation).
     val scored = listed.join(probeLists, Seq("list_id"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4)
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
           .as("cosine"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("cand_id"))
