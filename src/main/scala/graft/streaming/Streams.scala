@@ -29,7 +29,76 @@ import graft.Tables
   * state store size — without them a 100 TB stream accumulates unbounded
   * state.
   */
+/** Typed rows for the custom-state sessionizer (top-level for encoder
+  * codegen visibility). Times in epoch MICROS inside the state buffer —
+  * the native TimestampType precision; epoch millis would silently
+  * truncate and shift session bounds. */
+case class SessEvent(user_id: Long, ts: java.time.Instant, value: Double)
+case class SessAcc(startUs: Long, endUs: Long, n: Long, sum: Double)
+case class SessOut(user_id: Long, session_start: java.time.Instant,
+    session_end: java.time.Instant, n: Long, sum_value: Double)
+
 object Streams {
+
+  /** Custom-state sessionization with `flatMapGroupsWithState` — the
+    * escape hatch for session logic `session_window` can't express
+    * (per-session custom accumulators, mid-session emission, dynamic
+    * gaps). Semantics here exactly mirror Q35's `session_window(ts,
+    * gap)`: an event at `last + gap` starts a NEW session (half-open),
+    * session_end = last event + gap — so StreamingSpec can assert
+    * equivalence against the built-in.
+    *
+    * Streaming protocol: state carries the open session per user;
+    * closed sessions emit inline (append); the open session emits when
+    * the event-time timeout fires (watermark passes end + gap). Scale:
+    * state is one fixed-size record per active user, bounded by the
+    * watermark — the state store never grows with history.
+    */
+  def sessionizeState(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessOut] = {
+    import java.time.Instant
+    import java.time.temporal.ChronoUnit
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000
+    def us(i: Instant): Long = ChronoUnit.MICROS.between(Instant.EPOCH, i)
+    def instant(u: Long): Instant = Instant.EPOCH.plus(u, ChronoUnit.MICROS)
+    def close(uid: Long, a: SessAcc): SessOut =
+      SessOut(uid, instant(a.startUs), instant(a.endUs + gapUs), a.n, a.sum)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAcc, SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            var closed = List.empty[SessOut]
+            var acc = state.getOption
+            evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+              val t = us(e.ts)
+              acc = acc match {
+                case Some(a) if t < a.endUs + gapUs =>
+                  Some(SessAcc(a.startUs, math.max(t, a.endUs), a.n + 1, a.sum + e.value))
+                case Some(a) =>
+                  closed ::= close(uid, a)
+                  Some(SessAcc(t, t, 1, e.value))
+                case None =>
+                  Some(SessAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              // timeout is millis-based; round UP so the watermark must
+              // strictly pass the session end before the timeout fires
+              state.setTimeoutTimestamp((a.endUs + gapUs) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   // Q33 `stream_tumbling` — 1-hour tumbling windows (epoch-aligned, same
   // alignment as the oracle's date_trunc('hour')).

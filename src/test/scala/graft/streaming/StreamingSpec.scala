@@ -101,6 +101,38 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) === canon(agg(batchInput)))
   }
 
+  test("flatMapGroupsWithState sessionizer == session_window semantics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessEvent]
+    val sessions = Streams.sessionizeState(
+      input.toDS().withWatermark("ts", "10 minutes").as[SessEvent])
+    val name = s"fmgws_sink_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fmgws_ckpt_").toString)
+      .start()
+    val evs = sample.map { case (t, uid, _, v) => SessEvent(uid, t.toInstant, v) }
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(SessEvent(-1L, flushTs.toInstant, 0.0)) // sentinel fires timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+    val batch = batchInput
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("late data: watermark drops the late event (Q36 exact emission)") {
     val rows = Streams.lateData(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
