@@ -37,6 +37,7 @@ object SparkEntry {
     "join_anti"       -> (Relational.joinAnti _),
     "join_range_theta"-> (Relational.joinRangeTheta _),
     "join_asof"       -> (Relational.joinAsof _),
+    "join_salted"     -> (Relational.joinSalted _),
     "agg_group"       -> (Relational.aggGroup _),
     "agg_distinct"    -> (Relational.aggDistinct _),
     "agg_approx_distinct" -> (Analytic.aggApproxDistinct _),
@@ -179,6 +180,11 @@ object SparkEntry {
         |   AND o.o_orderdate <= e.ts - INTERVAL 26 YEAR
         |) WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "join_salted" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
 
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,

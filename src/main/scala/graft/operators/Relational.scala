@@ -197,6 +197,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // `join_salted` — the skew-mitigation join pattern: the probe side
+  // spreads each hot key across SALT sub-keys via a deterministic row
+  // hash; the build side replicates every row SALT times. The join key
+  // becomes (key, salt) so one skewed key's rows land on SALT
+  // partitions instead of one. Result is IDENTICAL to the plain join
+  // (oracle = unsalted SQL) — salting is pure plan surgery. At 100 TB
+  // this is the manual fallback when AQE's skew-join split can't help
+  // (e.g. skew inside a single key after a non-equi residual).
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val fact = Tables.lineitem(spark, dir)
+      .withColumn("fsalt", pmod(hash(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber")), lit(S)))
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(S - 1))).as("dsalt"))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("fsalt") === col("dsalt"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("o_totalprice"))
+      .orderBy(Tables.lineitemKey.map(col): _*)
+  }
+
   // Q12 `agg_group` — TPC-H Q1 shape: grouped sum/avg/min/max/count with
   // automatic partial+final aggregation (reference analogue: the scalar
   // accumulator, TpchQuery6.java:21,32 — generalized to grouped).

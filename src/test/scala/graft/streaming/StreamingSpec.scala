@@ -133,6 +133,27 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("file streaming source: directory of parquet == batch result") {
+    val dir = Files.createTempDirectory("graft_fsrc_").resolve("in").toString
+    batchInput.write.parquet(dir)
+    val name = s"fsrc_sink_${System.nanoTime()}"
+    val q = spark.readStream.schema(batchInput.schema).parquet(dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fsrc_ckpt_").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = batchInput
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    assert(canon(spark.table(name)) === canon(batch))
+  }
+
   test("late data: watermark drops the late event (Q36 exact emission)") {
     val rows = Streams.lateData(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
