@@ -90,6 +90,11 @@ object Dedup {
     // A cross-shingle hash collision (≈n²/2⁶⁵, ~1e-8 at sf0.1) would
     // perturb one intersection count — accepted odds for halving
     // shuffle volume.
+    // (A df>=2 posting-list prefilter before the self-join was
+    // measured SLOWER here — the extra aggregation+semijoin over all
+    // postings outweighs the pruning on a corpus with high vocabulary
+    // overlap. On a real web corpus with mostly-unique shingles it
+    // wins; revisit with corpus stats.)
     val sh  = shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
