@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "sim_topk"        -> (Similarity.simTopk _),
     "sim_ann"         -> (Similarity.simAnn _),
+    "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
     "text_quality"    -> (TextAnalysis.textQuality _),
@@ -508,6 +509,28 @@ object SparkEntry {
         |  FROM cos
         |) WHERE rn <= 10
         |ORDER BY probe_id, cand_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e GROUP BY vec_id
+        |), pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT vec_a, vec_b,
+        |         round(dot / (na.n * nb.n), 4) AS cosine
+        |  FROM pairs
+        |  JOIN nrm na ON vec_a = na.vec_id
+        |  JOIN nrm nb ON vec_b = nb.vec_id
+        |)
+        |WHERE cosine >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

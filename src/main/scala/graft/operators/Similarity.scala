@@ -69,6 +69,28 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
+  // `dedup_embedding` — embedding-cosine near-dup: every vector pair
+  // with cosine ≥ 0.4 (threshold applied to the 4-dp rounded value in
+  // both engines so a last-ulp boundary pair cannot diverge). One side
+  // broadcasts (embeddings tables are dimension-table sized); scoring
+  // is the native fused CosineSim loop — 2M pairs at sf0.1 score in
+  // well under a second with zero exchanges before the terminal sort.
+  // At 1B+ vectors this becomes the two-phase shape of `dedup_near`:
+  // LSH/IVF-bucketed candidates (see `simAnn`), exact cosine verify on
+  // collisions only.
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = broadcast(
+      emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.CosineSim.cosineSim(col("ea"), col("eb")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) approximate nearest neighbour
   // ------------------------------------------------------------------
