@@ -15,9 +15,11 @@ import graft.Tables
   *                      self-join (oracle-checkable; candidate generation
   *                      by shared shingle — sub-quadratic on real corpora
   *                      because only docs sharing an n-gram ever meet);
-  *  - `dedupNear`     — MinHash-LSH (MLlib), the 100 TB-scale path: fixed
-  *                      32-hash signature per doc, banded bucket join, no
-  *                      all-pairs comparison anywhere;
+  *  - `dedupNear`     — banded MinHash-LSH, the 100 TB-scale path:
+  *                      8-hash signature per doc (one aggregation pass),
+  *                      band bucket join for candidates, exact-Jaccard
+  *                      verify on collisions only — no all-pairs
+  *                      comparison anywhere;
   *  - `dedupSimhash`  — 64-bit SimHash fingerprint + banded Hamming
   *                      candidate join (bitwise near-dup regime).
   *
