@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession and several (PlanSpec, BucketingSpec,
+// CosineSimSpec) toggle session confs (AQE, broadcast threshold) around
+// plan assertions — parallel suite execution races those toggles.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output passes straight through to stdout, NOT via sbt's
 // logger — the driver parses graft.Bench's one-line JSON from stdout and

@@ -14,6 +14,18 @@ class BucketingSpec extends SparkSpec {
     val customer = Tables.customer(spark, sf)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a previously-killed run can leave orphan table directories that
+    // the (fresh, in-memory) catalog no longer knows about
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+    }
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("b_orders")
     customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
