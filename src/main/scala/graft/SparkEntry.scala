@@ -83,6 +83,7 @@ object SparkEntry {
     "udf_suite"       -> (UdfSuite.udfSuite _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
+    "multimodal_frames" -> (Multimodal.multimodalFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -531,6 +532,18 @@ object SparkEntry {
         |)
         |WHERE cosine >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, frame_idx,
+        |       md5(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 0),
+        |           4)) AS frame_idx
+        |  FROM documents
+        |)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -60,6 +60,30 @@ object Multimodal {
         lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("header_hex"))
       .orderBy("doc_id")
 
+  // `multimodal_frames` — the frame-sampling pattern for video-shaped
+  // blobs: treat the blob as a sequence of fixed 32-byte "frames",
+  // sample every 4th, emit one row per sampled frame with its content
+  // hash. posexplode keeps it a proper Generate (one output row per
+  // frame, streamed — the full blob is never duplicated per frame
+  // because the substring slices lazily from the row's blob). At 100 TB
+  // the sampled-frame rows (hashes + metadata) are what shuffles
+  // onward; raw media stays in the scan.
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frameLen = 32
+    val stride = 4
+    val nFrames = ceil(length(col("text")) / frameLen.toDouble).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+          .as(Seq("k", "frame_idx")))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("text").substr(col("frame_idx") * frameLen + 1, lit(frameLen))
+          .cast("binary")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // `multimodal_decode` — the batch-decode pattern over opaque blobs.
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
