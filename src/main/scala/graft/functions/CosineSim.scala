@@ -26,6 +26,9 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null for zero-norm/empty inputs (not NaN — NaN sorts ABOVE every
+  // value in a descending Spark sort and would poison top-k ranking)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -49,7 +52,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,7 +68,11 @@ case class CosineSim(left: Expression, right: Expression)
          |  double yv = (double) $b.getFloat($i);
          |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

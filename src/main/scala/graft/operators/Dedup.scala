@@ -118,32 +118,40 @@ object Dedup {
   // banded MinHash candidate generation + exact Jaccard verification on
   // candidates only. Output = exactly the J ≥ 0.8 pairs (same contract
   // as `dedup_ngram`, hence the same SQL oracle), but candidate
-  // generation never goes all-pairs: a pair is scored only if it
-  // collides in one of the 8 MinHash bands. A J≥0.8 pair escapes all 8
-  // bands with probability (1-J)^8 ≤ 2.6e-6; everything is xxhash64 —
-  // seedless, deterministic, no fit step, no driver state.
+  // generation never goes all-pairs. Everything is xxhash64 — seedless,
+  // deterministic, no fit step, no driver state.
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
 
   /** Banded-MinHash near-dup pipeline over any (doc_id, text) frame:
-    *  1. signature: `bands` independent min-hashes, ONE aggregation pass
-    *     (min of xxhash64(band, shingle) per band — map-side partials);
+    *  1. signature: bands×rows independent min-hashes, ONE aggregation
+    *     pass (min of xxhash64(i, shingle) per hash — map-side
+    *     partials); band value = hash of its `rows` min-hashes;
     *  2. candidates: posexplode (band, value) → self equi-join →
-    *     distinct pairs. Only docs sharing a band bucket ever meet;
+    *     distinct pairs. Only docs sharing a full band ever meet;
     *  3. verify: exact |A∩B| via joining candidate pairs back to the
     *     hashed shingle sets — cost Σ_candidates |A|, not N².
+    *
+    * Banding math (b=16, r=2): a band collides with probability J^r, so
+    * a pair surfaces with 1-(1-J²)^16 — a J≥0.8 pair is missed with
+    * p ≤ (1-0.64)^16 ≈ 8e-8, while a background J=0.1 pair becomes a
+    * candidate with only ~0.15 probability (vs 0.57 for r=1 bands,
+    * which degenerate toward all-pairs on corpora with shared
+    * vocabulary — r≥2 keeps the threshold sharp at scale).
     */
   private[operators] def minhashPairs(docs: DataFrame, minJ: Double = 0.8,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 16, rows: Int = 2): DataFrame = {
     val sh  = shingles(docs)
     val hsh = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until bands).map(i =>
+    val mins = (0 until bands * rows).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val bandVals = (0 until bands).map { b =>
+      xxhash64((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+    }
     val banded = sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        posexplode(array((0 until bands).map(i => col(s"mh$i")): _*))
-          .as(Seq("band", "mh")))
+        posexplode(array(bandVals: _*)).as(Seq("band", "mh")))
     val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("mh")),
         Seq("band", "mh"))

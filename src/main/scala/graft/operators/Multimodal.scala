@@ -99,7 +99,10 @@ object Multimodal {
       //   val img = ImageIO.read(new ByteArrayInputStream(b.blob))
       // This container has no codecs, so dimensions are derived
       // deterministically from the first bytes (SQL-reproducible so the
-      // whole pipeline stays oracle-checkable).
+      // whole pipeline stays oracle-checkable). NOTE: the oracle reads
+      // CHARACTER codepoints (ascii(substr(...))) — identical to these
+      // byte reads only because the corpus is pure ASCII (verified for
+      // all sf dirs), same assumption as multimodalMeta's header_hex.
       it.map { b =>
         val len = b.blob.length.toLong
         val b0 = if (len > 0) b.blob(0) & 0xff else 0

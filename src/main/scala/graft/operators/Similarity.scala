@@ -34,12 +34,12 @@ import graft.Tables
 object Similarity {
 
   /** Σ aᵢ·bᵢ in double, sequential left-to-right fold (deterministic). */
-  private[operators] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   /** ‖a‖₂ in double. */
-  private[operators] def l2norm(a: Column): Column =
+  private[graft] def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   private val K = 10        // neighbours per probe
@@ -139,19 +139,23 @@ object Similarity {
         .map { case (c, i) => (i, c.toArray) }.toSeq
         .toDF("list_id", "centroid"))
 
-    // Each probe ranks centroids and keeps its NProbe nearest lists.
+    // Each probe ranks centroids and keeps its NProbe nearest lists —
+    // by the SAME metric k-means assigned candidates with (Euclidean):
+    // argmin ‖p−c‖² = argmin(‖c‖² − 2·p·c), ‖p‖² constant per probe.
+    // Ranking by raw dot product alone would reorder lists whose
+    // centroid norms differ (tight vs diffuse clusters) and probe the
+    // wrong lists.
     val probes = emb.filter(col("vec_id") < NProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("nrm").as("pn"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cn2 = aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x)
     val wc = Window.partitionBy("probe_id")
       .orderBy(col("cdist").asc, col("list_id"))
     val probeLists = broadcast(
       probes.crossJoin(centroids)
-        .withColumn("cdist",
-          -dot(col("pe"), col("centroid")) / col("pn"))
+        .withColumn("cdist", cn2 - lit(2.0) * dot(col("pe"), col("centroid")))
         .withColumn("crn", row_number().over(wc))
         .filter(col("crn") <= NProbe)
-        .select("probe_id", "pe", "pn", "list_id"))
+        .select("probe_id", "pe", "list_id"))
 
     // Score only candidates in probed lists (broadcast-hash join on the
     // list id), then per-probe top-k. Scoring uses the native codegen'd

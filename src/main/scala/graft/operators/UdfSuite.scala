@@ -44,11 +44,16 @@ object UdfSuite {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Scalar UDF: whitespace token count of normalized text. */
-  private[operators] val tokenCountUdf =
+  /** Scalar UDF: whitespace token count of normalized text. Matches
+    * `size(split(trim(lower(text)), "\\s+"))` and the oracle's
+    * `len(string_split_regex(...))` exactly — including the empty-string
+    * case, where split returns one empty token (count 1), and null in →
+    * null out. */
+  private[graft] val tokenCountUdf =
     udf((s: String) =>
-      if (s == null || s.trim.isEmpty) 0L
-      else s.trim.toLowerCase.split("\\s+").length.toLong)
+      if (s == null) null
+      else java.lang.Long.valueOf(
+        s.trim.toLowerCase.split("\\s+").length.toLong))
 
   /** Generator UDF: adjacent word bigrams of normalized text. */
   private[operators] val bigramsUdf =

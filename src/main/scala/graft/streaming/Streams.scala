@@ -50,9 +50,15 @@ object Streams {
     *
     * Streaming protocol: state carries the open session per user;
     * closed sessions emit inline (append); the open session emits when
-    * the event-time timeout fires (watermark passes end + gap). Scale:
-    * state is one fixed-size record per active user, bounded by the
-    * watermark — the state store never grows with history.
+    * the event-time timeout fires (watermark passes end + gap).
+    * Out-of-order events inside the watermark merge into (and can
+    * extend the start of) the open session; an in-watermark event more
+    * than a gap before the open session emits as its own session. An
+    * event that would bridge two ALREADY-EMITTED sessions cannot be
+    * honored in append mode — the watermark delay bounds that window,
+    * the same trade session_window makes. Scale: state is one
+    * fixed-size record per active user, bounded by the watermark — the
+    * state store never grows with history.
     */
   def sessionizeState(events: org.apache.spark.sql.Dataset[SessEvent],
       gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessOut] = {
@@ -80,11 +86,22 @@ object Streams {
             evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
               val t = us(e.ts)
               acc = acc match {
-                case Some(a) if t < a.endUs + gapUs =>
-                  Some(SessAcc(a.startUs, math.max(t, a.endUs), a.n + 1, a.sum + e.value))
-                case Some(a) =>
+                // in-session, including an out-of-order event up to one
+                // gap BEFORE the open session's start (arrived in a
+                // later micro-batch but inside the watermark): the
+                // session extends backwards, as session_window would
+                case Some(a) if t < a.endUs + gapUs && t > a.startUs - gapUs =>
+                  Some(SessAcc(math.min(t, a.startUs), math.max(t, a.endUs),
+                    a.n + 1, a.sum + e.value))
+                case Some(a) if t >= a.endUs + gapUs =>
                   closed ::= close(uid, a)
                   Some(SessAcc(t, t, 1, e.value))
+                case Some(a) =>
+                  // out-of-order event more than a gap before the open
+                  // session: its own already-complete earlier session
+                  // (any sibling events would be beyond the watermark)
+                  closed ::= close(uid, SessAcc(t, t, 1, e.value))
+                  Some(a)
                 case None =>
                   Some(SessAcc(t, t, 1, e.value))
               }

@@ -7,13 +7,11 @@ import graft.{SparkSpec, Tables}
   * higher-order-function formulation, SQL registration, null safety. */
 class CosineSimSpec extends SparkSpec {
 
+  // the canonical HOF helpers themselves, not a copy — the docstring
+  // contract is "matches Similarity.dot/l2norm numerics"
   private def hofCosine = {
-    val dot = aggregate(
-      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    def nrm(c: String) = sqrt(aggregate(col(c), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (nrm("a") * nrm("b"))
+    import graft.operators.Similarity.{dot, l2norm}
+    dot(col("a"), col("b")) / (l2norm(col("a")) * l2norm(col("b")))
   }
 
   test("matches the zip_with+aggregate formulation on real embeddings") {
@@ -41,6 +39,14 @@ class CosineSimSpec extends SparkSpec {
       CosineSim.cosineSim(lit(null).cast("array<float>"), col("b")))
       .collect()
     assert(withNull.forall(_.isNullAt(0)))
+    // zero-norm and empty vectors are null, not NaN (NaN would sort
+    // above every real cosine in a descending top-k)
+    val degenerate = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq.empty[Float], Seq(1.0f, 0.0f)),
+    ).toDF("a", "b")
+    assert(degenerate.select(CosineSim.cosineSim(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
   }
 
   test("SQL registration: expr(\"cosine_sim(a, b)\") works after register") {

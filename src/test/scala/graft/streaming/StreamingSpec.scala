@@ -154,6 +154,36 @@ class StreamingSpec extends SparkSpec {
     assert(canon(spark.table(name)) === canon(batch))
   }
 
+  test("sessionizer: out-of-order in-watermark event extends the open session's start") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(hhmm: String, v: Double) = SessEvent(7L,
+      Timestamp.valueOf(s"2024-01-01 $hhmm:00").toInstant, v)
+    val input = MemoryStream[SessEvent]
+    val name = s"fmgws_ooo_sink_${System.nanoTime()}"
+    val q = Streams.sessionizeState(
+      input.toDS().withWatermark("ts", "30 minutes").as[SessEvent])
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ooo_ckpt_").toString)
+      .start()
+    try {
+      input.addData(ev("10:20", 1.0))                  // opens session at 10:20
+      q.processAllAvailable()
+      input.addData(ev("10:05", 2.0))                  // OUT OF ORDER, in-watermark,
+      q.processAllAvailable()                          // within gap before start
+      input.addData(SessEvent(-1L, flushTs.toInstant, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).filter(col("user_id") === 7L)
+      .select("session_start", "session_end", "n", "sum_value").collect()
+    assert(rows.length === 1)
+    // session_window semantics: the session starts at the EARLIER event
+    assert(rows(0).getTimestamp(0).toString === "2024-01-01 10:05:00.0")
+    assert(rows(0).getTimestamp(1).toString === "2024-01-01 10:50:00.0")
+    assert(rows(0).getLong(2) === 2L && rows(0).getDouble(3) === 3.0)
+  }
+
   test("late data: watermark drops the late event (Q36 exact emission)") {
     val rows = Streams.lateData(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
