@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_grouping_sets" -> (Analytic.aggGroupingSets _),
     "agg_stats"       -> (Analytic.aggStats _),
     "agg_percentile"  -> (Analytic.aggPercentile _),
+    "agg_argmax"      -> (Analytic.aggArgmax _),
     "pivot_status"    -> (Analytic.pivotStatus _),
     "win_extra"       -> (Analytic.winExtra _),
     "win_rank"        -> (Analytic.winRank _),
@@ -257,6 +258,15 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, o_totalprice) AS best_order,
+        |       arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |       round(max(o_totalprice), 4) AS best_price
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

@@ -231,6 +231,21 @@ object Analytic {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderpriority")
 
+  // `agg_argmax` — the argmax family: max_by/min_by pick the orderkey
+  // at the extreme price per group in ONE pass (no self-join-back, no
+  // window): a (value, key) struct-max merged map-side. Prices are
+  // continuous doubles → no max ties in this data; both engines
+  // document last-write-wins on exact ties, so a tie would be the only
+  // nondeterminism source.
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("max_by(o_orderkey, o_totalprice)").as("best_order"),
+        expr("min_by(o_orderkey, o_totalprice)").as("worst_order"),
+        round(max(col("o_totalprice")), 4).as("best_price"))
+      .orderBy("o_orderpriority")
+
   // `pivot_status` — pivot (wide aggregation): order totals per
   // priority, one column per order status. Explicit value list ⇒ a
   // single pass, no extra distinct-values job; plans as one

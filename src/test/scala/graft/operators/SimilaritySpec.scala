@@ -30,13 +30,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
 
-  test("IVF sim_ann recall@10 >= 0.5 vs brute force") {
+  test("IVF sim_ann recall@10 >= 0.7 vs brute force") {
     val truth = pairSet(Similarity.simTopk(spark, sf))
     val ann   = pairSet(Similarity.simAnn(spark, sf))
     val recall = (truth & ann).size.toDouble / truth.size
     // Probing 8/32 lists of a weakly-clustered corpus (true neighbours
-    // at cosine 0.24-0.49). Deterministic: fixed seed + fixed data.
-    assert(recall >= 0.5, s"recall@10 = $recall")
+    // at cosine 0.24-0.49); measured 0.77 with Euclidean list ranking.
+    // Deterministic: fixed seed + fixed data.
+    assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
   test("sim_ann never invents neighbours: every hit is a real vector pair") {
