@@ -61,10 +61,19 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // full JSON string escaping (backslash, quote, ALL control chars) —
+    // a raw control char from an exception message would make the one
+    // line the driver parses invalid again
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val headline = results.collect {
       case (k, v) if !streamingFixed(k) => v

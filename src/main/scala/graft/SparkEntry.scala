@@ -489,9 +489,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // dedup_near contracts the SAME output as dedup_ngram (exact J>=0.8
-    // pairs) — banded-MinHash candidate generation is a pure
-    // optimization that only skips pairs with escape probability
-    // (1-J)^8 <= 2.6e-6, zero on this corpus.
+    // pairs) — banded-MinHash candidate generation (16 bands x 2 rows)
+    // is a pure optimization that only skips pairs with escape
+    // probability (1-J^2)^16 <= 8e-8, zero on this corpus.
     "dedup_near" -> dedupPairsOracle,
     "dedup_ngram" -> dedupPairsOracle,
 

@@ -16,10 +16,10 @@ import graft.Tables
   *                      by shared shingle — sub-quadratic on real corpora
   *                      because only docs sharing an n-gram ever meet);
   *  - `dedupNear`     — banded MinHash-LSH, the 100 TB-scale path:
-  *                      8-hash signature per doc (one aggregation pass),
-  *                      band bucket join for candidates, exact-Jaccard
-  *                      verify on collisions only — no all-pairs
-  *                      comparison anywhere;
+  *                      32 min-hashes per doc in one aggregation pass,
+  *                      16 bands × 2 rows bucket join for candidates,
+  *                      exact-Jaccard verify on collisions only — no
+  *                      all-pairs comparison anywhere;
   *  - `dedupSimhash`  — 64-bit SimHash fingerprint + banded Hamming
   *                      candidate join (bitwise near-dup regime).
   *
@@ -35,10 +35,10 @@ import graft.Tables
   *    worst case (a shingle shared by k docs → k² candidate rows) is the
   *    reason the LSH/SimHash variants exist — at scale you run LSH first
   *    and exact-verify only candidate buckets;
-  *  - LSH banding: with 32 single-row hash tables, P[pair surfaces] =
-  *    1-(1-J)^32 — a J≥0.9 pair is missed with probability < 1e-30,
-  *    while low-J pairs are removed by the Jaccard-distance filter that
-  *    runs only on bucket collisions;
+  *  - LSH banding (16 bands × 2 rows): P[pair surfaces] = 1-(1-J²)^16 —
+  *    a J≥0.8 pair is missed with p ≤ 8e-8, while a background J=0.1
+  *    pair is admitted with only ~0.15 probability; low-J survivors are
+  *    removed by the exact-Jaccard verify that runs only on collisions;
   *  - everything shuffles on content-derived keys (hash/shingle/band), so
   *    adding executors scales linearly; no driver-side collection.
   */
@@ -104,6 +104,16 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
+    jaccardFilter(inter, cnt, minJ)
+  }
+
+  /** Shared verify tail of both near-dup pipelines: given intersection
+    * counts (doc_a, doc_b, c) and per-doc shingle totals (doc_id, n),
+    * keep pairs with J = c/(na+nb-c) ≥ minJ. ONE definition so
+    * `dedup_near` and `dedup_ngram` cannot drift apart — DedupSpec and
+    * the shared oracle require their outputs identical to the digit. */
+  private def jaccardFilter(inter: DataFrame, cnt: DataFrame,
+      minJ: Double): DataFrame = {
     val j = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
     inter
@@ -163,14 +173,7 @@ object Dedup {
       .join(hsh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
-    val j = col("c").cast("double") /
-      (col("na") + col("nb") - col("c")).cast("double")
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(j >= minJ)
-      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    jaccardFilter(inter, cnt, minJ)
   }
 
   /** 64-bit SimHash per document from its distinct 5-shingles: every

@@ -122,7 +122,6 @@ object Similarity {
 
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"),
         array_to_vector(col("embedding")).as("fv"))
     val km = new KMeans().setK(NLists).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("list_id")

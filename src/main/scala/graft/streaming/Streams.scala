@@ -51,12 +51,12 @@ object Streams {
     * Streaming protocol: state carries the open session per user;
     * closed sessions emit inline (append); the open session emits when
     * the event-time timeout fires (watermark passes end + gap).
-    * Out-of-order events inside the watermark merge into (and can
-    * extend the start of) the open session; an in-watermark event more
-    * than a gap before the open session emits as its own session. An
-    * event that would bridge two ALREADY-EMITTED sessions cannot be
-    * honored in append mode — the watermark delay bounds that window,
-    * the same trade session_window makes. Scale: state is one
+    * Out-of-order events inside the watermark interval-merge with each
+    * other and with the open session (including backward extension of
+    * its start); completed earlier sessions emit immediately. An event
+    * that would bridge an ALREADY-EMITTED session cannot be honored in
+    * append mode — the watermark delay bounds that window, the same
+    * trade session_window makes. Scale: state is one
     * fixed-size record per active user, bounded by the watermark — the
     * state store never grows with history.
     */
@@ -81,38 +81,30 @@ object Streams {
             state.remove()
             out
           } else {
-            var closed = List.empty[SessOut]
-            var acc = state.getOption
-            evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
-              val t = us(e.ts)
-              acc = acc match {
-                // in-session, including an out-of-order event up to one
-                // gap BEFORE the open session's start (arrived in a
-                // later micro-batch but inside the watermark): the
-                // session extends backwards, as session_window would
-                case Some(a) if t < a.endUs + gapUs && t > a.startUs - gapUs =>
-                  Some(SessAcc(math.min(t, a.startUs), math.max(t, a.endUs),
-                    a.n + 1, a.sum + e.value))
-                case Some(a) if t >= a.endUs + gapUs =>
-                  closed ::= close(uid, a)
-                  Some(SessAcc(t, t, 1, e.value))
-                case Some(a) =>
-                  // out-of-order event more than a gap before the open
-                  // session: its own already-complete earlier session
-                  // (any sibling events would be beyond the watermark)
-                  closed ::= close(uid, SessAcc(t, t, 1, e.value))
-                  Some(a)
-                case None =>
-                  Some(SessAcc(t, t, 1, e.value))
-              }
+            // Interval-merge fold over (batch events + the open state
+            // session) in time order: adjacent items closer than the
+            // gap merge — so out-of-order in-watermark events merge
+            // with EACH OTHER and with the open session exactly as
+            // session_window would, including backward extension of
+            // the open session's start. Head of the fold result is the
+            // latest session (prepend order): it stays open in state;
+            // every earlier one is complete and emits now.
+            val items = (evs.map(e => SessAcc(us(e.ts), us(e.ts), 1, e.value))
+              ++ state.getOption).toSeq.sortBy(a => (a.startUs, a.endUs))
+            val merged = items.foldLeft(List.empty[SessAcc]) {
+              case (h :: tail, s) if s.startUs < h.endUs + gapUs =>
+                SessAcc(math.min(h.startUs, s.startUs),
+                  math.max(h.endUs, s.endUs),
+                  h.n + s.n, h.sum + s.sum) :: tail
+              case (acc, s) => s :: acc
             }
-            acc.foreach { a =>
+            merged.headOption.foreach { a =>
               state.update(a)
               // timeout is millis-based; round UP so the watermark must
               // strictly pass the session end before the timeout fires
               state.setTimeoutTimestamp((a.endUs + gapUs) / 1000 + 1)
             }
-            closed.reverseIterator
+            merged.drop(1).reverseIterator.map(close(uid, _))
           }
       }
   }

@@ -12,16 +12,7 @@ import org.scalacheck.Prop.{forAll, propBoolean}
   */
 object LawsProps extends Properties("graft.laws") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = graft.TestSession.spark
 
   private val rowsGen: Gen[List[(Long, Long, Double)]] =
     Gen.listOfN(60,

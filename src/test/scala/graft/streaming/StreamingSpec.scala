@@ -184,6 +184,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(2) === 2L && rows(0).getDouble(3) === 3.0)
   }
 
+  test("sessionizer: multiple out-of-order events merge into one earlier session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(hhmm: String, v: Double) = SessEvent(8L,
+      Timestamp.valueOf(s"2024-01-01 $hhmm:00").toInstant, v)
+    val input = MemoryStream[SessEvent]
+    val name = s"fmgws_merge_sink_${System.nanoTime()}"
+    val q = Streams.sessionizeState(
+      input.toDS().withWatermark("ts", "2 hours").as[SessEvent])
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_merge_ckpt_").toString)
+      .start()
+    try {
+      input.addData(ev("10:20", 1.0))            // opens session at 10:20
+      q.processAllAvailable()
+      input.addData(ev("09:05", 2.0), ev("09:10", 4.0)) // in-watermark, both
+      q.processAllAvailable()                    // > gap before the open session
+      input.addData(SessEvent(-1L, flushTs.toInstant, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).filter(col("user_id") === 8L)
+      .select("session_start", "session_end", "n", "sum_value")
+      .orderBy("session_start").collect()
+    // session_window semantics: 09:05+09:10 are ONE merged session,
+    // 10:20 its own — not two singletons
+    assert(rows.length === 2, rows.mkString(";"))
+    assert(rows(0).getTimestamp(0).toString === "2024-01-01 09:05:00.0")
+    assert(rows(0).getTimestamp(1).toString === "2024-01-01 09:40:00.0")
+    assert(rows(0).getLong(2) === 2L && rows(0).getDouble(3) === 6.0)
+    assert(rows(1).getTimestamp(0).toString === "2024-01-01 10:20:00.0")
+    assert(rows(1).getLong(2) === 1L)
+  }
+
   test("late data: watermark drops the late event (Q36 exact emission)") {
     val rows = Streams.lateData(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
