@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Queries whose wall time is dominated by streaming micro-batch fixed
     * latency (checkpoint + 3 batches), not data volume. */
-  private val streamingFixed = Set("stream_late_data")
+  private val streamingFixed =
+    Set("stream_late_data", "stream_dedup", "stream_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

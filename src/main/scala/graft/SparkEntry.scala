@@ -69,6 +69,8 @@ object SparkEntry {
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
     "stream_session"  -> (graft.streaming.Streams.session _),
     "stream_late_data"-> (graft.streaming.Streams.lateData _),
+    "stream_dedup"    -> (graft.streaming.Streams.streamDedup _),
+    "stream_join"     -> (graft.streaming.Streams.streamJoin _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_ngram"     -> (Dedup.dedupNgram _),
     "dedup_near"      -> (Dedup.dedupNear _),

@@ -144,6 +144,83 @@ object Streams {
         col("n"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  // `stream_dedup` — streaming deduplication with bounded state:
+  // dropDuplicatesWithinWatermark keeps one row per event_id, holding
+  // each key in the state store only until the watermark passes it —
+  // the streaming half of Q37's exact dedup, and the only dedup that
+  // works on an unbounded stream (plain dropDuplicates would grow
+  // state forever). Deterministic 3-batch MemoryStream run:
+  //   batch1: ids 1,2            → both emitted
+  //   batch2: id 1 again (dup, within watermark) + id 3 → only 3 emitted
+  //   batch3: far-future id 4    → emitted (old keys already expired)
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = input.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"stream_dedup_sink_${System.nanoTime()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sdedup_ckpt_").toString)
+      .start()
+    try {
+      input.addData((1L, t("10:00"), 1.0), (2L, t("10:01"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, t("10:02"), 99.0), (3L, t("10:03"), 3.0))
+      q.processAllAvailable()
+      input.addData((4L, t("12:00"), 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select("event_id", "value").orderBy("event_id")
+  }
+
+  // `stream_join` — stream-stream inner join with watermarks on both
+  // sides and a time-range condition (clicks within 30 minutes after
+  // their impression). Both states are watermark-bounded: an
+  // impression can be dropped once no in-range click can still arrive.
+  // Deterministic 2-batch MemoryStream run; the late out-of-range
+  // click (id 2 at +45min) must NOT join.
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = imp.join(clk,
+      col("ad_id") === col("c_ad_id") &&
+      col("click_ts") >= col("imp_ts") &&
+      col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+    val name = s"stream_join_sink_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sjoin_ckpt_").toString)
+      .start()
+    try {
+      impressions.addData((1L, t("10:00")), (2L, t("10:05")), (3L, t("10:10")))
+      clicks.addData((1L, t("10:20")))                 // in range for ad 1
+      q.processAllAvailable()
+      clicks.addData((2L, t("10:50")), (3L, t("10:15"))) // ad 2 out of range
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .select(col("ad_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
+          .as("delay_sec"))
+      .orderBy("ad_id")
+  }
+
   // Q36 `stream_late_data` — a real Structured Streaming run: tumbling
   // 10-minute windows with a 10-minute watermark in append mode; an event
   // arriving after the watermark passed its window is dropped. The

@@ -226,4 +226,19 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", 1L, 4.0),
       ("2024-01-01 10:20:00.0", 1L, 8.0)))  // 10:40 window still open ⇒ absent
   }
+
+  test("stream_dedup: duplicate id within watermark dropped, expired key re-emits") {
+    val rows = Streams.streamDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // id 1's second arrival (value 99) must be dropped; ids 1,2,3,4 once
+    assert(rows.toSeq === Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
+  test("stream_join: time-bounded stream-stream join, out-of-range click excluded") {
+    val rows = Streams.streamJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // ad 1 clicked +20min (in range), ad 3 clicked +5min; ad 2's click
+    // at +45min falls outside the 30-minute join window
+    assert(rows.toSeq === Seq(1L -> 1200L, 3L -> 300L))
+  }
 }
