@@ -150,9 +150,13 @@ object Streams {
   // the streaming half of Q37's exact dedup, and the only dedup that
   // works on an unbounded stream (plain dropDuplicates would grow
   // state forever). Deterministic 3-batch MemoryStream run:
-  //   batch1: ids 1,2            → both emitted
+  //   batch1: ids 1,2                     → both emitted
   //   batch2: id 1 again (dup, within watermark) + id 3 → only 3 emitted
-  //   batch3: far-future id 4    → emitted (old keys already expired)
+  //   batch3: id 99 at 12:00 → emitted; the batch advances the
+  //           watermark to 11:50, EXPIRING id 1's state
+  //   batch4: id 1 at 12:30 → emits AGAIN (state was evicted):
+  //           within-watermark exactness with bounded state, not
+  //           global exactness — that is the trade
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -173,10 +177,13 @@ object Streams {
       q.processAllAvailable()
       input.addData((1L, t("10:02"), 99.0), (3L, t("10:03"), 3.0))
       q.processAllAvailable()
-      input.addData((4L, t("12:00"), 4.0))
+      input.addData((99L, t("12:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((1L, t("12:30"), 4.0))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).select("event_id", "value").orderBy("event_id")
+    spark.table(name).select("event_id", "value")
+      .orderBy("event_id", "value")
   }
 
   // `stream_join` — stream-stream inner join with watermarks on both

@@ -227,11 +227,15 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:20:00.0", 1L, 8.0)))  // 10:40 window still open ⇒ absent
   }
 
-  test("stream_dedup: duplicate id within watermark dropped, expired key re-emits") {
+  test("stream_dedup: in-watermark duplicate dropped, expired key re-emits") {
     val rows = Streams.streamDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
-    // id 1's second arrival (value 99) must be dropped; ids 1,2,3,4 once
-    assert(rows.toSeq === Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // id 1's in-watermark second arrival (value 99) is dropped; its
+    // 12:30 arrival lands AFTER the key's state expired (watermark
+    // passed 11:50 in batch 3) and emits again — within-watermark
+    // exactness with bounded state
+    assert(rows.toSeq === Seq(
+      1L -> 1.0, 1L -> 4.0, 2L -> 2.0, 3L -> 3.0, 99L -> 9.0))
   }
 
   test("stream_join: time-bounded stream-stream join, out-of-range click excluded") {
