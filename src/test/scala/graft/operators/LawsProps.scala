@@ -77,6 +77,36 @@ object LawsProps extends Properties("graft.laws") {
     semi + anti == l.length.toLong
   }
 
+  property("aggregation distributes over unionAll") = forAll(rowsGen, rowsGen) { (x, y) =>
+    val sums = df(x).unionAll(df(y)).groupBy("k").agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (x ++ y).groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._2).sum }
+    sums == expected
+  }
+
+  property("top-k is monotone: topk(k) subset of topk(k+5)") = forAll(rowsGen) { rows =>
+    def topk(n: Int) = df(rows)
+      .orderBy(col("v").desc, col("k"), col("d")).limit(n)
+      .collect().map(_.mkString("|")).toSet
+    topk(5).subsetOf(topk(10))
+  }
+
+  property("distinct is idempotent; intersect subset of either side") =
+    forAll(rowsGen, rowsGen) { (x, y) =>
+      val a = df(x).select("k")
+      val b = df(y).select("k")
+      val d1 = a.distinct()
+      d1.count() == d1.distinct().count() &&
+        a.intersect(b).count() <= math.min(d1.count(), b.distinct().count())
+    }
+
+  property("rollup = groupBy(k) rows + one grand-total row") = forAll(rowsGen) { rows =>
+    val data = df(rows)
+    val n = data.rollup(col("k")).agg(sum(col("v"))).count()
+    n == data.select("k").distinct().count() + 1
+  }
+
   property("dedup tokens: exact-equal normalized texts have Jaccard 1") =
     forAll(Gen.listOfN(8, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words0 =>
       val words = words0.take(8)
