@@ -59,9 +59,11 @@ object SparkEntry {
     "set_intersect"   -> (Analytic.setIntersect _),
     "set_except"      -> (Analytic.setExcept _),
     "str_funcs"       -> (Analytic.strFuncs _),
+    "str_funcs2"      -> (Analytic.strFuncs2 _),
     "date_funcs"      -> (Analytic.dateFuncs _),
     "math_funcs"      -> (Analytic.mathFuncs _),
     "array_funcs"     -> (SemiStructured.arrayFuncs _),
+    "array_funcs2"    -> (SemiStructured.arrayFuncs2 _),
     "array_explode"   -> (SemiStructured.arrayExplode _),
     "map_funcs"       -> (SemiStructured.mapFuncs _),
     "json_funcs"      -> (SemiStructured.jsonFuncs _),
@@ -378,6 +380,18 @@ object SparkEntry {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
 
+    "str_funcs2" ->
+      """SELECT p_partkey,
+        |       lpad(p_brand, 12, '_') AS padded,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS devoweled,
+        |       repeat(p_brand, 2) AS doubled,
+        |       reverse(p_name) AS reversed,
+        |       levenshtein(p_brand, p_type) AS edit_dist,
+        |       left(p_name, 5) AS head5,
+        |       right(p_name, 5) AS tail5
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
     "date_funcs" ->
       """SELECT o_orderkey,
         |       year(o_orderdate) AS yr,
@@ -423,6 +437,26 @@ object SparkEntry {
         |)
         |WHERE pos < 8
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "array_funcs2" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding[1:6],
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS a,
+        |         list_transform(embedding[5:10],
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS b
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS a_union,
+        |       coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |         x -> list_contains(b, x))), ','), '') AS a_intersect,
+        |       coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |         x -> NOT list_contains(b, x))), ','), '') AS a_except,
+        |       coalesce(array_to_string(list_concat(a, b), ','), '') AS a_flat,
+        |       round(CAST(list_sum(a) + list_sum(b) AS DOUBLE), 4) AS zip_sum
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     "map_funcs" ->
       """SELECT user_id,

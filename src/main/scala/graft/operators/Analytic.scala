@@ -185,6 +185,24 @@ object Analytic {
         size(split(col("p_name"), " ")).cast("long").as("n_tokens"))
       .orderBy("p_partkey")
 
+  // `str_funcs2` — second string suite: padding, case/translate
+  // transforms, repetition, reversal, and Levenshtein edit distance
+  // (the per-pair primitive behind fuzzy matching; at scale it runs
+  // only on candidate pairs from a blocking stage, never all-pairs —
+  // here applied per-row between related columns).
+  def strFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("devoweled"),
+        repeat(col("p_brand"), 2).as("doubled"),
+        reverse(col("p_name")).as("reversed"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"),
+        left(col("p_name"), lit(5)).as("head5"),
+        right(col("p_name"), lit(5)).as("tail5"))
+      .orderBy("p_partkey")
+
   // Q28 `date_funcs` — datetime expression suite over orders.
   // date_trunc cast to date (DuckDB returns DATE at month granularity,
   // Spark TIMESTAMP); extraction fields cast to long.

@@ -46,6 +46,29 @@ object SemiStructured {
         round(col("val").cast("double"), 4).as("val"))
       .orderBy("vec_id", "pos")
 
+  // `array_funcs2` — second array suite: set algebra over arrays
+  // (union/intersect/except on embedding prefixes treated as element
+  // sets), sort, flatten, and zip_with element arithmetic — all
+  // evaluated inside codegen'd higher-order builtins, map-only.
+  def arrayFuncs2(spark: SparkSession, dir: String): DataFrame = {
+    // floor-quantize (not round: the engines' round-half conventions
+    // differ; floor is identical everywhere)
+    val a = transform(slice(col("embedding"), 1, 6),
+      x => floor(x.cast("double") * 10).cast("long"))
+    val b = transform(slice(col("embedding"), 5, 6),
+      x => floor(x.cast("double") * 10).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        concat_ws(",", array_sort(array_union(a, b))).as("a_union"),
+        concat_ws(",", array_sort(array_intersect(a, b))).as("a_intersect"),
+        concat_ws(",", array_sort(array_except(a, b))).as("a_except"),
+        concat_ws(",", flatten(array(a, b))).as("a_flat"),
+        round(aggregate(zip_with(a, b, (x, y) => x + y), lit(0L), _ + _)
+          .cast("double"), 4).as("zip_sum"))
+      .orderBy("vec_id")
+  }
+
   // Q31 `map_funcs` — build a per-user map event_type→count
   // (map_from_entries over a sorted entry list, so construction order is
   // deterministic), then read it back with element_at / size. The oracle
