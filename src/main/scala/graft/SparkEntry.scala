@@ -61,6 +61,8 @@ object SparkEntry {
     "str_funcs"       -> (Analytic.strFuncs _),
     "str_funcs2"      -> (Analytic.strFuncs2 _),
     "date_funcs"      -> (Analytic.dateFuncs _),
+    "date_funcs2"     -> (Analytic.dateFuncs2 _),
+    "cond_exprs"      -> (Analytic.condExprs _),
     "math_funcs"      -> (Analytic.mathFuncs _),
     "array_funcs"     -> (SemiStructured.arrayFuncs _),
     "array_funcs2"    -> (SemiStructured.arrayFuncs2 _),
@@ -401,6 +403,30 @@ object SparkEntry {
         |       datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
         |       CAST(o_orderdate AS DATE) + 30 AS plus30,
         |       strftime(o_orderdate, '%Y-%m-%d') AS ds
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "date_funcs2" ->
+      """SELECT o_orderkey,
+        |       quarter(o_orderdate) AS qtr,
+        |       dayofweek(o_orderdate) + 1 AS dow,
+        |       week(o_orderdate) AS iso_week,
+        |       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "cond_exprs" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 150000.0 THEN 'mid'
+        |            ELSE 'small' END AS size_band,
+        |       CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS status_word,
+        |       nullif(o_orderstatus, 'P') AS status_or_null,
+        |       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+        |       round(greatest(o_totalprice, 100000.0), 4) AS floor_price,
+        |       round(least(o_totalprice, 400000.0), 4) AS capped_price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 

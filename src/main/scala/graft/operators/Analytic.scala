@@ -298,6 +298,40 @@ object Analytic {
       .orderBy("c_custkey")
   }
 
+  // `date_funcs2` — second datetime suite: calendar fields and
+  // month-arithmetic. Engine-numbering notes: Spark dayofweek is 1-7
+  // Sunday-first vs DuckDB dow 0-6 Sunday-first (oracle adds 1);
+  // add_months and interval-month addition both clamp to month end in
+  // the two engines; weekofyear is ISO in both.
+  def dateFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr_start"))
+      .orderBy("o_orderkey")
+
+  // `cond_exprs` — conditional expression suite: CASE, if, nullif,
+  // nvl/coalesce, greatest/least. All codegen'd branch expressions.
+  def condExprs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 150000.0, "mid")
+          .otherwise("small").as("size_band"),
+        expr("if(o_orderstatus = 'F', 'final', 'open')").as("status_word"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("status_filled"),
+        round(greatest(col("o_totalprice"), lit(100000.0)), 4).as("floor_price"),
+        round(least(col("o_totalprice"), lit(400000.0)), 4).as("capped_price"))
+      .orderBy("o_orderkey")
+
   // Q29 `math_funcs` — math expression suite over lineitem. sqrt/pow/ln
   // rounded to 4 (libm last-ulp differences across engines); ceil/floor
   // cast to long (Spark) / from double (DuckDB).
