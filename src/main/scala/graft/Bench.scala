@@ -55,11 +55,19 @@ object Bench {
     // is per-run fixed latency — warming doesn't change it).
     names.filterNot(streamingFixed).foreach(runOnce)
 
+    // Two timed passes, min per query (standard wall-clock practice:
+    // the min is the least-contended measurement on a shared host);
+    // streaming-fixed queries run once — each run pays real multi-batch
+    // latency, there is nothing to de-noise.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       runOnce(name).left.foreach(msg => errors += name -> msg)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      val runs = if (streamingFixed(name)) 1 else 2
+      name -> (1 to runs).map(_ => timed(name)).min
     }
 
     // full JSON string escaping (backslash, quote, ALL control chars) —
