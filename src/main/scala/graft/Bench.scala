@@ -90,8 +90,13 @@ object Bench {
     val streamingSec = results.collect {
       case (k, v) if streamingFixed(k) => v
     }.sum
+    // A failed query fast-fails, which would SHRINK the headline — a
+    // regression that breaks a query must not read as a speed-up. With
+    // any error the headline value is null (unparseable as "faster");
+    // the per-query times and errors fields keep the diagnostics.
+    val headlineJson = if (errors.isEmpty) headline.toString else "null"
     val json =
-      s"""{"metric":"total","value":$headline,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$headlineJson,"unit":"sec","queries":$qs,""" +
       s""""streaming_fixed_sec":$streamingSec,"n_errors":${errors.size},""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     println(json)

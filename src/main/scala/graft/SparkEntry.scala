@@ -620,7 +620,7 @@ object SparkEntry {
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       count(DISTINCT source) AS n_sources,
-        |       sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens,
+        |       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split_regex(trim(lower(text)), '\s+'))), 4) AS avg_tokens,
         |       round(avg(n_chars), 4) AS avg_chars,
         |       min(n_chars) AS min_chars,
@@ -712,8 +712,8 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n_docs,
         |       round(exp(avg(ln(n_chars))), 4) AS geo_chars,
-        |       sum(toks) AS total_tokens,
-        |       sum(CASE WHEN toks >= 2 THEN toks - 1 ELSE 0 END) AS n_bigrams
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |       CAST(sum(CASE WHEN toks >= 2 THEN toks - 1 ELSE 0 END) AS BIGINT) AS n_bigrams
         |FROM t
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

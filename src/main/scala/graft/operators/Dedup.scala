@@ -63,6 +63,22 @@ object Dedup {
       .filter(size(tokens(col("text"))) >= k)
       .select(col("doc_id"), explode(shingleArray(k)).as("s"))
 
+  /** Hashed distinct shingles per doc: (doc_id, h) — 8-byte keys, the
+    * working set of every shingle-based dedup pipeline. PERSISTED:
+    * each pipeline consumes this frame 3-5× (signature aggregation,
+    * per-doc counts, both sides of the verify join); without the
+    * persist the corpus is re-tokenized and re-shingled once per
+    * consumer — at 100 TB that is ~5 full scans of the corpus instead
+    * of one. MEMORY_AND_DISK so oversized corpora spill rather than
+    * evict-and-recompute. Spark's CacheManager dedups identical plans,
+    * so `dedup_near` and `dedup_ngram` (which share this exact
+    * subtree) and repeated runs reuse ONE cache entry; a production
+    * pipeline would unpersist after its dedup stage completes. */
+  private[operators] def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // Q37 `dedup_exact` — exact dedup on sha2(normalized text): one
   // surviving doc (min doc_id) per content-hash group plus the group
   // size. Single shuffle on the 256-bit hash; at 100 TB this is the
@@ -97,10 +113,10 @@ object Dedup {
     // postings outweighs the pruning on a corpus with high vocabulary
     // overlap. On a real web corpus with mostly-unique shingles it
     // wins; revisit with corpus stats.)
-    val sh  = shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh  = hashedShingles(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
@@ -135,8 +151,12 @@ object Dedup {
 
   /** Banded-MinHash near-dup pipeline over any (doc_id, text) frame:
     *  1. signature: bands×rows independent min-hashes, ONE aggregation
-    *     pass (min of xxhash64(i, shingle) per hash — map-side
-    *     partials); band value = hash of its `rows` min-hashes;
+    *     pass over the PERSISTED hashed-shingle frame (min of
+    *     xxhash64(i, shingle_hash) per hash — re-seeding the 8-byte
+    *     shingle hash is as independent a family as re-hashing the
+    *     string, and lets the signature, count and verify stages all
+    *     read the same cached frame); band value = hash of its `rows`
+    *     min-hashes;
     *  2. candidates: posexplode (band, value) → self equi-join →
     *     distinct pairs. Only docs sharing a full band ever meet;
     *  3. verify: exact |A∩B| via joining candidate pairs back to the
@@ -151,14 +171,13 @@ object Dedup {
     */
   private[operators] def minhashPairs(docs: DataFrame, minJ: Double = 0.8,
       bands: Int = 16, rows: Int = 2): DataFrame = {
-    val sh  = shingles(docs)
-    val hsh = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val hsh = hashedShingles(docs)
     val mins = (0 until bands * rows).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     val bandVals = (0 until bands).map { b =>
       xxhash64((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
     }
-    val banded = sh.groupBy("doc_id")
+    val banded = hsh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         posexplode(array(bandVals: _*)).as(Seq("band", "mh")))
@@ -189,8 +208,7 @@ object Dedup {
     val fingerprint = (0 until 64).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    shingles(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    hashedShingles(docs) // same cached frame the other regimes read
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))

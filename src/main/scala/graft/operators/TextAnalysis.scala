@@ -115,8 +115,12 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(m), lit(0))))
         .reduce(_ + _).cast("long")
     }
-    // argmax by score with declaration-order tiebreak: fold right so the
-    // earliest language wins ties (strict > against the running best).
+    // argmax by score with declaration-order tiebreak: the fold walks the
+    // languages in REVERSE declaration order and uses >= against the
+    // running best, so the earliest-declared language overwrites on ties
+    // and wins — matching the oracle's CASE chain. (Do NOT "fix" the >=
+    // to a strict >: with the reversed fold order that would make the
+    // LAST declared language win ties and silently diverge.)
     val (bestLang, _) = scores.reverse.foldLeft(
       (lit(scores.last._1), scores.last._2)) {
       case ((accLang, accScore), (l, s)) =>

@@ -77,6 +77,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dedup_embedding: blocked tile equi-join, never a nested-loop/cartesian") {
+    // Exact all-pairs-similarity distributes its N² comparisons over a
+    // G×G tile grid joined on the tile key — the plan must contain a
+    // hash-partitionable join and no broadcast-memory-bound all-pairs
+    // operator (the scale contract from VERDICT r3 item 3).
+    val p = plan(operators.Similarity.dedupEmbedding(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ is back")
+    assert(!p.contains("CartesianProduct"), "cartesian is the same trap")
+    assert(p.contains("Join"), "tile pairing must still be a join")
+  }
+
   test("dedup_exact: map-side hash, one pre-agg exchange + terminal sort only") {
     val p = plan(operators.Dedup.dedupExact(spark, sf))
     assert(count(p, "HashAggregate") >= 2, "needs partial aggregation")
