@@ -91,6 +91,8 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
+    "scan_csv"        -> (graft.sources.FormatSources.scanCsv _),
+    "scan_jsonl"      -> (graft.sources.FormatSources.scanJsonl _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -735,6 +737,19 @@ object SparkEntry {
         |       octet_length(encode(text)) AS blob_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // The text-format scans round-trip the projection through CSV/JSONL
+    // losslessly, so the oracle is simply the same projection over the
+    // original parquet — a green hash proves the whole codec path.
+    "scan_csv" ->
+      """SELECT c_custkey, c_nationkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "scan_jsonl" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Non-parquet source surface as ORACLE-CHECKED query keys (VERDICT r3
+  * "what's missing" item 2 — round-trip tests in SourcesSpec cover the
+  * machinery, but a real user hits CSV/JSON sources early, so the
+  * formats deserve a correctness-gated query each).
+  *
+  * Shape: export a driver parquet table to the text format under a
+  * deterministic temp path, read it back with an EXPLICIT schema, and
+  * return columns whose values round-trip losslessly — the DuckDB
+  * oracle replays the same projection over the original parquet, so a
+  * green hash proves the text codec path end-to-end (writer, reader,
+  * schema application, type parsing).
+  *
+  * Scale notes:
+  *  - schemas are always explicit — `inferSchema` is a full extra pass
+  *    over the data at 100 TB and can mis-type sparse columns;
+  *  - CSV/JSON scans parallelize per-file/per-split like parquet, but
+  *    carry no column pruning or predicate pushdown — the operator
+  *    comments this contrast deliberately (the engine treats text
+  *    formats as ingest surfaces, parquet as the analytical format);
+  *  - doubles survive the round-trip bit-exactly (Spark emits the
+  *    shortest repr that parses back to the same IEEE754 value).
+  */
+object FormatSources {
+
+  /** Stable per-(table, sf-dir) export path: repeated invocations in
+    * one bench/verify session rewrite the same location (overwrite
+    * mode), never accumulate temp dirs. */
+  private def exportPath(fmt: String, dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${fmt}_${dir.hashCode.toHexString}").toString
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_nationkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType)))
+
+  // `scan_csv` — CSV export/scan of the customer projection. Header on,
+  // explicit schema (the header is documentation, never inference).
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("csv", dir)
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(customerSchema)
+      .option("header", "true").csv(path)
+      .orderBy("c_custkey")
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  // `scan_jsonl` — JSON-lines export/scan of the orders projection
+  // (the interchange format every LLM-corpus pipeline ingests).
+  def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("jsonl", dir)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").json(path)
+    spark.read.schema(ordersSchema).json(path)
+      .orderBy("o_orderkey")
+  }
+}

@@ -40,6 +40,30 @@ case class SessOut(user_id: Long, session_start: java.time.Instant,
 
 object Streams {
 
+  /** Child session for the MemoryStream demo queries: same
+    * SparkContext, OWN conf — the state-store partition count is baked
+    * from `spark.sql.shuffle.partitions` at query start, and a 6-row
+    * demo stream under the batch setting (32) pays 32 state-store
+    * tasks per stateful stage per micro-batch — pure fixed latency.
+    * 2 partitions cuts that ~16× without touching the caller's conf
+    * (the sizing rule at scale is the same: state partitions track
+    * stream volume, not the batch default). */
+  private def demoSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
+
+  /** Streaming checkpoints are per-invocation temp dirs; delete on
+    * completion or each bench/verify run leaks state-store files in
+    * /tmp (ADVICE r3). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root))
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+  }
+
   /** Custom-state sessionization with `flatMapGroupsWithState` — the
     * escape hatch for session logic `session_window` can't express
     * (per-session custom accumulators, mid-session emission, dynamic
@@ -158,19 +182,20 @@ object Streams {
   //           within-watermark exactness with bounded state, not
   //           global exactness — that is the trade
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
     val input = MemoryStream[(Long, Timestamp, Double)]
     val deduped = input.toDF().toDF("event_id", "ts", "value")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"stream_dedup_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_sdedup_ckpt_")
     val q = deduped.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_sdedup_ckpt_").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       input.addData((1L, t("10:00"), 1.0), (2L, t("10:01"), 2.0))
@@ -181,8 +206,8 @@ object Streams {
       q.processAllAvailable()
       input.addData((1L, t("12:30"), 4.0))
       q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name).select("event_id", "value")
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    s.table(name).select("event_id", "value")
       .orderBy("event_id", "value")
   }
 
@@ -193,8 +218,9 @@ object Streams {
   // Deterministic 2-batch MemoryStream run; the late out-of-range
   // click (id 2 at +45min) must NOT join.
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
     val impressions = MemoryStream[(Long, Timestamp)]
     val clicks = MemoryStream[(Long, Timestamp)]
@@ -208,11 +234,11 @@ object Streams {
       col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("ad_id"), col("imp_ts"), col("click_ts"))
     val name = s"stream_join_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_sjoin_ckpt_")
     val q = joined.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_sjoin_ckpt_").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       impressions.addData((1L, t("10:00")), (2L, t("10:05")), (3L, t("10:10")))
@@ -220,8 +246,8 @@ object Streams {
       q.processAllAvailable()
       clicks.addData((2L, t("10:50")), (3L, t("10:15"))) // ad 2 out of range
       q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    s.table(name)
       .select(col("ad_id"),
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
           .as("delay_sec"))
@@ -242,8 +268,9 @@ object Streams {
   //                                               → watermark 10:35,
   //                                                  emits 10:10, 10:20
   def lateData(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
 
     def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
@@ -255,11 +282,11 @@ object Streams {
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
 
     val name = s"late_data_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_")
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       input.addData((t("10:01"), 1.0), (t("10:05"), 2.0))
@@ -268,7 +295,7 @@ object Streams {
       q.processAllAvailable()
       input.addData((t("10:03"), 100.0), (t("10:45"), 16.0)) // 10:03 is late
       q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name).orderBy("ws")
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    s.table(name).orderBy("ws")
   }
 }

@@ -26,6 +26,41 @@ class GoldenSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("reference generator parity: Q6 over the regenerated 5M rows " +
+      "reproduces the reference golden result") {
+    import org.apache.spark.sql.functions._
+    // The reference's own benchmark data, regenerated with the ported
+    // dbgen formulas and the same Random(0) stream
+    // (sources.ReferenceLineitemGen), queried with the reference's own
+    // filter (TpchQuery6.java:43-50 — string-compare shipdate bounds,
+    // exactly as the Slice compare does).
+    val df = sources.ReferenceLineitemGen.generate(spark)
+    val Array(row) = df
+      .filter(col("shipdate") >= "1994-01-01" && col("shipdate") < "1995-01-01" &&
+        col("discount") >= 0.05 && col("discount") <= 0.07 &&
+        col("quantity") < 24)
+      .agg(sum(col("price") * col("discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+    // Golden anchor: the PUBLISHED code's deterministic output, NOT the
+    // in-source comment. TpchQuery6.java:39 claims 3.0645958657700088E7
+    // over 28,201 rows, but that value is not reproducible from the
+    // code as published: an independent sequential transcription of
+    // TpchDataGenerator+TpchQuery6 into plain Java (no Truffle, no
+    // Slice) yields 1.0316412119370338E8 over 95,326 rows with
+    // Random(0) — and the qualifying fraction (1.91% = 3/11 discounts
+    // × 23/50 quantities × ~365/2406 ship days) confirms arithmetic,
+    // so the stale comment likely predates a generator-constants
+    // change. The distributed replay-split port below must match the
+    // transcription: row count exactly (order-independent), revenue to
+    // 1e-9 relative (Spark merges per-partition partial sums, so only
+    // summation order differs from the sequential loop).
+    assert(row.getLong(1) === 95326L)
+    val golden = 1.0316412119370338e8
+    assert(math.abs(row.getDouble(0) - golden) / golden < 1e-9,
+      s"revenue=${row.getDouble(0)}")
+  }
+
   test("every query key has either an oracle or a dedicated spec") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Each key here must be asserted by a unit spec in this suite tree:
