@@ -29,7 +29,14 @@ object Tables {
     * values; DuckDB does the same ns→µs truncation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Required at scan time. Asserted rather than set here: a loader
+    // that mutates session conf is a surprise side effect for
+    // concurrent callers (ADVICE r3) — every graft entry point
+    // (Bench/Verify/TestSession) sets it in its session builder.
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet stores TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -52,5 +52,34 @@ class SourcesSpec extends SparkSpec {
       plan.contains("PartitionFilters: [(lang"))
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB star-join pattern: the fact table is laid out
+    // partitioned by the join key's attribute; the selective filter
+    // lives on the DIMENSION side, so static pruning can't see it.
+    // DPP injects a runtime subquery filter (reusing the broadcast)
+    // into the fact scan — only matching partitions are read.
+    import org.apache.spark.sql.functions.broadcast
+    val path = tmp("dpp")
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_nationkey"))
+      .write.partitionBy("c_nationkey").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.nation(spark, sf).filter(col("n_name") === "GERMANY")
+    val joined = fact.join(broadcast(dim),
+      col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression partition filter in:\n$plan")
+    // and the result is correct: only the one nation's partitions
+    val expect = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "GERMANY"),
+        col("c_nationkey") === col("n_nationkey"))
+      .count()
+    assert(joined.count() === expect)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
