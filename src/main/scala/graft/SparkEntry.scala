@@ -93,6 +93,9 @@ object SparkEntry {
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     "scan_csv"        -> (graft.sources.FormatSources.scanCsv _),
     "scan_jsonl"      -> (graft.sources.FormatSources.scanJsonl _),
+    "text_pii_scrub"  -> (TextAnalysis.textPiiScrub _),
+    "seq_pack"        -> (TextAnalysis.seqPack _),
+    "dedup_keep_best" -> (Dedup.dedupKeepBest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -750,6 +753,50 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Deterministic synthetic-PII injection (same expression both
+    // engines), then the same redaction patterns; md5 of the scrubbed
+    // text compares exact content.
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
+
+    "seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tok,
+        |       (cum - n_tok) // 2048 AS bin_id,
+        |       (cum - n_tok) % 2048 AS bin_off
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """SELECT arg_max(doc_id, n_chars * 10000000 - doc_id) AS kept_doc,
+        |       sha256(lower(trim(text))) AS h,
+        |       max(n_chars) AS kept_chars,
+        |       count(*) AS n_copies
+        |FROM documents
+        |GROUP BY h
+        |ORDER BY kept_doc""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

@@ -195,6 +195,25 @@ object Dedup {
     jaccardFilter(inter, cnt, minJ)
   }
 
+  // `dedup_keep_best` — canonical selection: exact dedup that keeps the
+  // BEST copy of each duplicate group instead of the arbitrary first —
+  // the form production corpus dedup actually takes (keep the longest /
+  // highest-quality variant). Rank key = n_chars·10⁷ − doc_id: unique
+  // per doc (doc_id is unique), favors longer text, breaks length ties
+  // toward the smaller doc_id — so argmax is deterministic in both
+  // engines. One shuffle on the content hash, map-side partial max_by:
+  // the same 100 TB profile as `dedupExact`.
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(
+        max_by(col("doc_id"),
+          col("n_chars") * lit(10000000L) - col("doc_id")).as("kept_doc"),
+        max(col("n_chars")).as("kept_chars"),
+        count(lit(1)).as("n_copies"))
+      .select(col("kept_doc"), col("h"), col("kept_chars"), col("n_copies"))
+      .orderBy("kept_doc")
+
   /** 64-bit SimHash per document from its distinct 5-shingles: every
     * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
     * the sign. Formulated as ONE aggregation with 64 vote columns (one

@@ -133,6 +133,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `text_pii_scrub` — PII redaction, the compliance pass every
+  // training-data pipeline runs before tokenization. The synthetic
+  // corpus carries no natural PII, so BOTH engines first inject a
+  // deterministic doc_id-derived email and phone number into the text,
+  // then the scrub runs the real patterns against real matches: count
+  // hits, redact to <EMAIL>/<PHONE> placeholders, fingerprint the
+  // scrubbed text (md5, so the oracle compares exact content without
+  // hauling full texts through the dump). Patterns restricted to the
+  // regex syntax subset Java and RE2 share. Map-only — scales as a
+  // pure scan.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  // `seq_pack` — context-window packing: stream each language's docs
+  // (in doc_id order) into fixed token-budget bins of 2048, emitting
+  // every doc's bin id and offset — the corpus-assembly step that turns
+  // a document table into training sequences. Formulated as a running
+  // token cumsum per lang with integer division by the budget: one
+  // window shuffle on (lang), linear in corpus size. (This is
+  // boundary-splitting packing — a doc may straddle two bins; greedy
+  // whole-doc packing needs stateful iteration, which is the
+  // flatMapGroups escape hatch, deliberately not spent here since the
+  // windowed form covers the distributed shape and is exactly
+  // oracle-replayable.)
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val nTok = size(toks).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),
+        pmod(col("cum") - col("n_tok"), lit(budget)).as("bin_off"))
+      .orderBy("doc_id")
+  }
+
   // `text_fingerprint` — md5 content fingerprint + 4-min-hash sketch
   // over 5-gram shingles (the k smallest shingle hashes, winnowing
   // style): at scale, docs sharing any sketch hash are near-dup
