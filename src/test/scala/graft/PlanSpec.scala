@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "tile pairing must still be a join")
   }
 
+  test("dedup_near: hashed-shingle frame is cached — consumers read the cache") {
+    // The signature pass, per-doc counts and both verify-join sides all
+    // consume hashedShingles; without the persist the corpus would be
+    // re-shingled once per consumer (~5 scans at 100 TB). The executed
+    // plan must read InMemoryTableScan at those sites.
+    val p = plan(operators.Dedup.dedupNear(spark, sf))
+    assert(count(p, "InMemoryTableScan") >= 3, "shingle cache not in plan")
+  }
+
   test("dedup_exact: map-side hash, one pre-agg exchange + terminal sort only") {
     val p = plan(operators.Dedup.dedupExact(spark, sf))
     assert(count(p, "HashAggregate") >= 2, "needs partial aggregation")
