@@ -194,20 +194,26 @@ object TextAnalysis {
   // style): at scale, docs sharing any sketch hash are near-dup
   // candidates — the sketch is a fixed-size join key. Sketch rendered
   // as a '|'-joined string so the parquet/oracle compare is exact.
+  //
+  // The sketch is PER-DOC state over that doc's own shingles, so it
+  // needs no explode/groupBy/join at all: the whole pipeline runs as
+  // array higher-order builtins inside one codegen stage — transform →
+  // md5 → array_sort → slice — with ZERO exchanges before the terminal
+  // sort. (The r3 formulation exploded shingles through a shuffle and
+  // joined back: 3.7s at sf0.1; this form is a pure scan. Same output,
+  // same oracle.) The doc-internal sort is over ~n_tokens hashes —
+  // bounded by document length, not corpus size.
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sk = Dedup.shingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), md5(col("s")).as("h"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, 4))
-          .as("sketch"))
+    val sh = Dedup.shingleArray()
+    val hashes = when(size(Dedup.tokens(col("text"))) >= 5,
+      transform(sh, s => md5(s))).otherwise(array())
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("doc_md5"))
-      .join(sk, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("doc_md5"),
+        hashes.as("hs"))
       .select(col("doc_id"), col("doc_md5"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("sketch"), lit("")).as("sketch"))
+        size(col("hs")).cast("long").as("n_shingles"),
+        concat_ws("|", slice(array_sort(col("hs")), 1, 4)).as("sketch"))
       .orderBy("doc_id")
   }
 }
