@@ -195,25 +195,29 @@ object TextAnalysis {
   // candidates — the sketch is a fixed-size join key. Sketch rendered
   // as a '|'-joined string so the parquet/oracle compare is exact.
   //
-  // The sketch is PER-DOC state over that doc's own shingles, so it
-  // needs no explode/groupBy/join at all: the whole pipeline runs as
-  // array higher-order builtins inside one codegen stage — transform →
-  // md5 → array_sort → slice — with ZERO exchanges before the terminal
-  // sort. (The r3 formulation exploded shingles through a shuffle and
-  // joined back: 3.7s at sf0.1; this form is a pure scan. Same output,
-  // same oracle.) The doc-internal sort is over ~n_tokens hashes —
-  // bounded by document length, not corpus size.
+  // Formulation note (measured, not guessed): a zero-exchange variant
+  // computing the sketch per row with array higher-order builtins
+  // (`transform(shingles, md5)` → `array_sort` → `slice`) looks
+  // plan-optimal but ran 1.6× SLOWER (7.1s vs 4.6s at sf0.1, same
+  // session A/B) — lambda-bearing higher-order functions evaluate
+  // interpreted per element, while this explode form keeps md5 and the
+  // shingle build inside whole-stage codegen; the (doc_id, 32-char md5)
+  // shuffle it pays is the cheaper side of that trade. Revisit only if
+  // HOFs gain codegen.
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleArray()
-    val hashes = when(size(Dedup.tokens(col("text"))) >= 5,
-      transform(sh, s => md5(s))).otherwise(array())
+    val sk = Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        concat_ws("|", slice(sort_array(collect_list(col("h"))), 1, 4))
+          .as("sketch"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(lower(trim(col("text")))).as("doc_md5"),
-        hashes.as("hs"))
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("doc_md5"))
+      .join(sk, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("doc_md5"),
-        size(col("hs")).cast("long").as("n_shingles"),
-        concat_ws("|", slice(array_sort(col("hs")), 1, 4)).as("sketch"))
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("sketch"), lit("")).as("sketch"))
       .orderBy("doc_id")
   }
 }
