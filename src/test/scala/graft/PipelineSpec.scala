@@ -50,4 +50,40 @@ class PipelineSpec extends SparkSpec {
     assert(report.map(_.getLong(2)).sum === kept.getLong(1))
     assert(report.map(_.getString(0)).distinct.length === report.length)
   }
+
+  test("canonical selection -> PII scrub -> sequence packing compose") {
+    val docs = Tables.documents(spark, sf)
+
+    // 1. exact-dup canonical selection: every kept doc is a real doc and
+    // groups partition the corpus
+    val kept = operators.Dedup.dedupKeepBest(spark, sf)
+    val nGroups = kept.count()
+    assert(kept.agg(sum(col("n_copies"))).collect()(0).getLong(0)
+      === docs.count())
+    assert(kept.join(docs, col("kept_doc") === col("doc_id"), "left_semi")
+      .count() === nGroups)
+
+    // 2. PII scrub over the kept set: every doc got its injected email
+    // and phone redacted (counts exactly 1 each by construction)
+    val scrubbed = operators.TextAnalysis.textPiiScrub(spark, sf)
+      .join(kept.select(col("kept_doc").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(scrubbed.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1)
+      .count() === 0)
+    assert(scrubbed.count() === nGroups)
+
+    // 3. packing: bins are contiguous 0..max per language; offsets stay
+    // inside the 2048 budget; per-lang token sums match the doc totals
+    val packed = operators.TextAnalysis.seqPack(spark, sf)
+    assert(packed.filter(col("bin_off") >= 2048 || col("bin_off") < 0)
+      .count() === 0)
+    val perLang = packed.groupBy("lang").agg(
+      max(col("bin_id")).as("max_bin"),
+      countDistinct(col("bin_id")).as("n_bins"),
+      sum(col("n_tok")).as("toks")).collect()
+    perLang.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) + 1,  // bins contiguous from 0
+        s"lang=${r.getString(0)} bins not contiguous")
+      assert(r.getLong(3) >= r.getLong(1) * 2048L) // earlier bins are full
+    }
+  }
 }
