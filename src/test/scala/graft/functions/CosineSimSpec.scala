@@ -57,6 +57,31 @@ class CosineSimSpec extends SparkSpec {
     assert(row.getDouble(0) === 1.0)
   }
 
+  test("spark.sql.extensions plug-in path injects cosine_sim at session build") {
+    // The declarative deployment story: a user sets
+    // spark.sql.extensions=graft.functions.GraftExtensions and their
+    // sessions get cosine_sim with no imperative register() anywhere.
+    // (`spark.sql.extensions` is a STATIC conf read only at
+    // SparkContext creation, so in this shared-context JVM we exercise
+    // the same injection point via builder.withExtensions — Spark's
+    // config path does exactly `new GraftExtensions()(extensions)`.)
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val Array(row) = s2.sql(
+        "SELECT round(cosine_sim(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)), " +
+        "array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))), 6) AS c").collect()
+      assert(row.getDouble(0) === 1.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("expression participates in whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
