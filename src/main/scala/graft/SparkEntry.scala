@@ -96,6 +96,9 @@ object SparkEntry {
     "text_pii_scrub"  -> (TextAnalysis.textPiiScrub _),
     "seq_pack"        -> (TextAnalysis.seqPack _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
+    "corpus_hist"     -> (TextAnalysis.corpusHist _),
+    "corpus_sample"   -> (TextAnalysis.corpusSample _),
+    "text_tfidf"      -> (TextAnalysis.textTfidf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,6 +800,48 @@ object SparkEntry {
         |FROM documents
         |GROUP BY h
         |ORDER BY kept_doc""".stripMargin,
+
+    "corpus_hist" ->
+      """SELECT least(n_chars // 50, 9) AS bucket,
+        |       count(*) AS n_docs,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT doc_id, lang, n_chars, rn
+        |FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |WHERE rn % 10 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, tfidf,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, term) AS INT) AS rk
+        |FROM scored
+        |QUALIFY rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

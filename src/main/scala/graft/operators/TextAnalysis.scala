@@ -195,6 +195,67 @@ object TextAnalysis {
   // candidates — the sketch is a fixed-size join key. Sketch rendered
   // as a '|'-joined string so the parquet/oracle compare is exact.
   //
+  // `corpus_hist` — document-length histogram: 50-char buckets capped
+  // at bucket 9 (the "how long are my documents" sanity view every
+  // corpus audit starts with). Integer bucket arithmetic (DIV) so both
+  // engines bin identically; one shuffle on ≤10 keys, map-side
+  // partials. At 100 TB this is the cheapest whole-corpus profile you
+  // can compute.
+  def corpusHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        least(expr("n_chars DIV 50"), lit(9L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("bucket")
+
+  // `corpus_sample` — systematic per-language sampling: order each
+  // language's docs by doc_id and keep every 10th (the deterministic,
+  // oracle-replayable form of an eval-holdout split; the hash-bucket
+  // Bernoulli variant — keep WHERE xxhash64(doc_id) % 10 = 0 — is the
+  // same plan shape but not DuckDB-replayable since the hash families
+  // differ). One window shuffle on lang; at scale, prefer the
+  // hash-bucket form: it is map-only and needs no per-key ordering.
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(pmod(col("rn"), lit(10)) === 1)
+      .select("doc_id", "lang", "n_chars", "rn")
+      .orderBy("doc_id")
+  }
+
+  // `text_tfidf` — top-5 TF-IDF terms per document: term frequency from
+  // the raw token stream (duplicates count), document frequency from
+  // distinct (doc, term) pairs, idf = ln(N/df), rank per doc by
+  // (tfidf desc, term asc). The classic salient-terms extraction;
+  // rounding to 4dp BEFORE ranking plus the term tiebreak keeps Spark
+  // and DuckDB rankings identical despite last-ulp ln() drift.
+  // Scale: shuffles on term (df agg) and doc (tf agg + window) only —
+  // both content-derived keys; nothing is corpus-global except the
+  // scalar N (computed as an aggregation, broadcast by the join).
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(n)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("doc_id", "rk")
+  }
+
   // Formulation note (measured, not guessed): a zero-exchange variant
   // computing the sketch per row with array higher-order builtins
   // (`transform(shingles, md5)` → `array_sort` → `slice`) looks
