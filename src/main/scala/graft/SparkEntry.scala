@@ -99,6 +99,7 @@ object SparkEntry {
     "corpus_hist"     -> (TextAnalysis.corpusHist _),
     "corpus_sample"   -> (TextAnalysis.corpusSample _),
     "text_tfidf"      -> (TextAnalysis.textTfidf _),
+    "seq_pack_greedy" -> (TextAnalysis.seqPackGreedy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -819,6 +820,33 @@ object SparkEntry {
         |  FROM documents
         |)
         |WHERE rn % 10 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Greedy packing is a capacity-reset fold — sequential per
+    // (lang, shard) — replayed in SQL as a recursive CTE walking each
+    // group in rn order with (bin, fill) as the carried state.
+    "seq_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, doc_id // 1000 AS shard,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+        |         row_number() OVER (PARTITION BY lang, doc_id // 1000
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, shard, n_tok, rn,
+        |         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.lang, t.shard, t.n_tok, t.rn,
+        |         CASE WHEN r.fill + t.n_tok > 2048 AND r.fill > 0
+        |              THEN r.bin_id + 1 ELSE r.bin_id END,
+        |         CASE WHEN r.fill + t.n_tok > 2048 AND r.fill > 0
+        |              THEN t.n_tok ELSE r.fill + t.n_tok END
+        |  FROM r JOIN t ON t.lang = r.lang AND t.shard = r.shard
+        |              AND t.rn = r.rn + 1
+        |)
+        |SELECT doc_id, lang, shard, n_tok, bin_id
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->

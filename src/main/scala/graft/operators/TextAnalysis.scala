@@ -195,6 +195,42 @@ object TextAnalysis {
   // candidates — the sketch is a fixed-size join key. Sketch rendered
   // as a '|'-joined string so the parquet/oracle compare is exact.
   //
+  // `seq_pack_greedy` — whole-doc greedy packing: docs never straddle a
+  // bin; a doc that would overflow the 2048-token budget closes the bin
+  // and opens the next (oversized docs get a bin alone). Greedy packing
+  // is a capacity-reset fold — inherently sequential per key and NOT
+  // window-expressible — so this is the deliberate demonstration of the
+  // typed batch escape hatch (`groupByKey.flatMapGroups`, the batch
+  // sibling of the streaming sessionizer's flatMapGroupsWithState).
+  // Parallelism comes from SHARDING, exactly as production packers do:
+  // the unit of sequential work is (lang, shard = doc_id DIV 1000), so
+  // shards pack independently (accepting one partial bin per shard
+  // boundary) and the job scales with shard count, not 1/lang. The
+  // oracle replays the same fold as a DuckDB recursive CTE.
+  def seqPackGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2048L
+    val nTok = size(Dedup.tokens(col("text"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc_id"), col("lang"),
+        expr("doc_id DIV 1000").as("shard"), nTok.as("n_tok"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, lang, shard, _) => (lang, shard) }
+      .flatMapGroups { (key: (String, Long), rows: Iterator[(Long, String, Long, Long)]) =>
+        val (lang, shard) = key
+        // group fits in memory by construction: a shard is ≤1000 docs
+        val sorted = rows.toSeq.sortBy(_._1)
+        var bin = 0L; var fill = 0L
+        sorted.iterator.map { case (docId, _, _, n) =>
+          if (fill + n > budget && fill > 0) { bin += 1; fill = 0 }
+          fill += n
+          (docId, lang, shard, n, bin)
+        }
+      }
+      .toDF("doc_id", "lang", "shard", "n_tok", "bin_id")
+      .orderBy("doc_id")
+  }
+
   // `corpus_hist` — document-length histogram: 50-char buckets capped
   // at bucket 9 (the "how long are my documents" sanity view every
   // corpus audit starts with). Integer bucket arithmetic (DIV) so both
