@@ -100,6 +100,8 @@ object SparkEntry {
     "corpus_sample"   -> (TextAnalysis.corpusSample _),
     "text_tfidf"      -> (TextAnalysis.textTfidf _),
     "seq_pack_greedy" -> (TextAnalysis.seqPackGreedy _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
+    "decontam_overlap" -> (TextAnalysis.decontamOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -870,6 +872,64 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+
+    // Flag thresholds compare the ROUNDED metrics so both engines
+    // branch identically at the boundary.
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |         count(*) AS n_distinct, max(c) AS top_c
+        |  FROM tc GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id,
+        |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        |  FROM toks QUALIFY b IS NOT NULL
+        |), bc AS (
+        |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, sum(c) AS n_bg,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+        |  FROM bc GROUP BY 1
+        |), m AS (
+        |  SELECT ts.doc_id, ts.n_tok, ts.n_distinct,
+        |         round(ts.n_distinct * 1.0 / ts.n_tok, 4) AS distinct_ratio,
+        |         round(ts.top_c * 1.0 / ts.n_tok, 4) AS top_tok_frac,
+        |         round(coalesce(bs.dup_bg, 0) * 1.0 / coalesce(bs.n_bg, 1), 4)
+        |           AS dup_bigram_frac
+        |  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |)
+        |SELECT *, CAST(top_tok_frac >= 0.15 OR dup_bigram_frac >= 0.1 AS INT)
+        |         AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "decontam_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+        |), m AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |         CAST(count(ev.s) AS BIGINT) AS n_hit,
+        |         round(count(ev.s) * 1.0 / count(*), 4) AS overlap_frac
+        |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+        |  WHERE sh.doc_id % 97 <> 0
+        |  GROUP BY 1
+        |)
+        |SELECT *, CAST(overlap_frac >= 0.5 AS INT) AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

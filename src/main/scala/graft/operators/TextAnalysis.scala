@@ -301,6 +301,78 @@ object TextAnalysis {
   // shingle build inside whole-stage codegen; the (doc_id, 32-char md5)
   // shuffle it pays is the cheaper side of that trade. Revisit only if
   // HOFs gain codegen.
+  // `text_repetition` — repetition/boilerplate signals per document,
+  // the Gopher-style quality gates (Rae et al. 2021 §A1.1, public):
+  // distinct-token ratio, most-frequent-token fraction, duplicate-bigram
+  // fraction, plus a `repetitive` 0/1 flag on the rounded metrics
+  // (thresholds chosen to split this corpus: top-tok frac avg 0.10 /
+  // max 0.30, dup-bigram frac avg 0.06 / max 0.27). Two aggregation
+  // pipelines (token counts, bigram counts), each one shuffle on
+  // (doc_id, gram) with map-side partials, joined per doc — nothing
+  // corpus-global, so the pass is embarrassingly parallel at 100 TB.
+  // The flag compares ROUNDED values so both engines branch identically.
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokStats = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    // Adjacent (non-distinct) bigrams via the same codegen'd
+    // sequence→slice→concat_ws shape as Dedup.shingleArray.
+    val w = Dedup.tokens(col("text"))
+    val bgStats = docs
+      .filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(2))))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bg"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tok"), 4)
+          .as("distinct_ratio"),
+        round(col("top_c").cast("double") / col("n_tok"), 4)
+          .as("top_tok_frac"),
+        round(coalesce(col("dup_bg"), lit(0L)).cast("double") /
+          coalesce(col("n_bg"), lit(1L)), 4).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        ((col("top_tok_frac") >= 0.15) || (col("dup_bigram_frac") >= 0.1))
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // `decontam_overlap` — benchmark-contamination check: which corpus
+  // docs share 5-gram shingles with a held-out eval set (here the
+  // deterministic doc_id % 97 = 0 slice standing in for an external
+  // benchmark). The standard decontamination pass every LLM corpus
+  // runs before training (n-gram overlap à la GPT-3 appendix C —
+  // public method). Shape: distinct eval shingles (hashed, 8-byte) ⋈
+  // corpus shingles on the shingle hash — an equi-join that shuffles
+  // on content keys; the eval side is tiny relative to the corpus but
+  // NOT broadcast-assumed (at 100 TB an eval suite can still be GBs of
+  // shingles; the hash join scales either way). Per-doc overlap counts
+  // + fraction + a `contaminated` 0/1 flag at ≥ 0.5 on the rounded
+  // fraction (planted near-dups crossing the eval boundary trip it).
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.hashedShingles(Tables.documents(spark, dir))
+    val eval_ = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("h")).distinct()
+    sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(eval_.withColumn("hit", lit(1)), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"))
+      .withColumn("contaminated", (col("overlap_frac") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sk = Dedup.shingles(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("s")).as("h"))
