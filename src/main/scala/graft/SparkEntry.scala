@@ -102,6 +102,7 @@ object SparkEntry {
     "seq_pack_greedy" -> (TextAnalysis.seqPackGreedy _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "decontam_overlap" -> (TextAnalysis.decontamOverlap _),
+    "embed_cluster"   -> (Similarity.embedCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -930,6 +931,34 @@ object SparkEntry {
         |)
         |SELECT *, CAST(overlap_frac >= 0.5 AS INT) AS contaminated
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Argmax on the 4-dp ROUNDED cosine with centroid-id tiebreak —
+    // both engines pick identically even at a rounding boundary.
+    "embed_cluster" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id, c.vec_id AS cid, sum(a.v * c.v) AS dot
+        |  FROM e a JOIN e c ON a.pos = c.pos
+        |  WHERE c.vec_id < 8
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT d.vec_id, CAST(d.cid AS INT) AS cid,
+        |         round(dot / (na.n * nc.n), 4) AS c
+        |  FROM dots d
+        |  JOIN nrm na ON d.vec_id = na.vec_id
+        |  JOIN nrm nc ON d.cid = nc.vec_id
+        |)
+        |SELECT vec_id, cid AS cluster_id, c AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY c DESC, cid) AS rn
+        |  FROM cos
+        |) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

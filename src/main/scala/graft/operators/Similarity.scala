@@ -134,6 +134,36 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // `embed_cluster` — nearest-centroid assignment of every vector to a
+  // fixed centroid table (k = 8, the embeddings with vec_id < 8 — a
+  // deterministic stand-in for trained centroids so the assignment is
+  // exactly SQL-replayable; with trained centroids this is the E-step
+  // of distributed k-means and the routing step of IVF partitioning).
+  // Shape: broadcast the k×dim centroid table, score with the fused
+  // codegen CosineSim loop, per-vector argmax as ONE struct-max
+  // aggregation (max on (cosine, -cid) → highest cosine, ties to the
+  // smallest centroid id) — map-side partial, no window, no sort.
+  // The build side is k = 8 rows, so the broadcast cross join is a
+  // map-only k-way expansion (cost N·k scores), NOT an all-pairs join;
+  // at 100 TB this is the canonical "route every row" pass: one scan,
+  // zero candidate shuffles, one (vec_id)-keyed reduce.
+  private val NCentroids = 8
+  def embedCluster(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = broadcast(
+      emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce")))
+    emb.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        round(graft.functions.CosineSim.cosineSim(col("ce"), col("embedding")), 4)
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cluster_id"),
+        col("best.cos").as("cosine"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) approximate nearest neighbour
   // ------------------------------------------------------------------
