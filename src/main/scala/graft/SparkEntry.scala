@@ -103,6 +103,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "decontam_overlap" -> (TextAnalysis.decontamOverlap _),
     "embed_cluster"   -> (Similarity.embedCluster _),
+    "dedup_components"-> (Dedup.dedupComponents _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -959,6 +960,47 @@ object SparkEntry {
         |  FROM cos
         |) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // Transitive closure of the SAME exact J >= 0.8 pair set the
+    // dedup_near/dedup_ngram oracle contracts; min reachable id =
+    // component label.
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt na ON doc_a = na.doc_id
+        |  JOIN cnt nb ON doc_b = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT u AS node, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+        |), comp AS (
+        |  SELECT node, min(r) AS component FROM reach GROUP BY node
+        |), sizes AS (
+        |  SELECT component, count(*) AS n_members FROM comp GROUP BY component
+        |)
+        |SELECT c.node AS doc_id, c.component, s.n_members,
+        |       CAST(c.node = c.component AS INT) AS is_canonical
+        |FROM comp c JOIN sizes s USING (component)
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

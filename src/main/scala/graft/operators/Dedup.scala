@@ -195,6 +195,79 @@ object Dedup {
     jaccardFilter(inter, cnt, minJ)
   }
 
+  // `dedup_components` — connected components over the near-dup pair
+  // graph: the step that turns pairwise J ≥ 0.8 detections into actual
+  // dedup DECISIONS. Pairs alone under-delete: a~b and b~c must
+  // collapse to one surviving doc even when a≁c (the chains exist in
+  // this corpus: multi-degree nodes at both sf0.01 and sf0.1), and
+  // every production MinHash pipeline ends with exactly this
+  // pairs → components → one-canonical-doc-per-component reduction.
+  //
+  // Algorithm: iterative min-label propagation with pointer jumping —
+  // each round sets label(v) := min over {v} ∪ N(v), then shortcuts
+  // label(v) := label(label(v)). Pointer jumping halves the distance to
+  // the component minimum each round → O(log diameter) rounds, the
+  // DataFrame-native equivalent of the alternating-star MapReduce CC
+  // algorithms (Kiveris et al., public). Per round: one neighbor-min
+  // aggregation + two hash joins (all shuffles on node ids) and ONE
+  // driver-side convergence COUNT — the standard iterative-graph loop
+  // shape (GraphX Pregel does the same); only a scalar ever reaches the
+  // driver. Frames are persisted per round and the predecessor
+  // unpersisted, so lineage stays O(1) across iterations instead of
+  // growing a 2^rounds plan. The hard cap (25 rounds ⇒ diameter 2^25)
+  // is a runaway guard, not a correctness bound.
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // Edge list from the LSH scale path (proven output-identical to the
+    // exact inverted-index pairs, so the exact SQL oracle still holds).
+    val cc = connectedComponents(
+      minhashPairs(Tables.documents(spark, dir)).select("doc_a", "doc_b"))
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("comp"))
+      .select(col("node").as("doc_id"), col("comp").as("component"),
+        col("n_members"),
+        (col("node") === col("comp")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation + pointer jumping over an undirected edge
+    * list (doc_a, doc_b); returns (node, comp) with comp = min node id
+    * in the connected component. Nodes = endpoints (isolated docs are
+    * their own trivial component and are omitted — the caller's
+    * contract covers only docs with at least one near-dup edge). */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(lvl)
+    var comp = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .persist(lvl)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges
+        .join(comp.select(col("node").as("v"), col("comp").as("vc")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("vc")).as("nmin"))
+      val relaxed = comp.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jumped = relaxed.as("x")
+        .join(relaxed.select(col("node").as("jn"), col("comp").as("jc")).as("y"),
+          col("x.comp") === col("y.jn"), "left_outer")
+        .select(col("x.node").as("node"),
+          coalesce(col("jc"), col("x.comp")).as("comp"))
+        .persist(lvl)
+      changed = jumped
+        .join(comp.select(col("node"), col("comp").as("old")), Seq("node"))
+        .filter(col("comp") =!= col("old")).count()
+      comp.unpersist()
+      comp = jumped
+      rounds += 1
+    }
+    edges.unpersist()
+    comp
+  }
+
   // `dedup_keep_best` — canonical selection: exact dedup that keeps the
   // BEST copy of each duplicate group instead of the arbitrary first —
   // the form production corpus dedup actually takes (keep the longest /

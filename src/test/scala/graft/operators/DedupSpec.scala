@@ -66,4 +66,37 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 2L)) === 1.0)   // case/whitespace normalization agrees
     assert(got((0L, 3L)) < 1.0)     // a real edit lowers Jaccard
   }
+
+  test("connectedComponents: chains, stars and pairs collapse to min id") {
+    import spark.implicits._
+    // 10–14 is a 5-node chain (diameter 4 → needs >1 propagation round,
+    // exercising the pointer jump); 20 is a star hub; 30–31 a lone pair.
+    val edges = Seq(
+      (11L, 10L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (31L, 30L),
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("dedup_components: labels are transitive-closure-consistent") {
+    val rows = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val comp = rows.map(r => r._1 -> r._2).toMap
+    // every near-dup pair must share a component label
+    Dedup.dedupNgram(spark, sf).collect().foreach { r =>
+      assert(comp(r.getLong(0)) === comp(r.getLong(1)))
+    }
+    // the label is the component minimum, and exactly the canonical doc
+    rows.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min === label)
+      assert(members.count(_._4 == 1) === 1)
+      assert(members.forall(m => m._3 == members.length))
+    }
+  }
 }
