@@ -35,6 +35,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-plan (and coalesce) shuffles above cached plans too —
+      // the iterative CC loop's per-round joins read persisted frames,
+      // which this conf otherwise pins at the static partition count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

