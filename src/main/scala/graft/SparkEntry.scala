@@ -104,6 +104,9 @@ object SparkEntry {
     "decontam_overlap" -> (TextAnalysis.decontamOverlap _),
     "embed_cluster"   -> (Similarity.embedCluster _),
     "dedup_components"-> (Dedup.dedupComponents _),
+    "funnel_conversion" -> (EventAnalytics.funnelConversion _),
+    "retention_cohort"  -> (EventAnalytics.retentionCohort _),
+    "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1001,6 +1004,57 @@ object SparkEntry {
         |       CAST(c.node = c.component AS INT) AS is_canonical
         |FROM comp c JOIN sizes s USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        |)
+        |SELECT u.user_id,
+        |       CAST(v.user_id IS NOT NULL AS INT)
+        |     + CAST(c.user_id IS NOT NULL AS INT)
+        |     + CAST(p.user_id IS NOT NULL AS INT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "retention_cohort" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(d) AS cohort FROM days GROUP BY 1
+        |)
+        |SELECT c.cohort,
+        |       CAST(date_diff('day', c.cohort, d.d) AS INT) AS day_offset,
+        |       count(*) AS n_active
+        |FROM days d JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // z rounded to 4 dp BEFORE the threshold in both engines, so a
+    // boundary event is admitted (or not) identically.
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (user_id)
+        |WHERE s.n >= 2 AND s.sd > 0
+        |  AND abs(round((e.value - s.mu) / s.sd, 4)) >= 2.5
+        |ORDER BY e.event_id""".stripMargin,
   )
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-analytics suite over the `events` table — the product-analytics
+  * operator family (funnel conversion, cohort retention, per-entity
+  * anomaly detection) every event warehouse runs; no reference analogue
+  * (the reference is a single-table scan engine, README.md:6-15).
+  *
+  * Scale notes (100 TB design intent):
+  *  - every pipeline shuffles ONLY on user_id (or (cohort, offset)) —
+  *    content-derived keys with map-side partial aggregation; user
+  *    cardinality ~ events/66, so the reduced frames are orders of
+  *    magnitude smaller than the event log;
+  *  - the funnel is a chain of conditional min-aggregations, NOT a
+  *    per-user sort: each stage needs one (user_id)-keyed agg + one
+  *    hash join of the small per-user frame back to the log. Stage
+  *    frames after the first agg are per-user (tiny) and reuse the
+  *    same partitioning, so AQE plans the joins cheaply;
+  *  - z-score anomaly detection is the textbook two-pass: per-key
+  *    moments (one agg), then a map-side filter after re-joining the
+  *    small stats frame — never a window over the full log, which
+  *    would sort every partition for two scalars per key.
+  */
+object EventAnalytics {
+
+  // `funnel_conversion` — ordered funnel view → click → purchase with
+  // strictly-increasing timestamps (a click only counts AFTER the
+  // user's first view, a purchase only after that click). Per-user
+  // stage = 0..3 (the furthest prefix completed). Conditional-min agg
+  // chain; each stage joins the per-user stage frame (150 rows per 10k
+  // events here) back to the log, so the log is scanned three times
+  // but never sorted — at 100 TB the three scans pipeline over the
+  // same parquet and the per-user frames stay executor-resident.
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.join(v, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.join(c, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left_outer")
+      .join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (col("t_view").isNotNull.cast("int") +
+         col("t_click").isNotNull.cast("int") +
+         col("t_purchase").isNotNull.cast("int")).as("stage"))
+      .orderBy("user_id")
+  }
+
+  // `retention_cohort` — classic cohort retention triangle: users
+  // cohort by their first active DAY; a cohort's day-N retention is
+  // the count of its users active N days later. Two (user)-keyed aggs
+  // + one join + one (cohort, offset) agg — the whole triangle is one
+  // pass over distinct (user, day) pairs, which are ~30× smaller than
+  // the log.
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  // `anomaly_zscore` — per-user outlier events: |value − μ_user| ≥
+  // 2.5 σ_user (sample stddev), users with at least 2 events and
+  // non-degenerate spread. Two-pass moments-then-filter (see scale
+  // notes); z rounded to 4 dp BEFORE thresholding so both engines
+  // admit identical boundary events.
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("user_id").agg(
+      avg(col("value")).as("mu"),
+      stddev_samp(col("value")).as("sd"),
+      count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("sd") > 0)
+    ev.join(stats, Seq("user_id"))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("z"))
+      .orderBy("event_id")
+  }
+}
