@@ -103,6 +103,32 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") === 2)
   }
 
+  test("embed_cluster: centroid table broadcasts; argmax is a partial agg, no window") {
+    // Routing must stay a map-only k-way expansion + map-side struct-max:
+    // a window (or sort-merge join) here would sort N·k rows to pick
+    // one of 8 centroids per vector.
+    val p = plan(operators.Similarity.embedCluster(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroids must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window"), "argmax must be an aggregation, not a window")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      "struct-max must have a map-side partial")
+  }
+
+  test("anomaly_zscore / funnel: per-key stats via aggregation, never a full-log window") {
+    val pz = plan(operators.EventAnalytics.anomalyZscore(spark, sf))
+    assert(!pz.contains("Window"), "moments must be a two-pass agg+join")
+    val pf = plan(operators.EventAnalytics.funnelConversion(spark, sf))
+    assert(!pf.contains("Window"), "funnel stages must not sort per user")
+  }
+
+  test("text_repetition: unigrams and bigrams ride ONE generator") {
+    // The fused formulation carries both gram streams through a single
+    // explode — two Generates would mean two corpus scans.
+    val p = plan(operators.TextAnalysis.textRepetition(spark, sf))
+    assert(count(p, "Generate") === 1, "expected exactly one explode")
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the
