@@ -107,6 +107,7 @@ object SparkEntry {
     "funnel_conversion" -> (EventAnalytics.funnelConversion _),
     "retention_cohort"  -> (EventAnalytics.retentionCohort _),
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
+    "graph_pagerank"    -> (Graph.graphPagerank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1055,7 +1056,55 @@ object SparkEntry {
         |WHERE s.n >= 2 AND s.sd > 0
         |  AND abs(round((e.value - s.mu) / s.sd, 4)) >= 2.5
         |ORDER BY e.event_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracle,
   )
+
+  /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,
+    * unrolled as chained CTEs (recursive CTEs cannot aggregate in the
+    * recursive term); per-round round(·,12) mirrors the Spark side so
+    * summation-order drift cannot accumulate. */
+  private def pagerankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s""", pr$i AS (
+         |  SELECT e.v AS node, round(0.15/nn.n + 0.85*sum(p.pr/d.deg), 12) AS pr
+         |  FROM edges e JOIN deg d ON e.u = d.u JOIN pr${i - 1} p ON e.u = p.node, nn
+         |  GROUP BY e.v, nn.n
+         |)""".stripMargin
+    }.mkString
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+      |  WHERE len(w) >= 5
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN cnt na ON doc_a = na.doc_id
+      |  JOIN cnt nb ON doc_b = nb.doc_id
+      |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), deg AS (
+      |  SELECT u, count(*) AS deg FROM edges GROUP BY 1
+      |), nn AS (
+      |  SELECT count(*) AS n FROM deg
+      |), pr0 AS (
+      |  SELECT u AS node, 1.0/nn.n AS pr FROM deg, nn
+      |)""".stripMargin + rounds +
+    """
+      |SELECT node AS doc_id, round(pr, 6) AS pagerank
+      |FROM pr5 ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the
     * J ≥ 0.8 five-gram-shingle Jaccard pairs. */
