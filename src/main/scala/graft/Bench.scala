@@ -26,7 +26,8 @@ object Bench {
   /** Queries whose wall time is dominated by streaming micro-batch fixed
     * latency (checkpoint + 3 batches), not data volume. */
   private val streamingFixed =
-    Set("stream_late_data", "stream_dedup", "stream_join")
+    Set("stream_late_data", "stream_dedup", "stream_join",
+      "stream_static_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

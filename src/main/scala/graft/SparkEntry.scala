@@ -108,6 +108,8 @@ object SparkEntry {
     "retention_cohort"  -> (EventAnalytics.retentionCohort _),
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
     "graph_pagerank"    -> (Graph.graphPagerank _),
+    "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
+    "stream_static_join"-> (graft.streaming.Streams.streamStaticJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1058,6 +1060,14 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
+
+    // Lossless columnar round-trip ⇒ the oracle replays projection +
+    // filter over the original parquet.
+    "scan_orc" ->
+      """SELECT s_suppkey, s_nationkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_acctbal > 0
+        |ORDER BY s_suppkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -72,4 +72,20 @@ object FormatSources {
     spark.read.schema(ordersSchema).json(path)
       .orderBy("o_orderkey")
   }
+
+  // `scan_orc` — ORC export/scan of the supplier projection. Unlike the
+  // text formats, ORC is columnar: pruning and predicate pushdown DO
+  // apply (same contract class as parquet), so this key closes the
+  // binary-format half of the source surface. The filter below reaches
+  // the ORC reader as a pushed search argument; the oracle replays
+  // projection + filter over the original parquet.
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("orc", dir)
+    Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey", "s_name", "s_acctbal")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("s_acctbal") > 0)
+      .orderBy("s_suppkey")
+  }
 }

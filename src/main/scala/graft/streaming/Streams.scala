@@ -254,6 +254,60 @@ object Streams {
       .orderBy("ad_id")
   }
 
+  // `stream_static_join` — incremental-ingest dedup: an unbounded
+  // stream of candidate documents anti-joined PER MICRO-BATCH against
+  // the STATIC historical content-hash dimension (the `documents`
+  // table) — only never-seen content reaches the sink. The canonical
+  // "dedupe the new crawl against the existing corpus" shape.
+  //
+  // The contract this demonstrates (and the spec pins):
+  //  - stream-static joins are STATELESS — no state store, no
+  //    watermark; each micro-batch plans a fresh hash join against the
+  //    static side (which Spark re-reads per batch: cache it in
+  //    production, or bucket it on the hash so the per-batch join
+  //    prunes; if the hash set fits, broadcast);
+  //  - statelessness cuts both ways: a duplicate WITHIN the stream
+  //    (batch 2 repeats batch 1's new text) is NOT caught — that is
+  //    `stream_dedup`'s job (watermark-bounded state); the composition
+  //    history-anti-join → dropDuplicatesWithinWatermark is the full
+  //    production pipeline.
+  //
+  // Batch plan (deterministic): batch 1 sends a copy of corpus doc 0
+  // (dropped: hash hit) + a genuinely new text (emitted); batch 2
+  // repeats the new text (emitted AGAIN — stateless) + another copy of
+  // doc 0 (dropped).
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val history = Tables.documents(s, dir)
+      .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
+    // One known-historical text for the demo stream (tiny driver fetch,
+    // part of the fixed test harness — not the operator's data path).
+    val dup0 = Tables.documents(s, dir)
+      .orderBy("doc_id").select("text").as[String].head()
+    val novel = "graft stream static join novel text never in corpus"
+    val input = MemoryStream[(Long, String)]
+    val fresh = input.toDF().toDF("new_id", "text")
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .join(history, Seq("h"), "left_anti")
+      .select("new_id")
+    val name = s"stream_static_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_sstatic_ckpt_")
+    val q = fresh.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      input.addData((1000L, dup0), (1001L, novel))
+      q.processAllAvailable()
+      input.addData((1002L, novel), (1003L, dup0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    s.table(name).orderBy("new_id")
+  }
+
   // Q36 `stream_late_data` — a real Structured Streaming run: tumbling
   // 10-minute windows with a 10-minute watermark in append mode; an event
   // arriving after the watermark passed its window is dropped. The

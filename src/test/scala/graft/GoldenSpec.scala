@@ -66,9 +66,10 @@ class GoldenSpec extends SparkSpec {
     // Each key here must be asserted by a unit spec in this suite tree:
     // agg_approx_distinct → ApproxDistinctSpec; dedup_simhash →
     // DedupSpec; sim_ann → SimilaritySpec; stream_late_data /
-    // stream_dedup / stream_join → StreamingSpec.
+    // stream_dedup / stream_join / stream_static_join → StreamingSpec.
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_simhash", "sim_ann",
-      "stream_late_data", "stream_dedup", "stream_join"))
+      "stream_late_data", "stream_dedup", "stream_join",
+      "stream_static_join"))
   }
 }

@@ -245,4 +245,13 @@ class StreamingSpec extends SparkSpec {
     // at +45min falls outside the 30-minute join window
     assert(rows.toSeq === Seq(1L -> 1200L, 3L -> 300L))
   }
+
+  test("stream_static_join: history hits dropped every batch; stateless within-stream") {
+    val rows = Streams.streamStaticJoin(spark, sf).collect().map(_.getLong(0))
+    // 1000/1003 (copies of corpus doc 0) anti-join away in BOTH batches;
+    // 1001's novel text emits, and 1002 repeating it in batch 2 emits
+    // TOO — stream-static joins are stateless (within-stream dedup is
+    // stream_dedup's contract, not this operator's)
+    assert(rows.toSeq === Seq(1001L, 1002L))
+  }
 }
