@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
     "stream_static_join"-> (graft.streaming.Streams.streamStaticJoin _),
+    "seq_shuffle"       -> (TextAnalysis.seqShuffle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1068,6 +1069,27 @@ object SparkEntry {
         |FROM supplier
         |WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
+
+    "seq_shuffle" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+        |           AS bucket
+        |  FROM documents
+        |), rk AS (
+        |  SELECT doc_id, bucket,
+        |         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+        |  FROM ranked
+        |), offs AS (
+        |  SELECT bucket,
+        |         CAST(coalesce(sum(n) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS off
+        |  FROM (SELECT bucket, count(*) AS n FROM rk GROUP BY 1)
+        |)
+        |SELECT r.doc_id, r.bucket, o.off + r.rk - 1 AS pos
+        |FROM rk r JOIN offs o USING (bucket)
+        |ORDER BY r.doc_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

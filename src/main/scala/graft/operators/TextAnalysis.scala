@@ -381,6 +381,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `seq_shuffle` — deterministic global training order WITHOUT a
+  // global sort bottleneck. Training pipelines need every doc assigned
+  // a stable pseudo-random position; the naive row_number() over a
+  // corpus-wide ORDER BY hash is a single-partition window (the classic
+  // scale trap). The distributed shape used here:
+  //   1. bucket = first byte of md5(doc_id)  (256 uniform buckets);
+  //   2. rank within bucket by (md5, doc_id) — a PARTITIONED window,
+  //      every bucket sorts independently;
+  //   3. bucket offsets = prefix sum over the 256-row bucket-count
+  //      frame (a window over 256 rows — coordination stays tiny while
+  //      the per-doc work stays distributed);
+  //   4. pos = offset + rank − 1.
+  // md5 (identical bytes in every engine) keeps the permutation
+  // SQL-replayable; a production run would salt it with the epoch.
+  def seqShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("h", "doc_id")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("rk", row_number().over(wB))
+    val offsets = ranked.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    ranked.join(offsets, Seq("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        (col("off") + col("rk") - 1).as("pos"))
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sk = Dedup.shingles(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("s")).as("h"))
