@@ -55,10 +55,22 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Batch keys first (alphabetical), streaming-fixed keys last: the
+    // operator caches (shingles, rank vectors — see operators.Caches)
+    // are released after the last batch consumer, so streaming latency
+    // is measured with executor memory free of batch-query state.
+    // Optional comma-separated key filter for local A/B iteration (the
+    // driver never sets it → full suite).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val (streamNames, batchNames) =
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .partition(streamingFixed)
+    val names = batchNames ++ streamNames
     // Warm-up pass: untimed; streaming-fixed queries skipped (their cost
     // is per-run fixed latency — warming doesn't change it).
-    names.filterNot(streamingFixed).foreach(runOnce)
+    batchNames.foreach(runOnce)
 
     // Two timed passes, min per query (standard wall-clock practice:
     // the min is the least-contended measurement on a shared host);
@@ -71,9 +83,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>
+      // Release operator caches after the last batch key, before the
+      // streaming-fixed block (names order puts streaming last).
+      if (streamingFixed(name)) graft.operators.Caches.releaseAll()
       val runs = if (streamingFixed(name)) 1 else 2
       name -> (1 to runs).map(_ => timed(name)).min
     }
+    graft.operators.Caches.releaseAll()
 
     // full JSON string escaping (backslash, quote, ALL control chars) —
     // a raw control char from an exception message would make the one

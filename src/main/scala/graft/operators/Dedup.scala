@@ -81,12 +81,13 @@ object Dedup {
     * of one. MEMORY_AND_DISK so oversized corpora spill rather than
     * evict-and-recompute. Spark's CacheManager dedups identical plans,
     * so `dedup_near` and `dedup_ngram` (which share this exact
-    * subtree) and repeated runs reuse ONE cache entry; a production
-    * pipeline would unpersist after its dedup stage completes. */
+    * subtree) and repeated runs reuse ONE cache entry; registered with
+    * [[Caches]] so the harness releases it once the query family is
+    * done (ADVICE r4: previously resident for the whole session). */
   private[operators] def hashedShingles(docs: DataFrame): DataFrame =
-    shingles(docs)
+    Caches.register(shingles(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // Q37 `dedup_exact` — exact dedup on sha2(normalized text): one
   // surviving doc (min doc_id) per content-hash group plus the group
@@ -251,7 +252,16 @@ object Dedup {
     * convergence is detected by the LABEL SUM — labels only ever
     * decrease, so an unchanged Σcomp (decimal — overflow-safe at any
     * node count) proves the fixpoint with one map-side aggregate per
-    * round instead of an old-vs-new join. */
+    * round instead of an old-vs-new join.
+    *
+    * Each round's label frame is an eager `localCheckpoint`, NOT a
+    * persist: unpersisting a predecessor makes CacheManager re-plan
+    * (and empty) every cached entry built on it, so a persist chain
+    * recomputes the whole prefix each round (measured on the pagerank
+    * twin, Graph.scala — rounds grew linearly). The checkpoint cuts
+    * the lineage so `relaxed.unpersist` after it is harmless. On a
+    * multi-executor cluster swap in reliable `checkpoint` where
+    * executor loss matters. */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -259,7 +269,7 @@ object Dedup {
       .persist(lvl)
     var comp = edges.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u").as("node"), least(col("u"), col("mv")).as("comp"))
-      .persist(lvl)
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum: java.math.BigDecimal = null
@@ -278,11 +288,10 @@ object Dedup {
           col("x.comp") === col("y.jn"), "left_outer")
         .select(col("x.node").as("node"),
           coalesce(col("jc"), col("x.comp")).as("comp"))
-        .persist(lvl)
+        .localCheckpoint(true) // eager: cuts the round's lineage
       prevSum = curSum
-      curSum = labelSum(jumped) // one action materializes the round
-      relaxed.unpersist()
-      comp.unpersist()
+      curSum = labelSum(jumped)
+      relaxed.unpersist() // safe: jumped is checkpoint-backed
       comp = jumped
       rounds += 1
     }
@@ -293,17 +302,20 @@ object Dedup {
   // `dedup_keep_best` — canonical selection: exact dedup that keeps the
   // BEST copy of each duplicate group instead of the arbitrary first —
   // the form production corpus dedup actually takes (keep the longest /
-  // highest-quality variant). Rank key = n_chars·10⁷ − doc_id: unique
-  // per doc (doc_id is unique), favors longer text, breaks length ties
-  // toward the smaller doc_id — so argmax is deterministic in both
-  // engines. One shuffle on the content hash, map-side partial max_by:
-  // the same 100 TB profile as `dedupExact`.
+  // highest-quality variant). Rank key = struct(n_chars, -doc_id):
+  // struct ordering compares field by field, so max_by favors longer
+  // text and breaks length ties toward the smaller doc_id — unique per
+  // doc (doc_id is unique), deterministic in both engines, and correct
+  // at ANY doc_id magnitude (ADVICE r4: the earlier arithmetic packing
+  // n_chars·10⁷−doc_id silently misranked once doc_id ≥ 10⁷). One
+  // shuffle on the content hash, map-side partial max_by: the same
+  // 100 TB profile as `dedupExact`.
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(
         max_by(col("doc_id"),
-          col("n_chars") * lit(10000000L) - col("doc_id")).as("kept_doc"),
+          struct(col("n_chars"), negate(col("doc_id")))).as("kept_doc"),
         max(col("n_chars")).as("kept_chars"),
         count(lit(1)).as("n_copies"))
       .select(col("kept_doc"), col("h"), col("kept_chars"), col("n_copies"))

@@ -14,15 +14,23 @@ import graft.Tables
   * before a mass delete.
   *
   * Scale notes (100 TB design intent):
-  *  - a FIXED iteration count means the whole power method is ONE
-  *    declarative plan — no per-round driver action at all (contrast
-  *    `dedup_components`, whose convergence check is data-dependent);
-  *    Catalyst sees 5 chained join+agg rounds and pipelines them,
-  *    while `edges`/`deg` are persisted once and re-read per round;
+  *  - the power method is iterative, so each round's lineage must be
+  *    CUT or round N re-pays rounds 1..N-1 (the r4 unrolled plan cost
+  *    28.8s at sf0.1 this way). The cut is an eager `localCheckpoint`
+  *    per round — NOT persist+unpersist-predecessor: unpersisting a
+  *    cached frame makes CacheManager re-plan (and empty) every cached
+  *    entry built on it, so the persist chain silently degenerated to
+  *    the same quadratic recompute (measured: rounds grew 1.4→4.1s and
+  *    the terminal re-ran the whole loop, 7.4s). With the checkpoint
+  *    the round frames are plan-independent; rounds measure flat
+  *    ~0.3s and the terminal reads N cached rows. On a real cluster,
+  *    reliable `checkpoint` (HDFS) swaps in where executor loss
+  *    matters; the rank vector is one double per node either way;
   *  - every round shuffles on node ids only (join + sum), map-side
-  *    partials everywhere; the rank vector is one double per node;
-  *  - the node count enters as a 1-row aggregate cross-joined into the
-  *    plan (broadcast), not a driver-side collect;
+  *    partials everywhere; the degree is joined into the edge list
+  *    ONCE (persisted) instead of re-joined per round;
+  *  - driver traffic is scalars only: the node count N and the
+  *    per-round eager-checkpoint materialization;
   *  - per-round round(·, 12) pins both engines to the same trajectory:
   *    summation-order drift (~1e-16/round) cannot accumulate across
   *    rounds into the 6-dp output rounding.
@@ -43,22 +51,29 @@ object Graph {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(lvl)
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).persist(lvl)
-    val nDf = deg.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    // deg is joined into the edge list ONCE — the per-round join then
+    // touches only (edgesDeg ⋈ pr), not (edges ⋈ deg ⋈ pr).
+    val edgesDeg = edges.join(deg, Seq("u")).persist(lvl)
+    val n = edgesDeg.select(countDistinct(col("u"))).head.getLong(0)
 
-    var pr = deg.crossJoin(nDf)
-      .select(col("u").as("node"), (lit(1.0) / col("n")).as("pr"))
+    var pr = edgesDeg.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to Iters) {
-      val contrib = edges
-        .join(deg, Seq("u"))
+      pr = edgesDeg
         .join(pr.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("pr") / col("deg")).as("mass"))
-      pr = contrib.crossJoin(nDf)
         .select(col("node"),
-          round(lit(1.0 - Damping) / col("n") + lit(Damping) * col("mass"), 12)
+          round(lit((1.0 - Damping) / n) + lit(Damping) * col("mass"), 12)
             .as("pr"))
+        .localCheckpoint(true) // eager: cuts the round's lineage
     }
+    // safe AFTER the loop: pr is checkpoint-backed, nothing cached
+    // depends on these frames anymore
+    edges.unpersist(false)
+    edgesDeg.unpersist(false)
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
   }

@@ -57,11 +57,15 @@ object Streams {
   /** Streaming checkpoints are per-invocation temp dirs; delete on
     * completion or each bench/verify run leaks state-store files in
     * /tmp (ADVICE r3). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(root))
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    if (Files.exists(root)) {
+      // Files.walk holds directory handles until closed (ADVICE r4) —
+      // collect under try/finally, delete after the stream is closed.
+      val walk = Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Custom-state sessionization with `flatMapGroupsWithState` — the
