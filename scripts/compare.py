@@ -30,6 +30,11 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_skip = 0
+    # an oracled key whose Verify output is missing entirely (the query
+    # threw) must FAIL, not silently drop out of the listing
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL  {name}: query produced no output dir (Verify error?)")
+        n_fail += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:

@@ -109,8 +109,13 @@ object SparkEntry {
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
+    "scan_partitioned"  -> (graft.sources.FormatSources.scanPartitioned _),
     "stream_static_join"-> (graft.streaming.Streams.streamStaticJoin _),
     "seq_shuffle"       -> (TextAnalysis.seqShuffle _),
+    "corpus_mix"        -> (TextAnalysis.corpusMix _),
+    "join_bucketed"     -> (Layout.joinBucketed _),
+    "cdc_upsert"        -> (EventAnalytics.cdcUpsert _),
+    "agg_sketch_rollup" -> (EventAnalytics.aggSketchRollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -799,18 +804,30 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, lang, n_tok,
-        |       (cum - n_tok) // 2048 AS bin_id,
-        |       (cum - n_tok) % 2048 AS bin_off
+        |       CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id,
+        |       CAST((cum - n_tok) % 2048 AS BIGINT) AS bin_off
         |FROM c
         |ORDER BY doc_id""".stripMargin,
 
+    // Two-key argmax replayed as a window rank (longer text wins,
+    // length ties break toward the smaller doc_id) — order-tuple, not
+    // arithmetic packing, so it matches Spark's struct max_by at any
+    // doc_id magnitude.
     "dedup_keep_best" ->
-      """SELECT arg_max(doc_id, n_chars * 10000000 - doc_id) AS kept_doc,
-        |       sha256(lower(trim(text))) AS h,
-        |       max(n_chars) AS kept_chars,
-        |       count(*) AS n_copies
-        |FROM documents
-        |GROUP BY h
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, sha256(lower(trim(text))) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, h, n_chars,
+        |         row_number() OVER (PARTITION BY h
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY h) AS n_copies,
+        |         max(n_chars) OVER (PARTITION BY h) AS kept_chars
+        |  FROM d
+        |)
+        |SELECT doc_id AS kept_doc, h, kept_chars,
+        |       CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1
         |ORDER BY kept_doc""".stripMargin,
 
     "corpus_hist" ->
@@ -1070,6 +1087,16 @@ object SparkEntry {
         |WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
 
+    // Partition-pruned scan: the oracle replays projection + year
+    // predicate over the original parquet (the partition column
+    // round-trips losslessly through the directory name).
+    "scan_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders
+        |WHERE year(o_orderdate) = 1998
+        |ORDER BY o_orderkey""".stripMargin,
+
     "seq_shuffle" ->
       """WITH ranked AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
@@ -1090,6 +1117,51 @@ object SparkEntry {
         |SELECT r.doc_id, r.bucket, o.off + r.rk - 1 AS pos
         |FROM rk r JOIN offs o USING (bucket)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // α=0.5 temperature mix; the rate formula is written in the SAME
+    // operation order as the Spark side and round(·,6)-pinned, and the
+    // hash-Bernoulli keep uses the first 24 md5 bits of doc_id — both
+    // engines draw the identical uniform, so the kept set is exact.
+    "corpus_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs, pow(count(*), 0.5) AS w
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT sum(w) AS wsum, CAST(sum(n_docs) AS BIGINT) AS n_total
+        |  FROM counts
+        |), rates AS (
+        |  SELECT lang,
+        |         round(least(1.0, w / wsum * n_total * 0.5 / n_docs), 6)
+        |           AS rate
+        |  FROM counts, tot
+        |)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS INT)
+        |        / 16777216.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Bucketing is a pure layout property — the oracle is the plain
+    // join over the original parquet (a green hash proves the bucketed
+    // write+read round-trip AND the join result).
+    "join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Last-writer-wins compaction replayed as a window rank; the
+    // tombstone filter applies to each key's LATEST record only.
+    "cdc_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event,
+        |       event_type AS last_type, round(value, 4) AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -92,4 +92,52 @@ object EventAnalytics {
         col("value"), col("z"))
       .orderBy("event_id")
   }
+
+  // `cdc_upsert` — keyed changelog compaction (the lakehouse MERGE /
+  // SCD-type-1 read path): per key, last-writer-wins on the version
+  // order (ts, event_id), with `error` as the tombstone type — a key
+  // whose LATEST record is a tombstone is absent from the compacted
+  // state. Formulated as ONE map-side-partial struct-max_by agg per
+  // key — never a per-key window sort: at 100 TB the changelog shuffles
+  // once on the key and only (key, newest-struct) pairs leave the map
+  // side, the same profile as `dedup_keep_best`.
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .filter(col("s.event_type") =!= "error")
+      .select(col("user_id"), col("s.ts").as("last_ts"),
+        col("s.event_id").as("last_event"),
+        col("s.event_type").as("last_type"),
+        round(col("s.value"), 4).as("last_value"))
+      .orderBy("user_id")
+
+  // `agg_sketch_rollup` — mergeable-sketch distinct counting
+  // (Apache DataSketches HLL via Spark's hll_sketch_agg): per-day user
+  // sketches, then the corpus-wide distinct from hll_union_agg over the
+  // DAILY SKETCHES — the full log is scanned once; the rollup row costs
+  // one union over |days| compact sketches. This mergeability is THE
+  // 100 TB distinct-count pattern (per-partition sketches roll up to
+  // any coarser grain with no re-scan; exact distinct would re-shuffle
+  // the log per grain). No SQL oracle (estimator internals are
+  // library-specific) — EventAnalyticsSpec pins the estimates against
+  // exact counts (≤ 2% error at lgK=14) and asserts union-of-daily ==
+  // direct whole-log sketch, bit-for-bit the same estimate.
+  def aggSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val days = daily.select(col("day"), col("n_events"),
+      hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
+    val total = daily
+      .agg(sum(col("n_events")).as("n_events"),
+        hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(lit(null).cast("date").as("day"), col("n_events"),
+        hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
+    days.unionAll(total).orderBy(asc_nulls_last("day"))
+  }
 }

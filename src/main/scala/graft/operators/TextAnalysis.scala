@@ -414,6 +414,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `corpus_mix` — temperature-weighted corpus mixing, the step that
+  // turns per-source corpora into one training mix (upsample the tail
+  // languages, downsample the head — the w_i ∝ n_i^α schedule used by
+  // multilingual LLM recipes; PAPERS.md). Here: α = 0.5 shares over the
+  // per-lang doc counts, target corpus = N/2 docs, per-lang keep-rate
+  // = min(1, share·N/2 ÷ n_lang), then a DETERMINISTIC hash-Bernoulli
+  // keep: u(doc) = first 24 md5 bits of doc_id as a uniform in [0,1),
+  // keep where u < rate. md5 gives identical bytes in both engines, so
+  // the sampled set is exact-replayable (the same trick as
+  // `seq_shuffle`; rates are round(·,6)-pinned before the compare).
+  // Scale: one tiny lang agg + broadcast rate join + a map-only filter —
+  // no corpus-wide shuffle at all; the 100 TB shape of corpus mixing.
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs"), lit(0.5)))
+    val tot = counts.agg(sum(col("w")).as("wsum"), sum(col("n_docs")).as("n_total"))
+    val rates = counts.crossJoin(tot)
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("w") / col("wsum") * col("n_total") * lit(0.5) / col("n_docs")), 6))
+      .select("lang", "rate")
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("double") / lit(16777216.0))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sk = Dedup.shingles(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("s")).as("h"))

@@ -65,10 +65,12 @@ class GoldenSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Each key here must be asserted by a unit spec in this suite tree:
     // agg_approx_distinct → ApproxDistinctSpec; dedup_simhash →
-    // DedupSpec; sim_ann → SimilaritySpec; stream_late_data /
-    // stream_dedup / stream_join / stream_static_join → StreamingSpec.
+    // DedupSpec; sim_ann → SimilaritySpec; agg_sketch_rollup →
+    // EventAnalyticsSpec; stream_late_data / stream_dedup /
+    // stream_join / stream_static_join → StreamingSpec.
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_simhash", "sim_ann",
+      "agg_sketch_rollup",
       "stream_late_data", "stream_dedup", "stream_join",
       "stream_static_join"))
   }

@@ -129,6 +129,40 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Generate") === 1, "expected exactly one explode")
   }
 
+  test("scan_partitioned: partition filter prunes to the o_year=1998 directory") {
+    withoutAQE {
+    val df = sources.FormatSources.scanPartitioned(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // The year predicate must bind to the partition directory, not the
+    // row data: a PartitionFilters entry on the scan node, and NO
+    // pushed data filter on o_year (it isn't a data column).
+    assert(p.contains("PartitionFilters: ["), "no partition filter on scan")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("o_year")), p)
+    // Runtime proof of pruning (df.inputFiles would list the whole
+    // relation — it ignores partition filters): execute the captured
+    // plan and read the scan's own numFiles metric — 1 of the 7 year
+    // partitions' files, not all of them.
+    val exec = df.queryExecution.executedPlan
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    exec.execute().count()
+    assert(scan.metrics("numFiles").value === 1,
+      s"scan read ${scan.metrics("numFiles").value} files — pruning lost")
+    }
+  }
+
+  test("join_bucketed: sort-merge over bucketed layout, no join exchange") {
+    val p = plan(operators.Layout.joinBucketed(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+    // the terminal ORDER BY's range partitioning is the ONLY exchange —
+    // the join itself reads both bucketed layouts co-located
+    assert(!p.contains("Exchange hashpartitioning"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "Exchange") === 1)
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Accuracy + mergeability contracts for the sketch rollup (no SQL
+  * oracle — DataSketches HLL internals aren't replayable in DuckDB)
+  * and structure checks for the changelog compaction. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("agg_sketch_rollup: estimates within 2% of exact; rollup row present") {
+    val rows = EventAnalytics.aggSketchRollup(spark, sf).collect()
+    val (dayRows, totalRows) = rows.partition(r => !r.isNullAt(0))
+    assert(totalRows.length === 1, "exactly one corpus-wide rollup row")
+    val exactByDay = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    dayRows.foreach { r =>
+      val exact = exactByDay(r.getDate(0).toString)
+      val est = r.getLong(2)
+      assert(math.abs(est - exact).toDouble / exact <= 0.02,
+        s"day=${r.getDate(0)} exact=$exact approx=$est")
+    }
+    val exactTotal = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    val estTotal = totalRows.head.getLong(2)
+    assert(math.abs(estTotal - exactTotal).toDouble / exactTotal <= 0.02,
+      s"total exact=$exactTotal approx=$estTotal")
+  }
+
+  test("agg_sketch_rollup: union of daily sketches == direct whole-log sketch") {
+    // Mergeability is the point of the sketch: rolling up per-partition
+    // sketches must give the SAME estimate as sketching the whole log.
+    val viaUnion = EventAnalytics.aggSketchRollup(spark, sf)
+      .filter(col("day").isNull).head.getLong(2)
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(14))).cast("long"))
+      .head.getLong(0)
+    assert(viaUnion === direct)
+  }
+
+  test("cdc_upsert: tombstoned keys absent, resurrected keys present") {
+    val ev = Tables.events(spark, sf)
+    val state = EventAnalytics.cdcUpsert(spark, sf)
+    val stateKeys = state.select("user_id").collect().map(_.getLong(0)).toSet
+    // per-key latest record, computed independently via a window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (dead, live) = latest.partition(_._2 == "error")
+    assert(stateKeys === live.keySet)
+    assert(dead.keySet.forall(k => !stateKeys.contains(k)))
+    // a key with an error that is NOT its latest record must be live
+    assert(live.nonEmpty)
+  }
+}
