@@ -116,6 +116,7 @@ object SparkEntry {
     "join_bucketed"     -> (Layout.joinBucketed _),
     "cdc_upsert"        -> (EventAnalytics.cdcUpsert _),
     "agg_sketch_rollup" -> (EventAnalytics.aggSketchRollup _),
+    "pipeline_corpus"   -> (Pipeline.pipelineCorpus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1148,6 +1149,74 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The five-stage corpus pipeline replayed end-to-end: exact dedup →
+    // recursive-CTE near-dup closure (the dedup_components oracle,
+    // restricted to exact-dedup survivors) → two-key canonical argmax →
+    // length gate → running-bin packing. A green hash certifies the
+    // COMPOSITION of the already-verified stages.
+    "pipeline_corpus" ->
+      """WITH RECURSIVE surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY sha256(lower(trim(text)))
+        |), d AS (
+        |  SELECT doc.* FROM documents doc JOIN surv USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM d
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt na ON doc_a = na.doc_id
+        |  JOIN cnt nb ON doc_b = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT u AS node, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+        |), comp AS (
+        |  SELECT node, min(r) AS grp FROM reach GROUP BY node
+        |), labeled AS (
+        |  SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp, d.lang,
+        |         d.n_chars, d.text
+        |  FROM d LEFT JOIN comp c ON d.doc_id = c.node
+        |), canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY grp
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM labeled) WHERE rn = 1
+        |), kept AS (
+        |  SELECT * FROM (
+        |    SELECT l.doc_id, l.lang,
+        |           CAST(len(string_split_regex(trim(lower(l.text)), '\s+')) AS BIGINT)
+        |             AS n_tok
+        |    FROM labeled l JOIN canon USING (doc_id))
+        |  WHERE n_tok >= 10
+        |), packed AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM kept
+        |)
+        |SELECT doc_id, lang, n_tok,
+        |       CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id,
+        |       CAST((cum - n_tok) % 2048 AS BIGINT) AS bin_off
+        |FROM packed
+        |ORDER BY doc_id""".stripMargin,
 
     // Last-writer-wins compaction replayed as a window rank; the
     // tombstone filter applies to each key's LATEST record only.

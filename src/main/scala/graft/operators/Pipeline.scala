@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composed corpus pipeline — the operators are not just a menu,
+  * they CHAIN into the job a training-data team actually runs. One
+  * declared key executes the whole flow:
+  *
+  *   1. exact dedup        (content-hash groupBy, min doc_id survives)
+  *   2. near-dup clusters  (banded MinHash pairs → connected components)
+  *   3. canonical doc      (longest text per cluster, ties → smaller id;
+  *                          docs with no near-dup keep themselves)
+  *   4. quality gate       (n_tok ≥ 10 — the cheap length floor; the
+  *                          richer gates live in `text_quality`)
+  *   5. sequence packing   (per-lang 2048-token running bins, the
+  *                          `seq_pack` formulation)
+  *
+  * Output: the training-ready manifest (doc_id, lang, n_tok, bin_id,
+  * bin_off) of kept documents.
+  *
+  * Scale shape: every stage is one of the already-plan-asserted
+  * operators — content-keyed shuffles (1), banded candidate generation
+  * + checkpointed label propagation (2), struct-argmax agg (3), map
+  * filter (4), partitioned window (5). Nothing corpus-global reaches
+  * the driver; the survivors frame is persisted once because stages 2
+  * and 3 both consume it. The DuckDB oracle replays all five stages
+  * (recursive-CTE closure for stage 2), so the green hash certifies
+  * the COMPOSITION, not just the parts.
+  */
+object Pipeline {
+
+  def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // 1. exact dedup
+    val surv = docs
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d = Caches.register(docs.join(surv, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // 2. near-dup clusters over survivors (exact J ≥ 0.8 contract)
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashPairs(d).select("doc_a", "doc_b"))
+
+    // 3. canonical per cluster (singletons are their own cluster)
+    val labeled = d
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+    val canon = labeled.groupBy("grp")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), negate(col("doc_id")))).as("doc_id"))
+      .select("doc_id")
+
+    // 4. + 5. quality gate, then pack (the seq_pack formulation)
+    val kept = labeled.join(canon, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 10)
+    val budget = 2048L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    kept
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),
+        pmod(col("cum") - col("n_tok"), lit(budget)).as("bin_off"))
+      .orderBy("doc_id")
+  }
+}

@@ -153,6 +153,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix: rates broadcast; the corpus itself never shuffles") {
+    // The mix is a map-only keep over the corpus: lang-rate table joins
+    // via broadcast, the hash-Bernoulli filter is per-row. The only
+    // exchanges allowed are on the TINY lang-count side (pre-broadcast
+    // aggregation) and the terminal ORDER BY — never a corpus-sized
+    // hash exchange of documents.
+    val p = plan(operators.TextAnalysis.corpusMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cdc_upsert: compaction is a partial agg, never a per-key window sort") {
+    val p = plan(operators.EventAnalytics.cdcUpsert(spark, sf))
+    assert(!p.contains("Window"), "last-writer-wins must be an aggregation")
+    // struct-ordered max_by plans as SortAggregate (struct buffers
+    // aren't hash-agg-compatible) — what matters at scale: a map-side
+    // partial_max_by and exactly ONE key exchange (plus the terminal
+    // range sort)
+    assert(p.contains("partial_max_by"), "needs map-side partial max_by")
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("join_bucketed: sort-merge over bucketed layout, no join exchange") {
     val p = plan(operators.Layout.joinBucketed(spark, sf))
     assert(p.contains("SortMergeJoin"), p)
