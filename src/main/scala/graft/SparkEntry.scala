@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
     "scan_partitioned"  -> (graft.sources.FormatSources.scanPartitioned _),
+    "scan_dpp"          -> (graft.sources.FormatSources.scanDpp _),
     "stream_static_join"-> (graft.streaming.Streams.streamStaticJoin _),
     "seq_shuffle"       -> (TextAnalysis.seqShuffle _),
     "corpus_mix"        -> (TextAnalysis.corpusMix _),
@@ -1087,6 +1088,17 @@ object SparkEntry {
         |FROM supplier
         |WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
+
+    // Dynamic partition pruning: the oracle replays the star join over
+    // the original parquet (partition-column int round-trips losslessly
+    // through the directory name).
+    "scan_dpp" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, n_name
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Partition-pruned scan: the oracle replays projection + year
     // predicate over the original parquet (the partition column

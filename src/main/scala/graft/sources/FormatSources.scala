@@ -100,6 +100,31 @@ object FormatSources {
       .orderBy("o_orderkey")
   }
 
+  // `scan_dpp` — DYNAMIC partition pruning as a declared key (the
+  // static half is `scan_partitioned`): the fact table is laid out
+  // partitioned by the join attribute, but the selective filter lives
+  // on the DIMENSION side, so static pruning cannot see it. Catalyst
+  // injects a runtime subquery filter into the fact scan (reusing the
+  // dim's broadcast), and only the matching partition directories are
+  // read — the 100 TB star-join pattern where the "WHERE" arrives via
+  // a join. PlanSpec asserts the dynamicpruningexpression on the scan;
+  // the oracle replays the three-way join over the original parquet.
+  def scanDpp(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("dpp", dir)
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_nationkey"))
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.nation(spark, dir)
+      .filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey"), col("n_name"))
+    fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_nationkey", "n_name")
+      .orderBy("o_orderkey")
+  }
+
   // `scan_orc` — ORC export/scan of the supplier projection. Unlike the
   // text formats, ORC is columnar: pruning and predicate pushdown DO
   // apply (same contract class as parquet), so this key closes the

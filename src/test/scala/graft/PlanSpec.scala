@@ -175,6 +175,16 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("scan_dpp: dim-side filter reaches the fact scan as a dynamic pruning subquery") {
+    withoutAQE {
+      val df = sources.FormatSources.scanDpp(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"expected dynamicpruningexpression in:\n$p")
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+
   test("join_bucketed: sort-merge over bucketed layout, no join exchange") {
     val p = plan(operators.Layout.joinBucketed(spark, sf))
     assert(p.contains("SortMergeJoin"), p)
