@@ -118,6 +118,7 @@ object SparkEntry {
     "cdc_upsert"        -> (EventAnalytics.cdcUpsert _),
     "agg_sketch_rollup" -> (EventAnalytics.aggSketchRollup _),
     "pipeline_corpus"   -> (Pipeline.pipelineCorpus _),
+    "dedup_spans"       -> (Dedup.dedupSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1161,6 +1162,34 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Span-hash inverted index replayed with the same tokenization and
+    // the same md5-over-20-token-window; the window index i is cast to
+    // INTEGER to match Spark's posexplode position type.
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |         md5(array_to_string(w[i:i+19], ' ')) AS h
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 19)) t(i)
+        |  WHERE len(w) >= 20
+        |), agg AS (
+        |  SELECT h, count(*) AS n_occ,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM sp GROUP BY h
+        |), first AS (
+        |  SELECT h, doc_id AS first_doc, pos AS first_pos FROM (
+        |    SELECT h, doc_id, pos,
+        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM sp) WHERE rn = 1
+        |)
+        |SELECT a.h, a.n_occ, a.n_docs, f.first_doc, f.first_pos
+        |FROM agg a JOIN first f USING (h)
+        |WHERE a.n_docs >= 2
+        |ORDER BY a.h""".stripMargin,
 
     // The five-stage corpus pipeline replayed end-to-end: exact dedup →
     // recursive-CTE near-dup closure (the dedup_components oracle,

@@ -321,6 +321,39 @@ object Dedup {
       .select(col("kept_doc"), col("h"), col("kept_chars"), col("n_copies"))
       .orderBy("kept_doc")
 
+  // `dedup_spans` — exact duplicated-SPAN detection: the substring-level
+  // dedup signal (docs can share a long boilerplate span without being
+  // near-dups as wholes — the case doc-level MinHash misses by design;
+  // public method: exact-substring training-data dedup à la Lee et al.
+  // 2022, at a fixed 20-token granularity instead of suffix arrays).
+  // Every 20-token window is hashed; a hash seen in ≥ 2 DISTINCT docs
+  // is a cross-document duplicated span. Output per span cluster:
+  // occurrence/doc counts + the first (doc, pos) site.
+  //
+  // Scale: the corpus explodes to one row per token position (the same
+  // volume a tokenizer already produces), then shuffles ONLY on the
+  // 16-byte span hash — positions ride along; no pairwise comparison
+  // ever happens (the inverted index IS the detector). md5 keeps the
+  // hash oracle-replayable.
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("h"))
+    spans.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("s"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("n_occ"), col("n_docs"),
+        col("s.doc_id").as("first_doc"), col("s.pos").as("first_pos"))
+      .orderBy("h")
+  }
+
   /** 64-bit SimHash per document from its distinct 5-shingles: every
     * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
     * the sign. Formulated as ONE aggregation with 64 vote columns (one
