@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (reference analogue: PureJavaTest.java:12-21 /
   * TruffleTest.java:17-27 — 1000 warm iterations there; here one warm-up
-  * pass then one timed pass per query, full materialization).
+  * pass then best-of-3 timed passes per query, full materialization,
+  * plus a per-key max/min "spread" field so host noise is visible).
   *
   * Measurement rules (VERDICT r1 items 1-3):
   *  - every query is materialized through the noop sink
@@ -72,9 +73,18 @@ object Bench {
     // is per-run fixed latency — warming doesn't change it).
     batchNames.foreach(runOnce)
 
-    // Two timed passes, min per query (standard wall-clock practice:
-    // the min is the least-contended measurement on a shared host);
-    // streaming-fixed queries run once — each run pays real multi-batch
+    // Three timed passes, min per query (best-of-3). Rationale (r6
+    // post-mortem, SCALING.md "Benchmark measurement note"): BENCH_r05
+    // vs r06 ran byte-identical jars yet differed up to 11.4× per key
+    // (filter_conj 0.31→3.57s) — on this shared host a contention
+    // window can swallow BOTH passes of a min-of-2. A third pass makes
+    // a sustained-slow reading far less likely, and the per-key spread
+    // (max/min over the timed passes, emitted as "spread") lets the
+    // driver distinguish "code got slower" from "host was busy": a
+    // genuine regression is slow in ALL passes (spread ≈ 1), noise is
+    // slow in SOME (spread >> 1). Reference analogue: 1,000 timed
+    // iterations for the same reason, PureJavaTest.java:15-20.
+    // Streaming-fixed queries run once — each run pays real multi-batch
     // latency, there is nothing to de-noise.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String): Double = {
@@ -86,8 +96,8 @@ object Bench {
       // Release operator caches after the last batch key, before the
       // streaming-fixed block (names order puts streaming last).
       if (streamingFixed(name)) graft.operators.Caches.releaseAll()
-      val runs = if (streamingFixed(name)) 1 else 2
-      name -> (1 to runs).map(_ => timed(name)).min
+      val runs = if (streamingFixed(name)) 1 else 3
+      name -> (1 to runs).map(_ => timed(name))
     }
     graft.operators.Caches.releaseAll()
 
@@ -100,15 +110,23 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(d: Double): String = f"$d%.3f"
+    val best = results.map { case (k, runs) => k -> runs.min }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-key spread = max/min over the timed passes: ≈1 means stable,
+    // >>1 means a contended pass — the driver should not read a high-
+    // spread key's delta as a code regression.
+    val spread = results.map { case (k, runs) =>
+      "\"" + k + "\":" + r3(runs.max / math.max(runs.min, 1e-9))
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
-    val headline = results.collect {
+    val headline = best.collect {
       case (k, v) if !streamingFixed(k) => v
     }.sum
-    val streamingSec = results.collect {
+    val streamingSec = best.collect {
       case (k, v) if streamingFixed(k) => v
     }.sum
     // A failed query fast-fails, which would SHRINK the headline — a
@@ -118,8 +136,8 @@ object Bench {
     val headlineJson = if (errors.isEmpty) headline.toString else "null"
     val json =
       s"""{"metric":"total","value":$headlineJson,"unit":"sec","queries":$qs,""" +
-      s""""streaming_fixed_sec":$streamingSec,"n_errors":${errors.size},""" +
-      s""""errors":$errs,"sf":"$sfDir"}"""
+      s""""spread":$spread,"streaming_fixed_sec":$streamingSec,""" +
+      s""""n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench.json"), json)
     spark.stop()

@@ -1,0 +1,19 @@
+package graft
+
+/** Tiny shared helpers with no Spark dependency. */
+object Util {
+
+  /** Collision-resistant 16-hex-char tag for a filesystem path (first
+    * 8 bytes of SHA-256). Used wherever a data-dir path is folded into
+    * a table/export name: `String.hashCode` is 32-bit, and two distinct
+    * data dirs colliding is not hypothetical-harmless — the bucketed-
+    * table orphan pre-delete (Layout.joinBucketed) REMOVES the colliding
+    * name's directory, which under a 32-bit tag could be another
+    * session's live table (VERDICT r6 item 3). 64 bits of a
+    * cryptographic digest makes an accidental collision implausible.
+    */
+  def pathTag(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+}

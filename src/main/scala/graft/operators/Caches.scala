@@ -26,4 +26,24 @@ object Caches {
     frames.foreach(_.unpersist(false))
     frames.clear()
   }
+
+  /** Release the storage blocks behind a SUPERSEDED eager
+    * `localCheckpoint` frame (VERDICT r6 item 4). An eager local
+    * checkpoint materializes the frame's rows as storage blocks; once
+    * the iterative loops (connected components, PageRank) replace a
+    * round's frame with the next, the old blocks are dead weight that
+    * only ContextCleaner reclaims — at JVM GC time, so a long verify /
+    * bench session accumulates rounds × blocks of executor storage.
+    * `Dataset.unpersist` can't release them (CacheManager never knew
+    * about a checkpoint), so this digs the backing RDD out of the
+    * frame's `LogicalRDD` plan node and unpersists it directly.
+    *
+    * The frame must NEVER be read again after this call: the checkpoint
+    * truncated its lineage, so the dropped blocks are unrecomputable —
+    * only call on a round's frame after the NEXT round has materialized
+    * (eager checkpoint) and never on the loop's final result. */
+  private[graft] def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 }

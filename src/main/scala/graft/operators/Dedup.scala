@@ -292,6 +292,10 @@ object Dedup {
       prevSum = curSum
       curSum = labelSum(jumped)
       relaxed.unpersist() // safe: jumped is checkpoint-backed
+      // jumped is materialized (eager checkpoint + labelSum read it) —
+      // the superseded round's checkpoint blocks are dead; release them
+      // eagerly rather than waiting for ContextCleaner GC
+      Caches.releaseCheckpoint(comp)
       comp = jumped
       rounds += 1
     }

@@ -61,6 +61,7 @@ object Graph {
       .select(col("node"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to Iters) {
+      val prev = pr
       pr = edgesDeg
         .join(pr.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v").as("node"))
@@ -69,6 +70,10 @@ object Graph {
           round(lit((1.0 - Damping) / n) + lit(Damping) * col("mass"), 12)
             .as("pr"))
         .localCheckpoint(true) // eager: cuts the round's lineage
+      // the new round is materialized (eager) — the previous round's
+      // checkpoint blocks are dead; release them now instead of waiting
+      // for ContextCleaner GC (keeps storage flat across a long session)
+      Caches.releaseCheckpoint(prev)
     }
     // safe AFTER the loop: pr is checkpoint-backed, nothing cached
     // depends on these frames anymore

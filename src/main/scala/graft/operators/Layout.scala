@@ -25,7 +25,9 @@ object Layout {
   // are large. PlanSpec asserts: SortMergeJoin, and the ONLY exchange
   // in the plan is the terminal ORDER BY's range partitioning.
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val tag = dir.hashCode.toHexString
+    // sha-256 tag, not hashCode: the pre-delete below is destructive on
+    // a name collision, so the tag must be collision-resistant.
+    val tag = graft.Util.pathTag(dir)
     val (tOrders, tCustomer) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
     // A killed run leaves orphan table directories that a fresh
     // (in-memory) catalog no longer knows about — saveAsTable then

@@ -426,16 +426,31 @@ object TextAnalysis {
   // `seq_shuffle`; rates are round(·,6)-pinned before the compare).
   // Scale: one tiny lang agg + broadcast rate join + a map-only filter —
   // no corpus-wide shuffle at all; the 100 TB shape of corpus mixing.
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  /** Unrounded per-lang keep rates for `corpus_mix` — exposed so
+    * CorpusMixSpec can assert the rates sit FAR from the round(·,6)
+    * half-tie boundaries (VERDICT r6 item 6): the emitted `rate` column
+    * is round(pow-derived double, 6) in BOTH engines, so a rate within
+    * an ulp of k·1e-6 + 0.5e-6 could round differently across engines.
+    * Measured guard (the spec re-measures every run, all three sfs):
+    * minimum tie distance = 0.103 in 1e-6 units (sf0.1 'en', rate
+    * 0.358158603; sf0.01 0.166, sf0.001 0.106) — i.e. ≥ 1e-7 absolute,
+    * ~10⁹ × the ~1e-16 cross-engine summation-order drift. */
+  private[graft] def corpusMixRawRates(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", pow(col("n_docs"), lit(0.5)))
     val tot = counts.agg(sum(col("w")).as("wsum"), sum(col("n_docs")).as("n_total"))
-    val rates = counts.crossJoin(tot)
-      .withColumn("rate",
-        round(least(lit(1.0),
-          col("w") / col("wsum") * col("n_total") * lit(0.5) / col("n_docs")), 6))
-      .select("lang", "rate")
+    counts.crossJoin(tot)
+      .withColumn("rate_raw",
+        least(lit(1.0),
+          col("w") / col("wsum") * col("n_total") * lit(0.5) / col("n_docs")))
+      .select("lang", "rate_raw")
+  }
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val rates = corpusMixRawRates(spark, dir)
+      .select(col("lang"), round(col("rate_raw"), 6).as("rate"))
     docs.join(broadcast(rates), Seq("lang"))
       .withColumn("u",
         conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)

@@ -33,10 +33,12 @@ object FormatSources {
 
   /** Stable per-(table, sf-dir) export path: repeated invocations in
     * one bench/verify session rewrite the same location (overwrite
-    * mode), never accumulate temp dirs. */
-  private def exportPath(fmt: String, dir: String): String =
+    * mode), never accumulate temp dirs. Collision-resistant sha-256 tag
+    * (same rationale as Layout's table tag); `private[graft]` so
+    * PlanSpec can locate the partition directories it asserts over. */
+  private[graft] def exportPath(fmt: String, dir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${fmt}_${dir.hashCode.toHexString}").toString
+      s"graft_${fmt}_${graft.Util.pathTag(dir)}").toString
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
