@@ -122,6 +122,17 @@ class PlanSpec extends SparkSpec {
     assert(!pf.contains("Window"), "funnel stages must not sort per user")
   }
 
+  test("dedup_spans: window hashing is a plain codegen projection, not a HOF lambda") {
+    // The md5-per-window hash must stay a Project above the offset
+    // Generate (whole-stage codegen) — a transform(...) reformulation
+    // would reintroduce interpreted per-element eval (measured 1.30 s
+    // vs 0.95 s at sf0.1; SCALING.md).
+    val p = plan(operators.Dedup.dedupSpans(spark, sf))
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "window hashing regressed to an interpreted higher-order function")
+    assert(count(p, "Generate") === 1, "expected exactly one explode")
+  }
+
   test("text_repetition: unigrams and bigrams ride ONE generator") {
     // The fused formulation carries both gram streams through a single
     // explode — two Generates would mean two corpus scans.
