@@ -84,8 +84,10 @@ object Bench {
     // genuine regression is slow in ALL passes (spread ≈ 1), noise is
     // slow in SOME (spread >> 1). Reference analogue: 1,000 timed
     // iterations for the same reason, PureJavaTest.java:15-20.
-    // Streaming-fixed queries run once — each run pays real multi-batch
-    // latency, there is nothing to de-noise.
+    // Streaming-fixed queries run twice (min): each run pays real
+    // multi-batch latency, but that latency is itself host-noise-laden
+    // (r5→r7 streaming_fixed swung 7.5→9.3 s on identical code) — two
+    // runs bound it and give the spread field an honest value.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
@@ -96,7 +98,7 @@ object Bench {
       // Release operator caches after the last batch key, before the
       // streaming-fixed block (names order puts streaming last).
       if (streamingFixed(name)) graft.operators.Caches.releaseAll()
-      val runs = if (streamingFixed(name)) 1 else 3
+      val runs = if (streamingFixed(name)) 2 else 3
       name -> (1 to runs).map(_ => timed(name))
     }
     graft.operators.Caches.releaseAll()
