@@ -98,8 +98,16 @@ object Bench {
       // Release operator caches after the last batch key, before the
       // streaming-fixed block (names order puts streaming last).
       if (streamingFixed(name)) graft.operators.Caches.releaseAll()
-      val runs = if (streamingFixed(name)) 2 else 3
-      name -> (1 to runs).map(_ => timed(name))
+      val base = if (streamingFixed(name)) 2 else 3
+      val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
+      // Adaptive top-up for cheap-but-noisy batch keys: if the passes
+      // still spread > 1.5× and the key costs < 1 s, buy up to 2 more
+      // observations (pennies of wall clock) — the min only improves,
+      // so a same-session re-run of the reported value converges.
+      while (!streamingFixed(name) && times.length < 5 &&
+        times.min < 1.0 && times.max / math.max(times.min, 1e-9) > 1.5)
+        times += timed(name)
+      name -> times.toSeq
     }
     graft.operators.Caches.releaseAll()
 
