@@ -109,6 +109,7 @@ object SparkEntry {
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
+    "scan_binary"       -> (graft.sources.FormatSources.scanBinary _),
     "scan_partitioned"  -> (graft.sources.FormatSources.scanPartitioned _),
     "scan_dpp"          -> (graft.sources.FormatSources.scanDpp _),
     "stream_static_join"-> (graft.streaming.Streams.streamStaticJoin _),
@@ -1081,6 +1082,17 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
+
+    // binaryFile raw-file ingest: the files hold exactly the UTF-8
+    // text bytes keyed by doc_id, so the oracle replays identity,
+    // octet length and sha-256 over the original parquet — a green
+    // hash certifies write → listing → binary read → blob integrity.
+    "scan_binary" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS blob_len,
+        |       sha256(text) AS sha
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // Lossless columnar round-trip ⇒ the oracle replays projection +
     // filter over the original parquet.

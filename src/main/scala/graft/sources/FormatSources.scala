@@ -127,6 +127,57 @@ object FormatSources {
       .orderBy("o_orderkey")
   }
 
+  // `scan_binary` — Spark's `binaryFile` source: the raw-file ingest
+  // half of the multimodal story. operators/Multimodal.scala models
+  // blobs already sitting IN parquet columns; real media corpora first
+  // LAND as loose files, and this scan is the very first job such a
+  // pipeline runs (list → read bytes → extract identity/metadata →
+  // pack into parquet blobs, which the Multimodal operators consume).
+  //
+  // Export: one `<doc_id>.bin` file per document (the text bytes as the
+  // stand-in blob), written ONCE per (sf-dir) via a distributed
+  // foreachPartition and committed with a _SUCCESS marker — bench
+  // passes then measure only the SCAN, and a killed half-write rebuilds
+  // (no marker). Read: format("binaryFile") → (path, modificationTime,
+  // length, content); doc_id parsed from the filename, blob_len from
+  // the source's length column, sha-256 over the content bytes. The
+  // DuckDB oracle replays the projection over documents.parquet, so a
+  // green hash certifies the whole loop: file write, listing, binary
+  // read, blob integrity.
+  //
+  // Scale notes: binaryFile parallelizes per file (files pack into
+  // splits up to maxPartitionBytes), filters on the metadata columns
+  // (path glob, length) prune at LIST time, and nothing shuffles — the
+  // plan is scan → project → sort. The 100 TB reality this key models
+  // is the small-files problem itself: millions of loose media files
+  // are listed once, then immediately consolidated into columnar blobs.
+  def scanBinary(spark: SparkSession, dir: String): DataFrame = {
+    val root = Paths.get(exportPath("binfiles", dir))
+    val marker = root.resolve("_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.streaming.Streams.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val rootStr = root.toString
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(rootStr, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.createFile(marker)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(root.toString)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("blob_len"),
+        sha2(col("content"), 256).as("sha"))
+      .orderBy("doc_id")
+  }
+
   // `scan_orc` — ORC export/scan of the supplier projection. Unlike the
   // text formats, ORC is columnar: pruning and predicate pushdown DO
   // apply (same contract class as parquet), so this key closes the

@@ -81,5 +81,23 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() === expect)
   }
 
+  test("binaryFile scan: one row per landed file, blob bytes intact, rebuild on missing marker") {
+    import org.apache.spark.sql.functions.{sha2, length => flen}
+    val back = sources.FormatSources.scanBinary(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val expect = docs
+      .select(col("doc_id"), flen(col("text")).cast("long"),
+        sha2(col("text").cast("binary"), 256))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(back === expect) // ASCII corpus: char length == octet length
+    // the _SUCCESS marker gates the export: removing it forces a full,
+    // correct rebuild (the half-written-then-killed session story)
+    val root = java.nio.file.Paths.get(
+      sources.FormatSources.exportPath("binfiles", sf))
+    java.nio.file.Files.delete(root.resolve("_SUCCESS"))
+    assert(sources.FormatSources.scanBinary(spark, sf).count() === expect.size)
+    assert(java.nio.file.Files.exists(root.resolve("_SUCCESS")))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
