@@ -120,6 +120,11 @@ object SparkEntry {
     "agg_sketch_rollup" -> (EventAnalytics.aggSketchRollup _),
     "pipeline_corpus"   -> (Pipeline.pipelineCorpus _),
     "dedup_spans"       -> (Dedup.dedupSpans _),
+    "join_bloom"        -> (Relational.joinBloom _),
+    "doc_chunk"         -> (TextAnalysis.docChunk _),
+    "embed_quantize"    -> (Similarity.embedQuantize _),
+    "agg_bitmap_distinct" -> (EventAnalytics.aggBitmapDistinct _),
+    "compact_files"     -> (Layout.compactFiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1286,6 +1291,76 @@ object SparkEntry {
         |       event_type AS last_type, round(value, 4) AS last_value
         |FROM r WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // The bloom filter is correctness-neutral plan surgery — the oracle
+    // is the plain join (same contract style as join_salted).
+    "join_bloom" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |       count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY ship_year""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |         CASE WHEN len(w) <= 32 THEN 1
+        |              ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1
+        |         END AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS k FROM c
+        |)
+        |SELECT doc_id, k AS chunk_id,
+        |       CAST(least(32, n - k*24) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(w[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
+        |FROM x
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Integer-exact code aggregates; x/scale*127 is the identical
+    // left-to-right double expression in both engines (no summation
+    // reassociation), so round() picks the same int8 code.
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(embedding,
+        |           v -> CAST(round(CAST(v AS DOUBLE) / scale * 127)
+        |                     AS INTEGER)) AS q
+        |  FROM s
+        |)
+        |SELECT vec_id, round(scale, 4) AS scale_r,
+        |       CAST(len(q) AS BIGINT) AS n_dims,
+        |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |       list_min(q) AS q_min,
+        |       list_max(q) AS q_max
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
+
+    // Bitmaps are exact: both columns must equal count(DISTINCT).
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT user_id) AS n_users_rollup
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Compaction must be lossless: identity replay over the original.
+    "compact_files" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

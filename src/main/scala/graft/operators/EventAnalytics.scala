@@ -140,4 +140,37 @@ object EventAnalytics {
         hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
     days.unionAll(total).orderBy(asc_nulls_last("day"))
   }
+
+  // `agg_bitmap_distinct` — EXACT mergeable distinct counting over a
+  // dense integer key space (the deterministic sibling of
+  // `agg_sketch_rollup`): user ids are bucketed into fixed 32768-bit
+  // bitmaps (bitmap_bucket_number / bitmap_bit_position), per-group
+  // bitmaps build in one map-side-partial aggregation, and distinct =
+  // Σ bitmap_count over buckets. Emitted twice to certify mergeability
+  // end-to-end: `n_users` builds per-(type, bucket) bitmaps from the
+  // whole log; `n_users_rollup` builds DAY-grain bitmaps first and
+  // OR-merges them up (bitmap_or_agg) — bitwise the same sets, so the
+  // two columns must agree exactly (the oracle emits count(DISTINCT)
+  // for both). At 100 TB this is the id-keyed distinct pattern when the
+  // 2-5% HLL error is not acceptable: per-partition bitmaps roll up to
+  // any coarser grain at |buckets|·4 KB per group, never re-scanning
+  // the log — exactness for a bounded, known key domain.
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      expr("bitmap_bucket_number(user_id)").as("bucket"),
+      expr("bitmap_bit_position(user_id)").as("pos"))
+    val direct = base.groupBy("event_type", "bucket")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    val rolled = base.groupBy("event_type", "day", "bucket")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy("event_type", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users_rollup"))
+    direct.join(rolled, Seq("event_type"))
+      .orderBy("event_type")
+  }
 }

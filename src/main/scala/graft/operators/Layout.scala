@@ -54,4 +54,42 @@ object Layout {
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  // `compact_files` — small-file compaction, the table-maintenance job
+  // every 100 TB lakehouse runs continuously: streaming/CDC ingest
+  // leaves thousands of KB-sized parquet files per partition, and every
+  // downstream scan then pays per-file open/footer/list cost (the
+  // binaryFile key models the same problem at LANDING; this key is the
+  // parquet-native half). Shape: a 64-tiny-file input layout (written
+  // once per sf dir — the parquet committer's _SUCCESS marker makes the
+  // write idempotent across bench passes), compacted by read → coalesce
+  // → write. `coalesce` (not `repartition`): compaction must NOT
+  // shuffle — each output task just concatenates input splits, so the
+  // job is pure sequential IO. `maxRecordsPerFile` bounds the other
+  // direction (a compactor that produces 10 GB files trades the
+  // small-file problem for an unsplittable-row-group one). At 100 TB
+  // this runs per-partition (compact WITHIN each date dir), so
+  // coalesce's reduced read parallelism is bounded by partition size,
+  // never the table. The oracle replays identity (id/lang/len/md5) over
+  // the original table, certifying the round-trip is lossless; LayoutSpec
+  // asserts the file counts (64 → ≤4).
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val small = graft.sources.FormatSources.exportPath("smallfiles", dir)
+    val compacted = graft.sources.FormatSources.exportPath("compacted", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(small, "_SUCCESS"))) {
+      Tables.documents(spark, dir)
+        .repartition(64, col("doc_id"))
+        .write.mode("overwrite").parquet(small)
+    }
+    spark.read.parquet(small)
+      .coalesce(4)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 500000)
+      .parquet(compacted)
+    spark.read.parquet(compacted)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -222,6 +222,78 @@ object Relational {
       .orderBy(Tables.lineitemKey.map(col): _*)
   }
 
+  // `join_bloom` — runtime BLOOM-FILTER pruned join: the selective
+  // predicate lives on the small (creation) side, so a plain shuffle
+  // join still ships EVERY probe-side row; Catalyst's InjectRuntimeFilter
+  // builds a bloom filter over the filtered build keys as a subquery and
+  // pushes might_contain(l_orderkey) into the probe scan — ~80% of
+  // lineitem is dropped BEFORE the shuffle (DPP's row-level sibling for
+  // tables not partitioned on the join key; scan_dpp covers the
+  // partition-level case). At 100 TB this is the difference between
+  // shuffling the full fact table and shuffling the 1/5th that can
+  // possibly match.
+  //
+  // The injection thresholds are sized for clusters (application side
+  // > 10 GB), so the function scopes them down, EAGERLY materializes
+  // the join under the scoped conf (localCheckpoint — the conf must be
+  // live at execution, not at declaration), then restores. The
+  // superseded checkpoint from the previous invocation is released
+  // (same hygiene as the iterative loops, VERDICT r6 item 4). PlanSpec
+  // asserts might_contain lands in the probe scan's plan; the oracle
+  // replays the plain join in SQL (the bloom filter is correctness-
+  // neutral plan surgery, like salting).
+  private var bloomPrev: Option[DataFrame] = None
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val out = withBloomConf(spark) {
+      joinBloomPlan(spark, dir).localCheckpoint()
+    }
+    synchronized {
+      bloomPrev.foreach(graft.operators.Caches.releaseCheckpoint)
+      bloomPrev = Some(out)
+    }
+    out.orderBy("ship_year")
+  }
+
+  /** The un-checkpointed join (shared with PlanSpec, which asserts the
+    * might_contain bloom probe appears when planned under
+    * [[withBloomConf]]). */
+  private[graft] def joinBloomPlan(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+      .hint("merge")
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"))
+  }
+
+  /** Scoped runtime-bloom-filter confs: thresholds sized for this
+    * local-mode data (the defaults gate on >10 GB application-side
+    * scans), restored after `body` EXECUTES (not just declares) its
+    * plan. Shared with PlanSpec's injection assertion. */
+  private[graft] def withBloomConf[T](spark: SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      // InjectRuntimeFilter skips joins it expects to BROADCAST
+      // (isProbablyShuffleJoin: either side under the broadcast
+      // threshold → no bloom). At 100 TB neither side broadcasts; at
+      // local sf the dim is tiny, so model the cluster condition by
+      // disabling size-based broadcast inside the scope.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // Q12 `agg_group` — TPC-H Q1 shape: grouped sum/avg/min/max/count with
   // automatic partial+final aggregation (reference analogue: the scalar
   // accumulator, TpchQuery6.java:21,32 — generalized to grouped).

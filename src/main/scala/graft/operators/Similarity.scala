@@ -256,4 +256,33 @@ object Similarity {
       .select("probe_id", "cand_id", "cosine")
       .orderBy("probe_id", "cand_id")
   }
+
+  // `embed_quantize` — symmetric int8 quantization of the embedding
+  // store (per-vector scale = max|xᵢ|, code qᵢ = round(xᵢ/scale·127)):
+  // the standard 4×-shrink for a billion-vector ANN shortlist tier
+  // (float32 → int8; rerank the shortlist at full precision). Map-only
+  // expression work over one scan — no shuffle, no UDF.
+  //
+  // Oracle exactness: xᵢ/scale·127 is the same left-to-right double
+  // expression in both engines over identical float inputs — no
+  // summation reassociation anywhere — so the doubles are bit-identical
+  // and round() (ties away from zero in both) picks the same code. All
+  // emitted aggregates of the codes (sum/min/max) are integer-exact;
+  // only the display copy of the scale is round(·,4)-pinned.
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          v => round(v.cast("double") / col("scale") * 127, 0).cast("int"))
+          .as("q"))
+      .select(col("vec_id"),
+        round(col("scale"), 4).as("scale_r"),
+        size(col("q")).cast("long").as("n_dims"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
 }

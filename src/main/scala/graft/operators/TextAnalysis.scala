@@ -460,6 +460,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `doc_chunk` — fixed-size overlapping token-window chunking (chunk
+  // C = 32 tokens, stride S = 24 → 8-token overlap): the operator every
+  // RAG / pretraining pipeline runs between cleaning and packing. Every
+  // doc emits ceil((n−C)/S)+1 chunks (min 1); chunk k covers tokens
+  // [k·S, k·S+C), the tail chunk clamps. Pure expression work: one
+  // projected token array (bound attribute — the HOF-capture O(n²) trap
+  // documented on Dedup.shingles), sequence+explode for the chunk ids,
+  // slice+array_join for the chunk text. Scale: map-only (explode is a
+  // per-row generator, no shuffle); output ≈ n_tokens/S rows per doc —
+  // the same linear blowup the downstream embedding job pays anyway.
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (32, 24)
+    val n = size(col("w")).cast("long")
+    val nChunks = when(n <= c, lit(1L))
+      .otherwise(ceil((n - lit(c)).cast("double") / s).cast("long") + lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"), n.as("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(c.toLong), col("n") - col("chunk_id") * s)
+          .as("n_chunk_tokens"),
+        array_join(
+          slice(col("w"), (col("chunk_id") * s + 1).cast("int"), lit(c)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sk = Dedup.shingles(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("s")).as("h"))

@@ -216,6 +216,36 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") === 1)
   }
 
+  test("join_bloom: runtime bloom filter probes the lineitem side pre-shuffle") {
+    operators.Relational.withBloomConf(spark) {
+      withoutAQE {
+        val p = operators.Relational.joinBloomPlan(spark, sf)
+          .queryExecution.executedPlan.toString
+        // InjectRuntimeFilter builds a BloomFilterAggregate subquery over
+        // the filtered orders keys and pushes might_contain(l_orderkey)
+        // into the probe side below its shuffle — the row-level DPP.
+        assert(p.contains("might_contain"),
+          s"expected a bloom might_contain probe in:\n$p")
+        assert(p.contains("SortMergeJoin"), p)
+      }
+    }
+  }
+
+  test("compact_files: 64-file input layout compacts to at most 4 files") {
+    operators.Layout.compactFiles(spark, sf)
+    def parquetFiles(dir: String): Int = {
+      val d = java.nio.file.Paths.get(dir)
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(java.nio.file.Files.list(d).iterator())
+        .asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val small = parquetFiles(sources.FormatSources.exportPath("smallfiles", sf))
+    val compacted = parquetFiles(sources.FormatSources.exportPath("compacted", sf))
+    assert(small === 64, s"small-file input layout holds $small files")
+    assert(compacted > 0 && compacted <= 4,
+      s"compaction produced $compacted files (want 1..4)")
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the

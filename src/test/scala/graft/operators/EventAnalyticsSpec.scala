@@ -41,6 +41,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(viaUnion === direct)
   }
 
+  test("agg_bitmap_distinct: bitmap counts equal exact distinct, " +
+      "day-grain rollup agrees with direct") {
+    // The oracle certifies both columns against count(DISTINCT); this
+    // spec pins the same claim in-engine (and keeps it pinned at a
+    // different sf than the driver's compare).
+    val rows = EventAnalytics.aggBitmapDistinct(spark, sf).collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)),
+        s"${r.getString(0)}: bitmap != exact")
+      assert(r.getLong(2) === r.getLong(1),
+        s"${r.getString(0)}: day-grain OR-rollup disagrees with direct")
+    }
+  }
+
   test("cdc_upsert: tombstoned keys absent, resurrected keys present") {
     val ev = Tables.events(spark, sf)
     val state = EventAnalytics.cdcUpsert(spark, sf)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Similarity search correctness (SURVEY.md §2B Q39 + IVF extension). */
 class SimilaritySpec extends SparkSpec {
@@ -61,6 +61,23 @@ class SimilaritySpec extends SparkSpec {
     Similarity.simAnn(spark, sf).collect().foreach { r =>
       val k = (r.getLong(0), r.getLong(1))
       bf.get(k).foreach(c => assert(c === r.getDouble(2)))
+    }
+  }
+
+  test("embed_quantize: codes bounded by ±127, max|code| hits 127, " +
+      "scale positive, dims preserved") {
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (scale, nDims) = (r.getDouble(1), r.getLong(2))
+      val (qMin, qMax) = (r.getInt(4), r.getInt(5))
+      assert(scale > 0.0, s"vec ${r.getLong(0)}: non-positive scale")
+      assert(nDims === 64)
+      assert(qMin >= -127 && qMax <= 127,
+        s"vec ${r.getLong(0)}: code outside int8 range [$qMin,$qMax]")
+      // symmetric quantization maps the max-|x| coordinate to ±127
+      assert(math.max(math.abs(qMin), math.abs(qMax)) === 127,
+        s"vec ${r.getLong(0)}: scale not anchored to max|x|")
     }
   }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Structural contracts for the chunking operator (the oracle certifies
+  * the emitted values; this spec pins the WINDOWING invariants a chunker
+  * must hold — full coverage, fixed size, fixed overlap). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("doc_chunk: every doc fully covered; non-tail chunks are exactly " +
+      "32 tokens; tail ends at the last token") {
+    val chunks = TextAnalysis.docChunk(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc emits at least one chunk
+    assert(chunks.select("doc_id").distinct().count() === nDocs)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id")).as("last_k"),
+        max_by(col("n_chunk_tokens"), col("chunk_id")).as("tail_len"),
+        min(col("n_chunk_tokens")).as("min_len"),
+        sum(when(col("n_chunk_tokens") =!= 32, 1).otherwise(0)).as("n_short"))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+    val bad = perDoc.join(nTok, "doc_id")
+      .filter(
+        // tail chunk must end exactly at token n (full coverage, no
+        // over-run): last_k*stride + tail_len == n
+        col("last_k") * 24 + col("tail_len") =!= col("n") ||
+        // at most the tail may be shorter than the chunk size
+        col("n_short") > 1 ||
+        // every chunk is non-empty
+        col("min_len") <= 0)
+      .count()
+    assert(bad === 0)
+    // chunk_text really holds n_chunk_tokens tokens
+    val mismatched = TextAnalysis.docChunk(spark, sf)
+      .filter(size(split(col("chunk_text"), "\\s+")).cast("long")
+        =!= col("n_chunk_tokens"))
+      .count()
+    assert(mismatched === 0)
+  }
+}
