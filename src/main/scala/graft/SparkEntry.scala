@@ -125,6 +125,9 @@ object SparkEntry {
     "embed_quantize"    -> (Similarity.embedQuantize _),
     "agg_bitmap_distinct" -> (EventAnalytics.aggBitmapDistinct _),
     "compact_files"     -> (Layout.compactFiles _),
+    "scd2_history"      -> (EventAnalytics.scd2History _),
+    "vocab_topk"        -> (TextAnalysis.vocabTopk _),
+    "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1361,6 +1364,46 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_id, event_type AS status, ts AS valid_from,
+        |       coalesce(lead(ts) OVER
+        |                  (PARTITION BY user_id ORDER BY ts, event_id),
+        |                TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+        |       CAST(lead(ts) OVER
+        |              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            AS INTEGER) AS is_current
+        |FROM f
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |        AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 100""".stripMargin,
+
+    // The streaming file-sink run must emit EXACTLY the batch window
+    // aggregation (same oracle shape as stream_tumbling): a green hash
+    // proves no window was lost in state and the sink committed each
+    // batch exactly once.
+    "stream_sink_files" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -172,5 +173,33 @@ object EventAnalytics {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users_rollup"))
     direct.join(rolled, Seq("event_type"))
       .orderBy("event_type")
+  }
+
+  // `scd2_history` — slowly-changing-dimension TYPE 2 from a changelog
+  // (cdc_upsert is type 1 — latest state only; this keeps the full
+  // validity history a training-data lineage or feature-store backfill
+  // needs): per user, consecutive same-status records collapse to one
+  // CHANGE row (lag ≠ current), each change opens an interval
+  // [valid_from, valid_to) closed by the next change; the open interval
+  // gets a far-future sentinel end and is_current=1. Two window passes
+  // over the SAME (user_id × (ts, event_id)) partitioning — Catalyst
+  // plans one shuffle + one sort, the second window reuses both. At
+  // 100 TB this shuffles the changelog once on the entity key, state is
+  // per-user linear, and the output is strictly smaller than the input
+  // (changes only) — the standard history-table build.
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("next_from", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("status"),
+        col("ts").as("valid_from"),
+        coalesce(col("next_from"),
+          lit("2100-01-01 00:00:00").cast("timestamp")).as("valid_to"),
+        col("next_from").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
   }
 }

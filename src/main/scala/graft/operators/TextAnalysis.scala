@@ -460,6 +460,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `vocab_topk` — corpus vocabulary heavy hitters: explode tokens,
+  // count, top-100 by (count desc, token asc — the tie-break makes the
+  // cut deterministic in both engines). The plan is the scale shape
+  // that matters: map-side partial counts collapse the exploded token
+  // stream BEFORE the shuffle (the exchange carries one row per
+  // distinct token per task, not per occurrence), and the top-k is
+  // TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+  // never a global sort. The vocabulary-frequency pass every tokenizer
+  // build (BPE corpus stats) and corpus audit runs.
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(100)
+
   // `doc_chunk` — fixed-size overlapping token-window chunking (chunk
   // C = 32 tokens, stride S = 24 → 8-token overlap): the operator every
   // RAG / pretraining pipeline runs between cleaning and packing. Every

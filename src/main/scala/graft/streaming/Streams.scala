@@ -356,4 +356,73 @@ object Streams {
     } finally { q.stop(); deleteRecursively(ckpt) }
     s.table(name).orderBy("ws")
   }
+
+  // `stream_sink_files` — the streaming FILE pipeline end-to-end, the
+  // surface every incremental 100 TB ingest job lives on: a file-stream
+  // SOURCE (the directory-watching reader that turns landed files into
+  // micro-batches) through a watermarked tumbling aggregation into the
+  // exactly-once parquet FILE SINK (output files are only visible once
+  // committed to the sink's _spark_metadata log — a reader never sees a
+  // half-written batch, and the returned DataFrame reads back through
+  // that log). The other streaming keys certify transforms over memory
+  // sources/sinks; this one certifies the durable source→sink loop with
+  // a Trigger.AvailableNow run (the catch-up-then-stop mode an
+  // incremental batch pipeline schedules).
+  //
+  // Determinism: append mode only emits a window once the watermark
+  // passes it, and the watermark only reaches max(ts) AFTER the last
+  // data micro-batch — which would leave the final window(s) stuck in
+  // state forever. The input copy (written once per sf dir) therefore
+  // carries ONE far-future sentinel row (year 2100): the no-data batch
+  // after it pushes the watermark past every real window, flushing them
+  // all; the sentinel's own window never closes, so it never appears in
+  // the output — nothing to filter. The DuckDB oracle replays the plain
+  // batch window aggregation over `events`, so a green hash proves the
+  // streaming run emitted EXACTLY the batch answer (no lost windows, no
+  // duplicates from the sink's commit protocol).
+  def streamSinkFiles(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tag = graft.Util.pathTag(dir)
+    val inDir = tmp.resolve(s"graft_ssink_in_$tag")
+    if (!java.nio.file.Files.exists(inDir.resolve("_SUCCESS"))) {
+      deleteRecursively(inDir)
+      val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
+      val sentinel = spark.sql(
+        """SELECT TIMESTAMP '2100-01-01 00:00:00' AS ts,
+          |       '__sentinel__' AS event_type, CAST(0.0 AS DOUBLE) AS value
+          |""".stripMargin)
+      ev.unionByName(sentinel).coalesce(4)
+        .write.mode("overwrite").parquet(inDir.toString)
+    }
+    // one output + checkpoint location per sf dir, cleared per
+    // invocation: each run is a fresh end-to-end stream (the honest
+    // fixed-latency cost), and /tmp holds at most one copy (ADVICE r3).
+    val outDir = tmp.resolve(s"graft_ssink_out_$tag")
+    val ckpt = tmp.resolve(s"graft_ssink_ckpt_$tag")
+    deleteRecursively(outDir); deleteRecursively(ckpt)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val agg = s.readStream.schema(schema).parquet(inDir.toString)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); deleteRecursively(ckpt) }
+    // reads back THROUGH the sink's _spark_metadata commit log
+    s.read.parquet(outDir.toString).orderBy("ws", "event_type")
+  }
 }

@@ -216,6 +216,15 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") === 1)
   }
 
+  test("vocab_topk: partial counts pre-shuffle, top-k never a global sort") {
+    val p = plan(operators.TextAnalysis.vocabTopk(spark, sf))
+    assert(p.contains("partial_count"),
+      "exploded token stream must collapse map-side before the exchange")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not plan a global sort")
+  }
+
   test("join_bloom: runtime bloom filter probes the lineitem side pre-shuffle") {
     operators.Relational.withBloomConf(spark) {
       withoutAQE {

@@ -59,6 +59,30 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scd2_history: per-user intervals chain without gaps or overlap; " +
+      "exactly one open interval each") {
+    val h = EventAnalytics.scd2History(spark, sf)
+    // exactly one is_current row per user
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(h.filter(col("is_current") === 1).count() === users)
+    // intervals chain: this row's valid_to == next row's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    val broken = h
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+      .count()
+    assert(broken === 0, "validity intervals must chain end-to-start")
+    // no collapsed duplicates: consecutive rows always change status
+    val dup = h
+      .withColumn("next_status", lead(col("status"), 1).over(w))
+      .filter(col("next_status").isNotNull &&
+        col("next_status") === col("status"))
+      .count()
+    assert(dup === 0, "consecutive intervals must differ in status")
+  }
+
   test("cdc_upsert: tombstoned keys absent, resurrected keys present") {
     val ev = Tables.events(spark, sf)
     val state = EventAnalytics.cdcUpsert(spark, sf)

@@ -169,6 +169,21 @@ class StreamingSpec extends SparkSpec
     assert(canon(spark.table(name)) === canon(batch))
   }
 
+  test("stream_sink_files: output reads through the sink's _spark_metadata " +
+      "commit log; sentinel window never emitted") {
+    val out = graft.streaming.Streams.streamSinkFiles(spark, sf)
+    // the exactly-once contract hinges on the commit log: the read-back
+    // path must go through _spark_metadata, not a raw directory listing
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ssink_out_${graft.Util.pathTag(sf)}")
+    assert(java.nio.file.Files.exists(outDir.resolve("_spark_metadata")),
+      "parquet sink must write a _spark_metadata commit log")
+    // the 2100 sentinel's window must stay in state, never in output
+    assert(out.filter(col("event_type") === "__sentinel__").count() === 0)
+    assert(out.filter(year(col("ws")) > 2030).count() === 0)
+  }
+
   test("sessionizer: out-of-order in-watermark event extends the open session's start") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
