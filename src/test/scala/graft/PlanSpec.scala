@@ -216,6 +216,29 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") === 1)
   }
 
+  test("doc_chunk: tokenization runs once per doc, not once per chunk row") {
+    val p = plan(operators.TextAnalysis.docChunk(spark, sf))
+    // the split() must live BELOW the Generate (projected to the bound
+    // attribute w that explode and the chunk slice both read); a split
+    // above the Generate would re-tokenize the doc for every chunk row
+    assert(count(p, "split(") === 1, p)
+    val (above, below) = p.split("Generate", 2) match {
+      case Array(a, b) => (a, b)
+    }
+    assert(!above.contains("split("), "split re-evaluated above Generate")
+    assert(below.contains("split("), p)
+  }
+
+  test("scd2_history: both windows share one exchange and one sort") {
+    val p = plan(operators.EventAnalytics.scd2History(spark, sf))
+    // lag-filter and lead-close declare the same (user_id × ts,event_id)
+    // ordering — the plan must pay the changelog shuffle once; the only
+    // other exchange is the terminal ORDER BY's range partitioning
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    assert(count(p, "Exchange rangepartitioning") === 1, p)
+    assert(count(p, "Window") === 2, p)
+  }
+
   test("vocab_topk: partial counts pre-shuffle, top-k never a global sort") {
     val p = plan(operators.TextAnalysis.vocabTopk(spark, sf))
     assert(p.contains("partial_count"),
