@@ -128,6 +128,7 @@ object SparkEntry {
     "scd2_history"      -> (EventAnalytics.scd2History _),
     "vocab_topk"        -> (TextAnalysis.vocabTopk _),
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
+    "layout_sorted"     -> (Layout.layoutSorted _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1404,6 +1405,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+
+    // Sorted layout is correctness-neutral: the oracle is the plain
+    // range filter over the original table.
+    "layout_sorted" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_extendedprice, CAST(l_shipdate AS DATE) AS ship_d
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -92,4 +92,55 @@ object Layout {
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
   }
+
+  // `layout_sorted` — range-CLUSTERED sorted layout + parquet min/max
+  // skipping: the third layout lever, one level below the other two
+  // (scan_partitioned prunes DIRECTORIES, join_bucketed pre-pays the
+  // JOIN shuffle; this prunes FILES and ROW GROUPS inside a flat
+  // directory). `repartitionByRange` on the filter column gives every
+  // output file a DISJOINT value range, and `sortWithinPartitions`
+  // keeps each file's row groups tightly enveloped, so the footer
+  // min/max stats let a range predicate eliminate whole files/groups
+  // before any page is read — the poor man's z-order, and the reason
+  // every 100 TB table spec has a CLUSTER/SORT BY clause. The range
+  // shuffle is paid ONCE at write; reads pay nothing. The small
+  // parquet.block.size forces multiple row groups per file at bench
+  // scale (a production table gets them for free from volume).
+  // PlanSpec measures the effect: the clustered scan's numOutputRows ≈
+  // the match count, while the same filter over the UNSORTED original
+  // emits every row to the post-scan filter. Oracle replays the plain
+  // filter — layout is correctness-neutral.
+  // The cluster key is a DERIVED DATE column, not the raw timestamp —
+  // two reasons. Production: day granularity is what ingest clusters
+  // on. Measured: the vectorized reader does NOT stats-eliminate on
+  // this table's TIMESTAMP(NTZ) column (same pushed range filter over
+  // the same disjoint files: ts emits all 6000 rows, date emits 690 —
+  // the footer envelope is only consulted for the date/long types), so
+  // a timestamp-clustered layout would silently lose the skipping it
+  // paid the write shuffle for. PlanSpec would catch that regression.
+  def layoutSorted(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_extendedprice"),
+        to_date(col("l_shipdate")).as("ship_d"))
+      .repartitionByRange(8, col("ship_d"))
+      .sortWithinPartitions("ship_d")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 256 * 1024)
+      .parquet(sortedPath(dir))
+    layoutSortedRead(spark, dir)
+      .orderBy(Tables.lineitemKey.map(col): _*)
+  }
+
+  private[graft] def sortedPath(dir: String): String =
+    graft.sources.FormatSources.exportPath("sorted", dir)
+
+  /** The filtered read over the clustered layout WITHOUT the terminal
+    * sort — shared with PlanSpec, whose scan-metric measurement must
+    * not include the range-sort's sampling pass (it re-executes the
+    * scan and double-counts numOutputRows). */
+  private[graft] def layoutSortedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sortedPath(dir))
+      .filter(col("ship_d") >= lit("1996-01-01").cast("date") &&
+        col("ship_d") < lit("1996-04-01").cast("date"))
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Physical-plan assertions — the scale contract (SURVEY.md §4, scale
   * notes in each operator file). These lock in the plan shapes that
@@ -237,6 +238,38 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p)
     assert(count(p, "Exchange rangepartitioning") === 1, p)
     assert(count(p, "Window") === 2, p)
+  }
+
+  test("layout_sorted: row-group min/max skipping — sorted scan emits " +
+      "only matching groups, unsorted emits everything") {
+    withoutAQE {
+      val matched = operators.Layout.layoutSorted(spark, sf).count()
+      val total = Tables.lineitem(spark, sf).count()
+      def scanRows(d: org.apache.spark.sql.DataFrame): Long = {
+        val exec = d.queryExecution.executedPlan
+        val scan = exec.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+        exec.execute().count()
+        scan.metrics("numOutputRows").value
+      }
+      // clustered layout: the predicate's min/max envelope eliminates
+      // whole files/row groups — the scan emits close to the match
+      // count (measured on the sort-free read: the terminal sort's
+      // range-sampling pass would re-execute the scan and double-count)
+      val clustered = scanRows(operators.Layout.layoutSortedRead(spark, sf))
+      // the same filter over the original (unsorted, single-row-group)
+      // file can eliminate nothing: every row reaches the post-scan filter
+      val unsorted = scanRows(
+        Tables.lineitem(spark, sf)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp")))
+      assert(matched > 0 && matched < total)
+      assert(unsorted === total,
+        s"unsorted baseline expected to emit all $total rows, got $unsorted")
+      assert(clustered < total / 2,
+        s"clustered scan emitted $clustered of $total — nothing skipped")
+    }
   }
 
   test("vocab_topk: partial counts pre-shuffle, top-k never a global sort") {
