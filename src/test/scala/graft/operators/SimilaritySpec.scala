@@ -80,4 +80,26 @@ class SimilaritySpec extends SparkSpec {
         s"vec ${r.getLong(0)}: scale not anchored to max|x|")
     }
   }
+
+  test("embed_quantize: reconstruction error bounded by half a " +
+      "quantization step on every coordinate") {
+    // |x − q·scale/127| ≤ scale/254 (+ε): round-to-nearest can be off
+    // by at most half a step — the numerical contract that makes the
+    // int8 tier usable for shortlist scoring before full-precision
+    // rerank.
+    val bad = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(
+          transform(col("embedding"), v =>
+            abs(v.cast("double") -
+              round(v.cast("double") / col("scale") * 127, 0) *
+                col("scale") / 127.0)),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+      .filter(col("max_err") > col("scale") / 254.0 + 1e-12)
+      .count()
+    assert(bad === 0)
+  }
 }
