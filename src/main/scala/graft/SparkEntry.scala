@@ -129,6 +129,7 @@ object SparkEntry {
     "vocab_topk"        -> (TextAnalysis.vocabTopk _),
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
     "layout_sorted"     -> (Layout.layoutSorted _),
+    "ts_resample"       -> (EventAnalytics.tsResample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1415,6 +1416,29 @@ object SparkEntry {
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    // Gap fill: silent hours must appear as explicit zero rows.
+    "ts_resample" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+        |), agg AS (
+        |  SELECT h, event_type, count(*) AS n,
+        |         round(sum(value), 4) AS sum_value
+        |  FROM ev GROUP BY h, event_type
+        |), b AS (
+        |  SELECT min(h) AS h0, max(h) AS h1 FROM ev
+        |), grid AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+        |), ty AS (
+        |  SELECT DISTINCT event_type FROM ev
+        |)
+        |SELECT g.h, ty.event_type,
+        |       coalesce(a.n, 0) AS n,
+        |       coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM grid g
+        |CROSS JOIN ty
+        |LEFT JOIN agg a ON a.h = g.h AND a.event_type = ty.event_type
+        |ORDER BY g.h, ty.event_type""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

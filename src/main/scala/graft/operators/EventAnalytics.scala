@@ -187,6 +187,34 @@ object EventAnalytics {
   // 100 TB this shuffles the changelog once on the entity key, state is
   // per-user linear, and the output is strictly smaller than the input
   // (changes only) — the standard history-table build.
+  // `ts_resample` — dense time-grid resampling (gap fill): aggregate
+  // the log to the hour grain, then LEFT JOIN it onto the full
+  // hour×event_type spine (sequence over [min,max] × distinct types)
+  // so silent hours materialize as explicit zeros — the densification
+  // every time-series model, anomaly baseline, and dashboard needs
+  // (a missing row and a zero row mean different things). Scale shape:
+  // the corpus is touched ONCE by the grain aggregation (one shuffle);
+  // the spine is |hours|·|types| rows — derived from two scalar bounds
+  // and a tiny distinct, never from the log — so the gap-fill join is
+  // small×small regardless of corpus size. The sequence+explode spine
+  // is the same generator pattern as doc_chunk, applied to time.
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"), col("value"))
+    val agg = ev.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    grid.crossJoin(ev.select("event_type").distinct())
+      .join(agg, Seq("h", "event_type"), "left_outer")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)

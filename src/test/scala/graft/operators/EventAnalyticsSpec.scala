@@ -83,6 +83,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(dup === 0, "consecutive intervals must differ in status")
   }
 
+  test("ts_resample: complete hour×type grid; silent hours are explicit " +
+      "zeros; non-zero rows equal the plain aggregation") {
+    val r = EventAnalytics.tsResample(spark, sf)
+    val hours = r.select("h").distinct().count()
+    val types = r.select("event_type").distinct().count()
+    assert(r.count() === hours * types, "grid must be dense (no holes)")
+    val zeros = r.filter(col("n") === 0)
+    assert(zeros.count() > 0, "fixture log must have silent hours to fill")
+    assert(zeros.filter(col("sum_value") =!= 0.0).count() === 0)
+    // gap fill must not invent or alter real buckets
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).count()
+    assert(r.filter(col("n") > 0).count() === direct)
+  }
+
   test("cdc_upsert: tombstoned keys absent, resurrected keys present") {
     val ev = Tables.events(spark, sf)
     val state = EventAnalytics.cdcUpsert(spark, sf)
