@@ -1340,8 +1340,9 @@ object SparkEntry {
         |), q AS (
         |  SELECT vec_id, scale,
         |         list_transform(embedding,
-        |           v -> CAST(round(CAST(v AS DOUBLE) / scale * 127)
-        |                     AS INTEGER)) AS q
+        |           v -> CASE WHEN scale = 0 THEN 0
+        |                     ELSE CAST(round(CAST(v AS DOUBLE) / scale * 127)
+        |                               AS INTEGER) END) AS q
         |  FROM s
         |)
         |SELECT vec_id, round(scale, 4) AS scale_r,

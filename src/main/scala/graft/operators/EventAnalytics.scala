@@ -199,15 +199,25 @@ object EventAnalytics {
   // small×small regardless of corpus size. The sequence+explode spine
   // is the same generator pattern as doc_chunk, applied to time.
   def tsResample(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(date_trunc("hour", col("ts")).as("h"),
-        col("event_type"), col("value"))
-    val agg = ev.groupBy("h", "event_type")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-    val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // The grain aggregation is PERSISTED because three consumers need
+    // it (bounds, type dimension, gap fill): without materialization
+    // Catalyst rewrites the derived min/max/distinct straight onto the
+    // raw log (min-of-group-mins = global min) and plans three corpus
+    // scans. The persisted frame is |hours|·|types| rows — trivial to
+    // hold — and the log is read ONCE to build it (PlanSpec asserts
+    // the consumers read the cache, not the file). Same registry
+    // lifecycle as the shingle cache (operators.Caches).
+    val agg = Caches.register(
+      Tables.events(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"), col("value"))
+        .groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .persist())
+    val grid = agg.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(
         sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-    grid.crossJoin(ev.select("event_type").distinct())
+    grid.crossJoin(agg.select("event_type").distinct())
       .join(agg, Seq("h", "event_type"), "left_outer")
       .select(col("h"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"),

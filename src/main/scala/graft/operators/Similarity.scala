@@ -275,8 +275,13 @@ object Similarity {
         array_max(transform(col("embedding"), v => abs(v.cast("double"))))
           .as("scale"))
       .select(col("vec_id"), col("scale"),
+        // a zero vector (scale = 0) quantizes to all-zero codes in BOTH
+        // engines — without the guard Spark's 0/0 → NaN non-ANSI-casts
+        // to 0 while DuckDB's CAST(NaN) errors (engine-divergent)
         transform(col("embedding"),
-          v => round(v.cast("double") / col("scale") * 127, 0).cast("int"))
+          v => when(col("scale") === 0.0, lit(0))
+            .otherwise(round(v.cast("double") / col("scale") * 127, 0)
+              .cast("int")))
           .as("q"))
       .select(col("vec_id"),
         round(col("scale"), 4).as("scale_r"),

@@ -382,12 +382,11 @@ object Streams {
   // duplicates from the sink's commit protocol).
   def streamSinkFiles(spark: SparkSession, dir: String): DataFrame = {
     val s = demoSession(spark)
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val tag = graft.Util.pathTag(dir)
-    val inDir = tmp.resolve(s"graft_ssink_in_$tag")
+    val inDir = java.nio.file.Paths.get(
+      graft.sources.FormatSources.exportPath("ssink_in", dir))
+    val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
     if (!java.nio.file.Files.exists(inDir.resolve("_SUCCESS"))) {
       deleteRecursively(inDir)
-      val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
       val sentinel = spark.sql(
         """SELECT TIMESTAMP '2100-01-01 00:00:00' AS ts,
           |       '__sentinel__' AS event_type, CAST(0.0 AS DOUBLE) AS value
@@ -398,17 +397,14 @@ object Streams {
     // one output + checkpoint location per sf dir, cleared per
     // invocation: each run is a fresh end-to-end stream (the honest
     // fixed-latency cost), and /tmp holds at most one copy (ADVICE r3).
-    val outDir = tmp.resolve(s"graft_ssink_out_$tag")
-    val ckpt = tmp.resolve(s"graft_ssink_ckpt_$tag")
+    val outDir = java.nio.file.Paths.get(
+      graft.sources.FormatSources.exportPath("ssink_out", dir))
+    val ckpt = java.nio.file.Paths.get(
+      graft.sources.FormatSources.exportPath("ssink_ckpt", dir))
     deleteRecursively(outDir); deleteRecursively(ckpt)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
-    val agg = s.readStream.schema(schema).parquet(inDir.toString)
+    // declared source schema = the batch projection's schema (derived,
+    // not hand-written — cannot drift from the input copy's writer)
+    val agg = s.readStream.schema(ev.schema).parquet(inDir.toString)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))

@@ -272,6 +272,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ts_resample: spine and fill consume the cached grain agg, " +
+      "never re-scanning the log") {
+    // bounds, type dimension and gap fill must all read the persisted
+    // grain aggregation — without it Catalyst rewrites min/max/distinct
+    // onto the raw log and plans THREE corpus scans (measured). Tree
+    // assertion, not string-counting: an InMemoryTableScan is a LEAF of
+    // the consumer plan (the cached plan is not part of this tree), so
+    // the leaves must hold the three cache scans and zero file scans.
+    val leaves = withoutAQE {
+      operators.EventAnalytics.tsResample(spark, sf)
+        .queryExecution.executedPlan.collectLeaves()
+    }
+    val cacheScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    val fileScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(cacheScans >= 3, s"expected 3 cache consumers, got $cacheScans")
+    assert(fileScans === 0,
+      s"$fileScans consumer(s) bypassed the cached grain agg")
+  }
+
   test("vocab_topk: partial counts pre-shuffle, top-k never a global sort") {
     val p = plan(operators.TextAnalysis.vocabTopk(spark, sf))
     assert(p.contains("partial_count"),

@@ -175,8 +175,7 @@ class StreamingSpec extends SparkSpec
     // the exactly-once contract hinges on the commit log: the read-back
     // path must go through _spark_metadata, not a raw directory listing
     val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ssink_out_${graft.Util.pathTag(sf)}")
+      graft.sources.FormatSources.exportPath("ssink_out", sf))
     assert(java.nio.file.Files.exists(outDir.resolve("_spark_metadata")),
       "parquet sink must write a _spark_metadata commit log")
     // the 2100 sentinel's window must stay in state, never in output
