@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
     "layout_sorted"     -> (Layout.layoutSorted _),
     "ts_resample"       -> (EventAnalytics.tsResample _),
+    "scan_xml"          -> (graft.sources.FormatSources.scanXml _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1440,6 +1441,13 @@ object SparkEntry {
         |CROSS JOIN ty
         |LEFT JOIN agg a ON a.h = g.h AND a.event_type = ty.event_type
         |ORDER BY g.h, ty.event_type""".stripMargin,
+
+    // XML round-trip must be lossless: projection replay over the
+    // original parquet (same contract as scan_csv / scan_jsonl).
+    "scan_xml" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

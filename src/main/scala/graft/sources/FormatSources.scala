@@ -178,6 +178,34 @@ object FormatSources {
       .orderBy("doc_id")
   }
 
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  // `scan_xml` — XML export/scan of the part projection via Spark 4's
+  // NATIVE xml source (the donated spark-xml, in core since 4.0): the
+  // last text interchange format enterprises actually land data in
+  // (feeds, catalogs, legacy B2B). Same contract class as CSV/JSONL:
+  // explicit schema (never inference — an extra full pass at 100 TB),
+  // per-file split parallelism, no pruning/pushdown (ingest surface,
+  // not analytical format). rowTag scopes records; values round-trip
+  // like CSV (shortest-repr doubles parse back bit-exact).
+  def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("xml", dir)
+    Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite")
+      .option("rootTag", "parts").option("rowTag", "part")
+      .format("xml").save(path)
+    spark.read.schema(partSchema)
+      .option("rowTag", "part")
+      .format("xml").load(path)
+      .orderBy("p_partkey")
+  }
+
   // `scan_orc` — ORC export/scan of the supplier projection. Unlike the
   // text formats, ORC is columnar: pruning and predicate pushdown DO
   // apply (same contract class as parquet), so this key closes the
