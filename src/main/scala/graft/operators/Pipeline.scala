@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -24,7 +23,8 @@ import graft.Tables
   * Scale shape: every stage is one of the already-plan-asserted
   * operators — content-keyed shuffles (1), banded candidate generation
   * + checkpointed label propagation (2), struct-argmax agg (3), map
-  * filter (4), partitioned window (5). Nothing corpus-global reaches
+  * filter (4), two-level (lang, shard) prefix sum (5). Nothing
+  * corpus-global reaches
   * the driver; the survivors frame is persisted once because stages 2
   * and 3 both consume it. The DuckDB oracle replays all five stages
   * (recursive-CTE closure for stage 2), so the green hash certifies
@@ -56,19 +56,13 @@ object Pipeline {
         struct(col("n_chars"), negate(col("doc_id")))).as("doc_id"))
       .select("doc_id")
 
-    // 4. + 5. quality gate, then pack (the seq_pack formulation)
+    // 4. + 5. quality gate, then pack (the seq_pack formulation —
+    // shared two-level prefix sum, so parallelism scales with corpus
+    // size, not |languages|)
     val kept = labeled.join(canon, Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
       .filter(col("n_tok") >= 10)
-    val budget = 2048L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    kept
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
-        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),
-        pmod(col("cum") - col("n_tok"), lit(budget)).as("bin_off"))
-      .orderBy("doc_id")
+    TextAnalysis.packBins(kept)
   }
 }

@@ -167,22 +167,56 @@ object TextAnalysis {
   // (in doc_id order) into fixed token-budget bins of 2048, emitting
   // every doc's bin id and offset — the corpus-assembly step that turns
   // a document table into training sequences. Formulated as a running
-  // token cumsum per lang with integer division by the budget: one
-  // window shuffle on (lang), linear in corpus size. (This is
+  // token cumsum per lang with integer division by the budget. (This is
   // boundary-splitting packing — a doc may straddle two bins; greedy
   // whole-doc packing needs stateful iteration, which is the
   // flatMapGroups escape hatch, deliberately not spent here since the
   // windowed form covers the distributed shape and is exactly
   // oracle-replayable.)
+  //
+  // Scale shape: the running sum is a TWO-LEVEL prefix sum, never a
+  // single per-lang window. A `Window.partitionBy("lang")` cumsum caps
+  // parallelism at |languages| — at 100 TB each language's whole corpus
+  // would funnel through ONE task's sort. Instead (the `seq_shuffle`
+  // trick, associativity makes the output bit-identical):
+  //   1. cumsum within (lang, shard = doc_id DIV 1000) — parallelism
+  //      scales with corpus size, every shard sorts independently;
+  //   2. per-shard totals → exclusive prefix sum over the tiny
+  //      (lang, shard) frame (one row per shard — coordination stays
+  //      small while the per-doc work stays distributed);
+  //   3. cum = shard offset + within-shard cumsum.
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
     val nTok = size(toks).cast("long")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
+    packBins(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok")))
+  }
+
+  /** Two-level per-lang running-cumsum bin packing over a frame with
+    * columns (doc_id, lang, n_tok) — shared by `seq_pack` and
+    * `pipeline_corpus` stage 5. Output is identical to a global
+    * per-lang `sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)`
+    * (running sums are associative), but the doc-level window
+    * partitions by (lang, shard) so parallelism scales with data, not
+    * language count. PlanSpec pins the shape.
+    */
+  private[graft] def packBins(docs: DataFrame): DataFrame = {
+    val budget = 2048L
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sharded = docs
+      .withColumn("shard", expr("doc_id DIV 1000"))
+      .withColumn("cum_in", sum(col("n_tok")).over(wShard))
+    // one row per (lang, shard) — the exclusive-offset frame is tiny
+    val offsets = sharded.groupBy("lang", "shard")
+      .agg(sum(col("n_tok")).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("lang", "shard", "off")
+    sharded.join(offsets, Seq("lang", "shard"))
+      .withColumn("cum", col("off") + col("cum_in"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),
         pmod(col("cum") - col("n_tok"), lit(budget)).as("bin_off"))

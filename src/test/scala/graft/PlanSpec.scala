@@ -317,7 +317,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("compact_files: 64-file input layout compacts to at most 4 files") {
+  test("compact_files: small-file input layout compacts to at most 4 files") {
     operators.Layout.compactFiles(spark, sf)
     def parquetFiles(dir: String): Int = {
       val d = java.nio.file.Paths.get(dir)
@@ -327,9 +327,28 @@ class PlanSpec extends SparkSpec {
     }
     val small = parquetFiles(sources.FormatSources.exportPath("smallfiles", sf))
     val compacted = parquetFiles(sources.FormatSources.exportPath("compacted", sf))
-    assert(small === 64, s"small-file input layout holds $small files")
+    // repartition(64) hashes doc_id — empty hash partitions write no
+    // file, so assert a many-small-files threshold, not exactly 64
+    assert(small > 16 && small <= 64,
+      s"small-file input layout holds $small files (want 17..64)")
     assert(compacted > 0 && compacted <= 4,
       s"compaction produced $compacted files (want 1..4)")
+  }
+
+  test("seq_pack: doc-level cumsum windows by (lang, shard), never lang alone") {
+    val p = plan(operators.TextAnalysis.seqPack(spark, sf))
+    // Two-level prefix sum: the per-doc running window must partition
+    // by (lang, shard) so parallelism scales with corpus size, not
+    // |languages|. The only lang-partitioned window allowed is the
+    // one-row-per-shard offset frame (ordered by shard, not doc_id).
+    // pipeline_corpus stage 5 shares TextAnalysis.packBins, so this
+    // pins both.
+    assert("windowspecdefinition\\(lang#\\d+, shard#\\d+L?, doc_id"
+      .r.findFirstIn(p).nonEmpty, p)
+    assert("windowspecdefinition\\(lang#\\d+, doc_id"
+      .r.findFirstIn(p).isEmpty,
+      "per-lang doc-level window — the bounded-key scale trap:\n" + p)
+    assert(count(p, "Window") === 2, p)
   }
 
   test("whole-stage codegen fuses the q6 pipeline into one span") {

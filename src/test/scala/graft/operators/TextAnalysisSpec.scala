@@ -40,4 +40,26 @@ class TextAnalysisSpec extends SparkSpec {
       .count()
     assert(mismatched === 0)
   }
+
+  test("seq_pack: two-level (lang, shard) prefix sum is bit-identical " +
+      "to the single per-lang running window") {
+    import org.apache.spark.sql.expressions.Window
+    // the naive formulation — correct but parallelism-bounded by
+    // |languages|; the shipped operator must produce EXACTLY this
+    // (running sums are associative, so sharding cannot change values)
+    val budget = 2048L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),
+        pmod(col("cum") - col("n_tok"), lit(budget)).as("bin_off"))
+    val shipped = TextAnalysis.seqPack(spark, sf)
+    assert(shipped.count() === naive.count())
+    assert(shipped.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(shipped).count() === 0)
+  }
 }
