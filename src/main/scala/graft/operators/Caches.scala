@@ -17,14 +17,27 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val checkpoints = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
   private[graft] def register[T <: Dataset[_]](df: T): T = synchronized {
     frames += df; df
   }
 
+  /** Queue an eager `localCheckpoint` frame that ESCAPED to a caller
+    * (e.g. `join_bloom`'s result) for release at the next
+    * `releaseAll()`. Unlike [[releaseCheckpoint]], this is safe for
+    * returned frames: the blocks are only dropped at a harness
+    * boundary, where every query's terminal action has already run
+    * (ADVICE r7: releasing the previous invocation's result on the
+    * NEXT call could break a caller still holding it). */
+  private[graft] def registerCheckpoint[T <: Dataset[_]](df: T): T =
+    synchronized { checkpoints += df; df }
+
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
+    checkpoints.foreach(releaseCheckpoint)
+    checkpoints.clear()
   }
 
   /** Release the storage blocks behind a SUPERSEDED eager

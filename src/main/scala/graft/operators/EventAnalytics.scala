@@ -175,18 +175,6 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
-  // `scd2_history` — slowly-changing-dimension TYPE 2 from a changelog
-  // (cdc_upsert is type 1 — latest state only; this keeps the full
-  // validity history a training-data lineage or feature-store backfill
-  // needs): per user, consecutive same-status records collapse to one
-  // CHANGE row (lag ≠ current), each change opens an interval
-  // [valid_from, valid_to) closed by the next change; the open interval
-  // gets a far-future sentinel end and is_current=1. Two window passes
-  // over the SAME (user_id × (ts, event_id)) partitioning — Catalyst
-  // plans one shuffle + one sort, the second window reuses both. At
-  // 100 TB this shuffles the changelog once on the entity key, state is
-  // per-user linear, and the output is strictly smaller than the input
-  // (changes only) — the standard history-table build.
   // `ts_resample` — dense time-grid resampling (gap fill): aggregate
   // the log to the hour grain, then LEFT JOIN it onto the full
   // hour×event_type spine (sequence over [min,max] × distinct types)
@@ -225,6 +213,18 @@ object EventAnalytics {
       .orderBy("h", "event_type")
   }
 
+  // `scd2_history` — slowly-changing-dimension TYPE 2 from a changelog
+  // (cdc_upsert is type 1 — latest state only; this keeps the full
+  // validity history a training-data lineage or feature-store backfill
+  // needs): per user, consecutive same-status records collapse to one
+  // CHANGE row (lag ≠ current), each change opens an interval
+  // [valid_from, valid_to) closed by the next change; the open interval
+  // gets a far-future sentinel end and is_current=1. Two window passes
+  // over the SAME (user_id × (ts, event_id)) partitioning — Catalyst
+  // plans one shuffle + one sort, the second window reuses both. At
+  // 100 TB this shuffles the changelog once on the entity key, state is
+  // per-user linear, and the output is strictly smaller than the input
+  // (changes only) — the standard history-table build.
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)

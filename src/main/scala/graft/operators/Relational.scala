@@ -237,20 +237,18 @@ object Relational {
   // > 10 GB), so the function scopes them down, EAGERLY materializes
   // the join under the scoped conf (localCheckpoint — the conf must be
   // live at execution, not at declaration), then restores. The
-  // superseded checkpoint from the previous invocation is released
-  // (same hygiene as the iterative loops, VERDICT r6 item 4). PlanSpec
-  // asserts might_contain lands in the probe scan's plan; the oracle
-  // replays the plain join in SQL (the bloom filter is correctness-
-  // neutral plan surgery, like salting).
-  private var bloomPrev: Option[DataFrame] = None
+  // checkpoint blocks are queued for release at the next harness
+  // `Caches.releaseAll()` boundary — NOT on the next invocation, since
+  // the returned frame escapes to the caller and an eagerly-released
+  // checkpoint is unrecomputable (ADVICE r7). PlanSpec asserts
+  // might_contain lands in the probe scan's plan; the oracle replays
+  // the plain join in SQL (the bloom filter is correctness-neutral
+  // plan surgery, like salting).
   def joinBloom(spark: SparkSession, dir: String): DataFrame = {
-    val out = withBloomConf(spark) {
-      joinBloomPlan(spark, dir).localCheckpoint()
-    }
-    synchronized {
-      bloomPrev.foreach(graft.operators.Caches.releaseCheckpoint)
-      bloomPrev = Some(out)
-    }
+    val out = graft.operators.Caches.registerCheckpoint(
+      withBloomConf(spark) {
+        joinBloomPlan(spark, dir).localCheckpoint()
+      })
     out.orderBy("ship_year")
   }
 

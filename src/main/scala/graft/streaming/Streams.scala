@@ -403,8 +403,16 @@ object Streams {
       graft.sources.FormatSources.exportPath("ssink_ckpt", dir))
     deleteRecursively(outDir); deleteRecursively(ckpt)
     // declared source schema = the batch projection's schema (derived,
-    // not hand-written — cannot drift from the input copy's writer)
-    val agg = s.readStream.schema(ev.schema).parquet(inDir.toString)
+    // not hand-written — cannot drift from the input copy's writer).
+    // maxFilesPerTrigger/latestFirst pin the ONE-batch assumption the
+    // 0s watermark depends on (ADVICE r7): if the source ever split the
+    // files and processed the 2100 sentinel's file first, the watermark
+    // would jump past every real row and silently drop them all — the
+    // post-run count assert below fails fast if that ever happens.
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "100000")
+      .option("latestFirst", "false")
+      .parquet(inDir.toString)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -419,6 +427,17 @@ object Streams {
       .start()
     try q.awaitTermination() finally { q.stop(); deleteRecursively(ckpt) }
     // reads back THROUGH the sink's _spark_metadata commit log
-    s.read.parquet(outDir.toString).orderBy("ws", "event_type")
+    val out = s.read.parquet(outDir.toString)
+    // fail fast (and close to the cause) if late-data dropping ever
+    // shrank the output — the oracle would catch it at verify time,
+    // but a count mismatch here names the actual failure mode
+    val nExpected = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count().count()
+    val nOut = out.count()
+    require(nOut == nExpected,
+      s"stream_sink_files: sink holds $nOut windows, batch expects " +
+        s"$nExpected — watermark dropped data (batch-split input?)")
+    out.orderBy("ws", "event_type")
   }
 }
