@@ -52,14 +52,22 @@ object Similarity {
   // are identical to the zip_with+aggregate formulation. round(·,4)
   // before ranking so Spark and the oracle rank identically despite
   // last-ulp summation differences; ties broken by cand_id.
+  //
+  // The scoring call goes through the SQL FUNCTION REGISTRY
+  // (`expr("cosine_sim(...)")` after CosineSim.register) rather than
+  // the Column helper, so the extension-surface registration path —
+  // what a spark.sql user of the library actually hits — is covered by
+  // this key's oracle, not just a unit test. Both routes construct the
+  // same Catalyst expression.
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val probes = broadcast(
       emb.filter(col("vec_id") < NProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val scored = emb.join(probes, col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
+        round(expr("cosine_sim(pe, embedding)"), 4)
           .as("cosine"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("cand_id"))

@@ -22,6 +22,23 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("HLL++ golden estimates pinned per sf — a silent estimator " +
+      "change must fail loudly, not drift inside the error band") {
+    // approx_count_distinct is deterministic given the implementation
+    // (fixed hash, fixed relativeSD): these are the observed estimates,
+    // pinned exactly (VERDICT r7 item 6). The ±5% band above stays as
+    // the semantic contract; this pin detects estimator swaps that stay
+    // inside the band.
+    val pinned = Map(
+      "/root/testdata/sf0.001" -> Map("A" -> 195L, "N" -> 195L, "R" -> 195L),
+      "/root/testdata/sf0.01" -> Map("A" -> 1947L, "N" -> 1947L, "R" -> 1947L))
+    pinned.foreach { case (dir, want) =>
+      val got = operators.Analytic.aggApproxDistinct(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want, s"dir=$dir got=$got")
+    }
+  }
+
   test("approx_percentile within 2% of the exact interpolated percentile") {
     val rows = Tables.orders(spark, sf)
       .groupBy("o_orderpriority")

@@ -29,6 +29,22 @@ class EventAnalyticsSpec extends SparkSpec {
       s"total exact=$exactTotal approx=$estTotal")
   }
 
+  test("agg_sketch_rollup: golden total estimate pinned per sf — a " +
+      "silent estimator change must fail loudly") {
+    // The DataSketches HLL estimate is deterministic given the
+    // implementation (fixed lgK=14, fixed hash). Pin the corpus-wide
+    // rollup row's estimate exactly per sf (VERDICT r7 item 6); the
+    // ≤2% band above remains the semantic contract.
+    val pinned = Map(
+      "/root/testdata/sf0.001" -> 15L,
+      "/root/testdata/sf0.01" -> 150L)
+    pinned.foreach { case (dir, want) =>
+      val got = EventAnalytics.aggSketchRollup(spark, dir)
+        .filter(col("day").isNull).head.getLong(2)
+      assert(got === want, s"dir=$dir got=$got")
+    }
+  }
+
   test("agg_sketch_rollup: union of daily sketches == direct whole-log sketch") {
     // Mergeability is the point of the sketch: rolling up per-partition
     // sketches must give the SAME estimate as sketching the whole log.
