@@ -118,15 +118,44 @@ object Dedup {
     // A cross-shingle hash collision (≈n²/2⁶⁵, ~1e-8 at sf0.1) would
     // perturb one intersection count — accepted odds for halving
     // shuffle volume.
-    // (A df>=2 posting-list prefilter before the self-join was
-    // measured SLOWER here — the extra aggregation+semijoin over all
-    // postings outweighs the pruning on a corpus with high vocabulary
-    // overlap. On a real web corpus with mostly-unique shingles it
-    // wins; revisit with corpus stats.)
+    // (A df>=2 posting-list prefilter before the self-join —
+    // [[ngramPairsPrefiltered]] — was HYPOTHESIZED to win on a
+    // mostly-unique-shingle web corpus. The A/B (graft.operators
+    // .NgramAb, SCALING.md §"dedup_ngram posting-list A/B") measured
+    // it 1.4–2.3× SLOWER on BOTH corpus shapes at 50k and 200k docs,
+    // df1 share up to 0.96: pruning df=1 postings saves join input
+    // whose join output was already zero, while paying an extra
+    // aggregation + semi-join shuffle of the SAME posting volume —
+    // for a one-shot hash equi-self-join the prefilter never recovers
+    // its own cost. Decision rule: keep the plain self-join; a df
+    // prune only pays when the posting list is materialized once and
+    // probed repeatedly, or when postings carry wide payloads.)
     val sh  = hashedShingles(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    jaccardFilter(inter, cnt, minJ)
+  }
+
+  /** The df≥2 posting-list prefilter variant of [[ngramPairs]]: drop
+    * every shingle that occurs in exactly one document BEFORE the
+    * self-join — a df=1 shingle can never contribute to an
+    * intersection, so the output is IDENTICAL (DedupSpec pins it).
+    * Worth it only when most shingles are unique (real web corpora);
+    * on the high-overlap fixture vocabulary the pruning aggregation
+    * costs more than it saves. Numbers for both shapes: SCALING.md. */
+  private[operators] def ngramPairsPrefiltered(docs: DataFrame,
+      minJ: Double = 0.8): DataFrame = {
+    val sh  = hashedShingles(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val posts = sh.join(shared, Seq("h"), "left_semi")
+    val inter = posts.select(col("doc_id").as("doc_a"), col("h"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 3L)) < 1.0)     // a real edit lowers Jaccard
   }
 
+  test("ngramPairsPrefiltered emits exactly ngramPairs' output — a df=1 " +
+      "shingle can never contribute to an intersection") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val plain = Dedup.ngramPairs(docs)
+    val pre = Dedup.ngramPairsPrefiltered(docs)
+    assert(plain.count() === pre.count())
+    assert(plain.exceptAll(pre).count() === 0)
+    assert(pre.exceptAll(plain).count() === 0)
+  }
+
   test("connectedComponents: chains, stars and pairs collapse to min id") {
     import spark.implicits._
     // 10–14 is a 5-node chain (diameter 4 → needs >1 propagation round,
