@@ -38,6 +38,7 @@ object SparkEntry {
     "join_range_theta"-> (Relational.joinRangeTheta _),
     "join_asof"       -> (Relational.joinAsof _),
     "join_salted"     -> (Relational.joinSalted _),
+    "join_skew_aqe"   -> (Relational.joinSkewAqe _),
     "agg_group"       -> (Relational.aggGroup _),
     "agg_distinct"    -> (Relational.aggDistinct _),
     "agg_approx_distinct" -> (Analytic.aggApproxDistinct _),
@@ -234,6 +235,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    // The AQE skew split is correctness-neutral plan surgery — the
+    // oracle replays the plain hot-key join (same contract style as
+    // join_salted / join_bloom).
+    "join_skew_aqe" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |              ELSE l_orderkey END AS k,
+        |         l_extendedprice
+        |  FROM lineitem
+        |)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 4) AS revenue
+        |FROM f JOIN orders ON o_orderkey = k
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,

@@ -292,6 +292,74 @@ object Relational {
     }
   }
 
+  // Q106 `join_skew_aqe` — the AUTOMATIC counterpart of `join_salted`:
+  // the same hot-key workload (90% of lineitem funnels into orderkey 0)
+  // joined WITHOUT salting, handled by AQE's skew-join split
+  // (`spark.sql.adaptive.skewJoin`): at runtime the oversized shuffle
+  // partition is split into advisory-sized slices and the matching
+  // build partition duplicated per slice — identical result, no manual
+  // plan surgery. This is the knob a 100 TB user turns FIRST; salting
+  // (Q55) remains the fallback for skew AQE can't see (e.g. inside a
+  // non-equi residual). The skew thresholds default to cluster sizes
+  // (256 MB), so the operator scopes them down to bench scale and
+  // EAGERLY materializes under the scoped conf (the joinBloom pattern —
+  // AQE decides at execution, not declaration). The oracle replays the
+  // plain join in SQL: like salting and bloom pruning, the skew split
+  // is correctness-neutral plan surgery — the green hash certifies
+  // exactly that. PlanSpec asserts the split actually happens
+  // (skew=true) under the same scoped conf.
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.operators.Caches.registerCheckpoint(
+      withSkewConf(spark) {
+        joinSkewPlan(spark, dir).localCheckpoint()
+      })
+    out.orderBy("o_orderpriority")
+  }
+
+  /** The un-checkpointed skewed join (shared with PlanSpec's skew-split
+    * assertion). The repartition(8) below gives the join's shuffle >1
+    * map task — AQE splits a skewed reduce partition at map-output
+    * boundaries, so a single-file scan (one map) is unsplittable. */
+  private[graft] def joinSkewPlan(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(8)
+      .select(
+        when(pmod(col("l_orderkey"), lit(100)) < 90, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice"))
+    fact.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("k") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"))
+  }
+
+  /** Scoped AQE skew-join confs sized for local bench data (defaults
+    * gate on 256 MB partitions), restored after `body` EXECUTES its
+    * plan. Broadcast is disabled inside the scope: skew handling
+    * applies to shuffle joins — the tiny local dim would otherwise
+    * broadcast and dissolve the demonstration (at 100 TB neither side
+    * broadcasts). */
+  private[graft] def withSkewConf[T](spark: SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // Q12 `agg_group` — TPC-H Q1 shape: grouped sum/avg/min/max/count with
   // automatic partial+final aggregation (reference analogue: the scalar
   // accumulator, TpchQuery6.java:21,32 — generalized to grouped).

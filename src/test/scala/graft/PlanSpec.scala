@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Physical-plan assertions — the scale contract (SURVEY.md §4, scale
   * notes in each operator file). These lock in the plan shapes that
@@ -351,45 +351,22 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window") === 2, p)
   }
 
-  test("AQE skew-join: the adaptive path splits the skewed partition " +
+  test("join_skew_aqe: the adaptive path splits the skewed partition " +
       "(the automatic counterpart of join_salted's manual recipe)") {
     // The knob a 100 TB user turns FIRST for shuffle-join skew:
     // spark.sql.adaptive.skewJoin splits an oversized partition into
     // advisory-sized slices and duplicates the matching build
-    // partition — same result, no manual salting. Thresholds are
-    // cluster-sized (256 MB), so scope them down to bench scale; the
-    // workload funnels half of lineitem into one hot key, the skew
-    // join_salted mitigates by hand.
-    val confs = Map(
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // repartition first: AQE splits a skewed reduce partition at MAP
-      // output boundaries, so the join's shuffle needs >1 map task (the
-      // single-file sf0.001 scan is one map otherwise — unsplittable)
-      val fact = Tables.lineitem(spark, sf).repartition(8).select(
-        when(col("l_orderkey") % 100 < 90, lit(0L))
-          .otherwise(col("l_orderkey")).as("k"),
-        col("l_extendedprice"))
-      val dim = Tables.orders(spark, sf)
-        .select(col("o_orderkey").as("k"), col("o_totalprice"))
-      val j = fact.join(dim, "k")
+    // partition — same result, no manual salting. The declared key's
+    // oracle certifies the RESULT equals the plain join; this test
+    // certifies the split actually HAPPENS in the adaptive plan.
+    operators.Relational.withSkewConf(spark) {
+      val j = operators.Relational.joinSkewPlan(spark, sf)
       // AQE finalizes the plan during execution — materialize THIS
       // dataframe's own queryExecution (a write would plan a fresh one)
       j.collect()
       val p = j.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         s"expected a skew-split sort-merge join in the adaptive plan:\n$p")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 
