@@ -114,14 +114,15 @@ object ScaleGen {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  def lineitem(spark: SparkSession, n: Long): DataFrame = {
+  def lineitem(spark: SparkSession, n: Long,
+      nPart: Long, nSupp: Long): DataFrame = {
     val t92 = 694224000L // 1992-01-01 UTC
     val span = 7L * 365L * 86400L
     spark.range(n)
       .select(
         (col("id") / 4).cast("long").as("l_orderkey"),
-        pmod(h(col("id") * 3), lit(200000L)).as("l_partkey"),
-        pmod(h(col("id") * 5), lit(10000L)).as("l_suppkey"),
+        pmod(h(col("id") * 3), lit(nPart)).as("l_partkey"),
+        pmod(h(col("id") * 5), lit(nSupp)).as("l_suppkey"),
         (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
         (pmod(h(col("id") * 7), lit(50)) + 1).cast("double").as("l_quantity"),
         round(lit(1000.0) + pmod(h(col("id") * 11), lit(100000)).cast("double") / 1.0, 2)
@@ -135,13 +136,13 @@ object ScaleGen {
         timestamp_seconds(lit(t92) + pmod(h(col("id") * 17), lit(span))).as("l_shipdate"))
   }
 
-  def orders(spark: SparkSession, n: Long): DataFrame = {
+  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame = {
     val t92 = 694224000L
     val span = 7L * 365L * 86400L
     spark.range(n)
       .select(
         col("id").as("o_orderkey"),
-        pmod(h(col("id") * 3), lit(150000L)).as("o_custkey"),
+        pmod(h(col("id") * 3), lit(nCust)).as("o_custkey"),
         element_at(array(lit("F"), lit("O"), lit("P")),
           (pmod(h(col("id") * 5), lit(3)) + 1).cast("int")).as("o_orderstatus"),
         round(lit(1000.0) + pmod(h(col("id") * 7), lit(400000)).cast("double") / 1.0, 2)
@@ -151,6 +152,58 @@ object ScaleGen {
           lit("4-NOT SPECIFIED"), lit("5-LOW")),
           (pmod(h(col("id") * 13), lit(5)) + 1).cast("int")).as("o_orderpriority"))
   }
+
+  def customer(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(h(col("id") * 3), lit(25)).cast("int").as("c_nationkey"),
+      round(pmod(h(col("id") * 5), lit(1000000)).cast("double") / 100.0, 2)
+        .as("c_acctbal"),
+      element_at(array(Seq("MACHINERY", "AUTOMOBILE", "HOUSEHOLD",
+        "BUILDING", "FURNITURE").map(lit): _*),
+        (pmod(h(col("id") * 7), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(h(col("id") * 3), lit(25)).cast("int").as("s_nationkey"),
+      round(pmod(h(col("id") * 5), lit(1000000)).cast("double") / 100.0, 2)
+        .as("s_acctbal"))
+
+  def part(spark: SparkSession, n: Long): DataFrame = {
+    val adjectives = array(Seq("large", "hot", "blue", "old", "small",
+      "red", "new", "cold").map(lit): _*)
+    val nouns = array(Seq("ring", "bolt", "plate", "wheel", "gear",
+      "pipe", "screw", "cap").map(lit): _*)
+    spark.range(n).select(
+      col("id").as("p_partkey"),
+      concat(
+        element_at(adjectives, (pmod(h(col("id") * 3), lit(8)) + 1).cast("int")),
+        lit(" "),
+        element_at(nouns, (pmod(h(col("id") * 5), lit(8)) + 1).cast("int")))
+        .as("p_name"),
+      concat(lit("Brand#"), pmod(h(col("id") * 7), lit(25)) + 1).as("p_brand"),
+      element_at(array(Seq("ECONOMY", "LARGE", "STANDARD", "MEDIUM",
+        "SMALL", "PROMO").map(lit): _*),
+        (pmod(h(col("id") * 11), lit(6)) + 1).cast("int")).as("p_type"),
+      (pmod(h(col("id") * 13), lit(50)) + 1).cast("int").as("p_size"),
+      round(lit(900.0) + col("id").cast("double") / 10.0, 1).as("p_retailprice"))
+  }
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(25).select(
+      col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+
+  def region(spark: SparkSession): DataFrame =
+    spark.range(5).select(
+      col("id").cast("int").as("r_regionkey"),
+      element_at(array(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+        "MIDDLE EAST").map(lit): _*),
+        (col("id") + 1).cast("int")).as("r_name"))
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
@@ -172,8 +225,15 @@ object ScaleGen {
     write("documents", documents(spark, (5000 * mult).toLong), 16)
     write("embeddings", embeddings(spark, (2000 * mult).toLong), 16)
     write("events", events(spark, (100000 * mult).toLong, (1500 * mult).toLong), 16)
-    write("lineitem", lineitem(spark, (600000 * mult).toLong), 32)
-    write("orders", orders(spark, (150000 * mult).toLong), 16)
+    write("lineitem", lineitem(spark, (600000 * mult).toLong,
+      (20000 * mult).toLong, (1000 * mult).toLong), 32)
+    write("orders", orders(spark, (150000 * mult).toLong,
+      (15000 * mult).toLong), 16)
+    write("customer", customer(spark, (15000 * mult).toLong), 4)
+    write("supplier", supplier(spark, (1000 * mult).toLong), 2)
+    write("part", part(spark, (20000 * mult).toLong), 4)
+    write("nation", nation(spark), 1)
+    write("region", region(spark), 1)
     spark.stop()
   }
 }
