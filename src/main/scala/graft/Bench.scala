@@ -161,17 +161,23 @@ object Bench {
       s"""{"metric":"total","value":$headlineJson,"unit":"sec","queries":$qs,""" +
       s""""spread":$spread,"streaming_fixed_sec":$streamingSec,""" +
       s""""n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), json)
-    spark.stop()
     // BENCH_r06/r07 post-mortem: the driver keeps only the LAST 2000
-    // stdout chars, and the full JSON line (~7 KB, all 105 keys) starts
+    // stdout chars, and the full JSON line (~7 KB, all keys) starts
     // before that window — so its parse saw a beheaded line two rounds
-    // running ("parsed": null). Emit the full line first (back-compat +
-    // human tail), then a SHORT self-contained summary as the very last
-    // line, small enough to always sit inside any tail window. It
-    // carries the gate numbers (headline value, q6, streaming, errors)
-    // and points at bench.json for the per-key map.
+    // running ("parsed": null). Emit the full line FIRST (before any
+    // fallible file IO or session teardown — stdout must survive a
+    // full disk or a stop() failure), then a SHORT self-contained
+    // summary as the very last line, small enough to always sit inside
+    // any tail window. It carries the gate numbers (headline value,
+    // q6, streaming, errors) and points at bench.json for the per-key
+    // map.
     println(json)
+    try Files.writeString(Paths.get("bench.json"), json)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench.json write failed: $e") }
+    try spark.stop()
+    catch { case e: Exception =>
+      System.err.println(s"[bench] spark.stop failed: $e") }
     val q6Json = best.collectFirst { case ("q6", v) => v.toString }
     val compact =
       s"""{"metric":"total","value":$headlineJson,"unit":"sec",""" +

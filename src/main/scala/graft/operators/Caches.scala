@@ -29,7 +29,11 @@ object Caches {
     * returned frames: the blocks are only dropped at a harness
     * boundary, where every query's terminal action has already run
     * (ADVICE r7: releasing the previous invocation's result on the
-    * NEXT call could break a caller still holding it). */
+    * NEXT call could break a caller still holding it). Outside a
+    * harness (e.g. a test JVM that never calls releaseAll) entries
+    * accumulate one per invocation — acceptable because every
+    * registered frame is a small terminal aggregate (rows, not the
+    * corpus); ContextCleaner reclaims them at GC either way. */
   private[graft] def registerCheckpoint[T <: Dataset[_]](df: T): T =
     synchronized { checkpoints += df; df }
 

@@ -132,13 +132,18 @@ object Dedup {
     // probed repeatedly, or when postings carry wide payloads.)
     val sh  = hashedShingles(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+    jaccardFilter(pairIntersections(sh), cnt, minJ)
+  }
+
+  /** Posting self-join → per-pair intersection counts; ONE definition
+    * shared by [[ngramPairs]] and [[ngramPairsPrefiltered]] so their
+    * DedupSpec-pinned equivalence cannot drift on the pairing logic. */
+  private def pairIntersections(posts: DataFrame): DataFrame =
+    posts.select(col("doc_id").as("doc_a"), col("h"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
-    jaccardFilter(inter, cnt, minJ)
-  }
 
   /** The df≥2 posting-list prefilter variant of [[ngramPairs]]: drop
     * every shingle that occurs in exactly one document BEFORE the
@@ -154,12 +159,7 @@ object Dedup {
     val shared = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("h")
     val posts = sh.join(shared, Seq("h"), "left_semi")
-    val inter = posts.select(col("doc_id").as("doc_a"), col("h"))
-      .join(posts.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
-    jaccardFilter(inter, cnt, minJ)
+    jaccardFilter(pairIntersections(posts), cnt, minJ)
   }
 
   /** Shared verify tail of both near-dup pipelines: given intersection

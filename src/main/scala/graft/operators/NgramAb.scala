@@ -5,21 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** The dedup_ngram posting-list A/B harness (VERDICT r7 item 7): time
   * [[Dedup.ngramPairs]] (plain inverted-index self-join) against
-  * [[Dedup.ngramPairsPrefiltered]] (df≥2 posting prune first) on the
-  * two corpus shapes that flip the decision:
+  * [[Dedup.ngramPairsPrefiltered]] (df≥2 posting prune first) on two
+  * corpus shapes:
   *
-  *  - OVERLAP: the fixture-shaped corpus (ScaleGen.documents) — a
-  *    ~40-word vocabulary, so nearly every shingle has df≥2 and the
-  *    prefilter prunes nothing while paying a full posting aggregation
-  *    + semi-join;
+  *  - OVERLAP: the fixture-shaped corpus (ScaleGen.documents, ~40-word
+  *    vocabulary);
   *  - UNIQUE: web-shaped corpus — every token is globally unique to
   *    its document (hex of a doc-salted hash) except the planted
-  *    near-dup copies, so ~96% of shingles are df=1 and the prefilter
-  *    deletes almost the whole self-join input.
+  *    near-dup copies.
+  *
+  * Measured surprise (SCALING.md): at the 5-gram level the two shapes
+  * are nearly IDENTICAL on the df axis — even the 40-word vocabulary
+  * yields df1 share ≈ 0.95 (the 5-token shingle space is 40⁵ ≈ 102M,
+  * far larger than the ~2.5M shingles drawn) — and the prefilter loses
+  * on BOTH (the prune pays the same posting volume through an extra
+  * aggregation + semi-join while the df=1 rows it removes were already
+  * contributing zero join output). The harness exists to keep that
+  * conclusion measured rather than assumed.
   *
   * Both variants must emit identical pairs on both corpora (a df=1
   * shingle cannot contribute to an intersection) — asserted here and
-  * pinned in DedupSpec. Results + decision rule: SCALING.md.
+  * pinned in DedupSpec.
   */
 object NgramAb {
 

@@ -214,8 +214,13 @@ object TextAnalysis {
     val offsets = sharded.groupBy("lang", "shard")
       .agg(sum(col("n_tok")).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .select("lang", "shard", "off")
-    sharded.join(offsets, Seq("lang", "shard"))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"), col("off"))
+    // null-safe lang equality: Window.partitionBy groups NULL langs
+    // together, so the offset join must match them too — a plain
+    // equi-join would silently DROP null-lang rows the single-window
+    // formulation (and the oracle) keeps
+    sharded.join(offsets,
+        col("lang") <=> col("o_lang") && col("shard") === col("o_shard"))
       .withColumn("cum", col("off") + col("cum_in"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         ((col("cum") - col("n_tok")) / budget).cast("long").as("bin_id"),

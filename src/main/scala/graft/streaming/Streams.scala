@@ -430,14 +430,25 @@ object Streams {
     val out = s.read.parquet(outDir.toString)
     // fail fast (and close to the cause) if late-data dropping ever
     // shrank the output — the oracle would catch it at verify time,
-    // but a count mismatch here names the actual failure mode
-    val nExpected = ev
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .count().count()
-    val nOut = out.count()
-    require(nOut == nExpected,
-      s"stream_sink_files: sink holds $nOut windows, batch expects " +
-        s"$nExpected — watermark dropped data (batch-split input?)")
+    // but a count mismatch here names the actual failure mode. Checked
+    // ONCE per (process, sf dir): the failure mode is deterministic in
+    // the input layout, and re-paying a batch aggregation inside every
+    // timed bench pass would inflate streaming_fixed_sec with batch
+    // work (r8 review).
+    if (sinkVerified.add(dir)) {
+      val nExpected = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count().count()
+      val nOut = out.count()
+      require(nOut == nExpected,
+        s"stream_sink_files: sink holds $nOut windows, batch expects " +
+          s"$nExpected — watermark dropped data (batch-split input?)")
+    }
     out.orderBy("ws", "event_type")
   }
+
+  /** sf dirs whose stream_sink_files output already passed the
+    * count-vs-batch check this process (see above). */
+  private val sinkVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -61,5 +61,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shipped.count() === naive.count())
     assert(shipped.exceptAll(naive).count() === 0)
     assert(naive.exceptAll(shipped).count() === 0)
+
+    // NULL-lang docs: the window groups them as one partition, so the
+    // two-level offset join must match them null-safely rather than
+    // dropping them (plain equi-join semantics)
+    import spark.implicits._
+    val withNulls = Seq(
+      (0L, Option("en"), 100L), (1L, Option.empty[String], 50L),
+      (1500L, Option.empty[String], 60L), (2L, Option("en"), 2040L))
+      .toDF("doc_id", "lang", "n_tok")
+    val packed = TextAnalysis.packBins(withNulls).collect()
+    assert(packed.length === 4, "null-lang rows must not be dropped")
+    val nulls = packed.filter(_.isNullAt(1)).map(r =>
+      (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // null-lang stream: doc 1 (shard 0) then doc 1500 (shard 1) —
+    // cumsum crosses the shard boundary: offsets 0 then 50
+    assert(nulls === Set((1L, 0L, 0L), (1500L, 0L, 50L)))
   }
 }
