@@ -207,10 +207,17 @@ object Similarity {
   private val ivfModels =
     new scala.collection.concurrent.TrieMap[
       String, org.apache.spark.ml.clustering.KMeansModel]
-  def simAnn(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Fitted-model + list-assigned frame of the per-dir cached IVF
+    * index (fit on first use). Factored out of [[simAnn]] so the
+    * list-SKEW pin (SimilaritySpec) can read the index structure:
+    * search cost is bounded by the probed lists' sizes, so a
+    * degenerate fit (one mega-list) would silently reintroduce brute
+    * force while recall stayed green. */
+  private[operators] def ivfIndex(spark: SparkSession, dir: String):
+      (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("fv"))
@@ -219,8 +226,16 @@ object Similarity {
         .setFeaturesCol("fv").setPredictionCol("list_id")
       km.fit(emb.sample(withReplacement = false, 0.2, seed = 7L))
     })
-    val listed = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+    (model, model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("list_id")))
+  }
+
+  /** Per-list vector counts of the IVF index, ascending by list id. */
+  private[operators] def ivfListSizes(spark: SparkSession, dir: String): Seq[Long] =
+    ivfIndex(spark, dir)._2.groupBy("list_id").count()
+      .orderBy("list_id").collect().map(_.getLong(1)).toSeq
+  def simAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (model, listed) = ivfIndex(spark, dir)
 
     // Centroid table: k×dim — tiny, broadcast. Comes from the fitted
     // model (driver-held, standard for a trained index).
@@ -237,7 +252,7 @@ object Similarity {
     // Ranking by raw dot product alone would reorder lists whose
     // centroid norms differ (tight vs diffuse clusters) and probe the
     // wrong lists.
-    val probes = emb.filter(col("vec_id") < NProbes)
+    val probes = listed.filter(col("vec_id") < NProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val cn2 = aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x)
     val wc = Window.partitionBy("probe_id")

@@ -102,4 +102,23 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(bad === 0)
   }
+
+  test("IVF lists are balanced — no degenerate mega-list (skew pin)") {
+    // Search cost is bounded by the probed lists' sizes: a degenerate
+    // k-means fit that dumps the corpus into one mega-list would
+    // silently reintroduce brute force while the recall spec stayed
+    // green (r7 verdict named IVF list skew as the invisible risk).
+    // Pin the balance at both test sfs: the largest list stays within
+    // a small factor of the mean and most lists are actually used.
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val sizes = Similarity.ivfListSizes(spark, dir)
+      val n = sizes.sum
+      val mean = n.toDouble / sizes.length
+      assert(sizes.length >= 16,
+        s"$dir: only ${sizes.length} non-empty lists — index collapsed")
+      assert(sizes.max <= 5.0 * mean,
+        s"$dir: largest list ${sizes.max} vs mean $mean — skewed fit " +
+          "reintroduces brute-force scan cost on its probes")
+    }
+  }
 }
