@@ -133,7 +133,8 @@ object ScaleGen {
           (pmod(h(col("id") * 37), lit(3)) + 1).cast("int")).as("l_returnflag"),
         element_at(array(lit("O"), lit("F")),
           (pmod(h(col("id") * 41), lit(2)) + 1).cast("int")).as("l_linestatus"),
-        timestamp_seconds(lit(t92) + pmod(h(col("id") * 17), lit(span))).as("l_shipdate"))
+        timestamp_seconds(lit(t92) + pmod(h(col("id") * 17), lit(span)))
+          .cast("timestamp_ntz").as("l_shipdate"))
   }
 
   def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame = {
@@ -147,7 +148,8 @@ object ScaleGen {
           (pmod(h(col("id") * 5), lit(3)) + 1).cast("int")).as("o_orderstatus"),
         round(lit(1000.0) + pmod(h(col("id") * 7), lit(400000)).cast("double") / 1.0, 2)
           .as("o_totalprice"),
-        timestamp_seconds(lit(t92) + pmod(h(col("id") * 11), lit(span))).as("o_orderdate"),
+        timestamp_seconds(lit(t92) + pmod(h(col("id") * 11), lit(span)))
+          .cast("timestamp_ntz").as("o_orderdate"),
         element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
           lit("4-NOT SPECIFIED"), lit("5-LOW")),
           (pmod(h(col("id") * 13), lit(5)) + 1).cast("int")).as("o_orderpriority"))
