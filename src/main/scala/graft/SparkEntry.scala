@@ -247,7 +247,7 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT o_orderpriority, count(*) AS n_rows,
-        |       round(sum(l_extendedprice), 4) AS revenue
+        |       round(sum(l_extendedprice) / 1000000.0, 4) AS revenue_m
         |FROM f JOIN orders ON o_orderkey = k
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

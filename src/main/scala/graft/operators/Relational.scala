@@ -333,7 +333,10 @@ object Relational {
         col("k") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"))
+        // the hot group sums ~90% of lineitem into one double (~3e10 at
+        // sf0.1), where ulp ≈ 4e-6 makes round(·,4) flip on summation
+        // order — report millions so the rounding sits far above ulp
+        round(sum(col("l_extendedprice")) / 1000000.0, 4).as("revenue_m"))
   }
 
   /** Scoped AQE skew-join confs sized for local bench data (defaults
