@@ -20,6 +20,12 @@ run / fork := true
 // the default LoggedOutput "[info] " prefix made it unparseable
 // (BENCH_r01/r02 "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: the driver
+// parses the LAST 2000 stdout chars, and Bench's final compact JSON line
+// (all 106 per-key minima, VERDICT r8 item 4) needs nearly that whole
+// window — the ~75-char epilogue after it would push the line's head out.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

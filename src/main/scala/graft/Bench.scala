@@ -178,12 +178,52 @@ object Bench {
     try spark.stop()
     catch { case e: Exception =>
       System.err.println(s"[bench] spark.stop failed: $e") }
-    val q6Json = best.collectFirst { case ("q6", v) => v.toString }
-    val compact =
-      s"""{"metric":"total","value":$headlineJson,"unit":"sec",""" +
-      s""""queries":{${q6Json.map("\"q6\":" + _).getOrElse("")}},""" +
-      s""""streaming_fixed_sec":$streamingSec,"n_errors":${errors.size},""" +
-      s""""sf":"$sfDir","full":"bench.json"}"""
+    // The compact line must carry ALL per-key minima (VERDICT r8 item 4:
+    // parsed.queries held only q6, so per-key regressions were not
+    // machine-checkable) yet fit the driver's 2000-char stdout tail. A
+    // flat {"name":sec} map of 106 full names cannot fit (>=2047 bytes
+    // at any precision — the names alone are 1291), so keys sharing a
+    // first underscore segment nest under it: "join":{"inner_hash":1.16}
+    // reads as join_inner_hash = 1.16 s. No name is abbreviated — the
+    // full key is family + "_" + subkey — and q6 (no underscore) stays a
+    // top-level scalar so a gate reading queries.q6 is unaffected. All
+    // values are SECONDS rounded to `dec` places; spreads stay in
+    // bench.json / the full line above (they don't fit and are
+    // diagnostics, not gate inputs). Tiered shrink keeps the line
+    // parseable whatever future timings do: 2 decimals, then 1, then the
+    // r8 q6-only form — never an over-long line the tail would behead.
+    def rd(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    def nestedQueries(dec: Int): String = {
+      val (underscored, plain) = best.partition(_._1.contains("_"))
+      val fams = underscored.groupBy(_._1.takeWhile(_ != '_'))
+      val (nested, singleton) = fams.partition(_._2.size >= 2)
+      val flat = (plain ++ singleton.values.flatten.toSeq)
+        .sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + rd(v, dec) }
+      val groups = nested.toSeq.sortBy(_._1).map { case (fam, ks) =>
+        val inner = ks.sortBy(_._1).map { case (k, v) =>
+          "\"" + k.drop(fam.length + 1) + "\":" + rd(v, dec)
+        }.mkString(",")
+        "\"" + fam + "\":{" + inner + "}"
+      }
+      (flat ++ groups).mkString("{", ",", "}")
+    }
+    // headline/streaming rounded to ms here (full precision is in the
+    // full line above) — 17-char raw doubles would waste tail budget
+    val headlineCompact = if (errors.isEmpty) rd(headline, 3) else "null"
+    def compactLine(qmap: String): String =
+      s"""{"metric":"total","value":$headlineCompact,"unit":"sec",""" +
+      s""""queries":$qmap,""" +
+      s""""streaming_fixed_sec":${rd(streamingSec, 3)},"n_errors":${errors.size},""" +
+      s""""sf":"$sfDir"}"""
+    val q6Only = "{" +
+      best.collectFirst { case ("q6", v) => "\"q6\":" + v }.getOrElse("") + "}"
+    val compact = (Seq(2, 1).map(d => compactLine(nestedQueries(d))) :+
+      compactLine(q6Only)).find(_.length <= 1990).getOrElse(compactLine("{}"))
     println(compact)
   }
 }

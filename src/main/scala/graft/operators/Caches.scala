@@ -17,7 +17,8 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-  private val checkpoints = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val checkpoints = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
   private[graft] def register[T <: Dataset[_]](df: T): T = synchronized {
     frames += df; df
@@ -30,17 +31,36 @@ object Caches {
     * boundary, where every query's terminal action has already run
     * (ADVICE r7: releasing the previous invocation's result on the
     * NEXT call could break a caller still holding it). Outside a
-    * harness (e.g. a test JVM that never calls releaseAll) entries
-    * accumulate one per invocation — acceptable because every
-    * registered frame is a small terminal aggregate (rows, not the
-    * corpus); ContextCleaner reclaims them at GC either way. */
+    * harness (e.g. a test JVM that never calls releaseAll) the queue
+    * holds the checkpoint's backing RDD only WEAKLY (ADVICE r8: a
+    * strong ref here would pin the blocks forever — ContextCleaner can
+    * only reclaim them once the RDD object is unreachable). The weak
+    * referent is the RDD, NOT the Dataset wrapper: callers typically
+    * hold a DERIVED frame (e.g. the operator's `orderBy` view), which
+    * keeps the RDD strongly reachable through its plan while the inner
+    * Dataset object itself is garbage — an entry must stay releasable
+    * exactly as long as any such view is alive. */
   private[graft] def registerCheckpoint[T <: Dataset[_]](df: T): T =
-    synchronized { checkpoints += df; df }
+    synchronized {
+      df.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach { rdd =>
+        checkpoints +=
+          new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](rdd)
+      }
+      df
+    }
 
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
-    checkpoints.foreach(releaseCheckpoint)
+    // entries already GC-cleared were reclaimed by ContextCleaner.
+    // blocking=true: checkpoint blocks are UNRECOMPUTABLE, so release
+    // must be a synchronous point of no return — an async removal
+    // leaves a window where a re-read silently succeeds, turning the
+    // documented fail-loudly contract (CheckpointContractSpec) into a
+    // race.
+    checkpoints.foreach(r => Option(r.get()).foreach(_.unpersist(true)))
     checkpoints.clear()
   }
 

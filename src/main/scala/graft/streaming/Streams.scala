@@ -435,7 +435,11 @@ object Streams {
     // the input layout, and re-paying a batch aggregation inside every
     // timed bench pass would inflate streaming_fixed_sec with batch
     // work (r8 review).
-    if (sinkVerified.add(dir)) {
+    // dir enters sinkVerified only AFTER the require passes (ADVICE r8:
+    // add-before-assert meant a thrown first check was never retried, so
+    // a harness that catches the error would silently accept shrunken
+    // output on every later invocation in the JVM).
+    if (!sinkVerified.contains(dir)) {
       val nExpected = ev
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .count().count()
@@ -443,6 +447,7 @@ object Streams {
       require(nOut == nExpected,
         s"stream_sink_files: sink holds $nOut windows, batch expects " +
           s"$nExpected — watermark dropped data (batch-split input?)")
+      sinkVerified.add(dir)
     }
     out.orderBy("ws", "event_type")
   }

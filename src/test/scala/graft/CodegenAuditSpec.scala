@@ -1,0 +1,91 @@
+package graft
+
+/** Codegen-coverage audit (VERDICT r8 item 6): every declared key's
+  * physical plan is swept for stages that fell out of whole-stage
+  * codegen — interpreted `Project`/`Filter` nodes, lambda-bearing HOFs
+  * (`lambdafunction` in the plan: Spark HOFs are `CodegenFallback`, and
+  * `CollapseCodegenStages` refuses any stage containing one — the
+  * dedup_spans lesson, SCALING.md), and typed object boundaries
+  * (MapPartitions / [De]SerializeFromObject).
+  *
+  * Keys on the exemption list are there for a REASON stated inline —
+  * either the fallback is the engine's own design (no codegen JSON
+  * path exists in Spark), the lambda sits on a broadcast-sized side,
+  * or the key's declared contract is a typed escape hatch. The audit
+  * fails in BOTH directions: a key that gains an interpreted stage
+  * without an exemption (a silent 2-10× per-row regression at 100 TB),
+  * and an exemption that is no longer needed (the list must stay
+  * tight, or it stops meaning anything).
+  */
+class CodegenAuditSpec extends SparkSpec {
+
+  /** Real multi-batch streaming runs — no batch plan to audit; their
+    * semantics are covered by StreamingSpec. */
+  private val streamingFixed = Set("stream_late_data", "stream_dedup",
+    "stream_join", "stream_static_join", "stream_sink_files")
+
+  /** Approved codegen-exempt keys. Kinds of fallback observed at audit
+    * time are part of the pin: interp = un-codegen'd Project/Filter,
+    * lambda = HOF lambdafunction, obj = typed object boundary. */
+  private val exempt: Map[String, String] = Map(
+    "array_funcs" -> ("HOF coverage key: transform/aggregate/element_at ARE " +
+      "the declared operators; Spark HOFs are CodegenFallback by design"),
+    "array_funcs2" -> "HOF coverage key: array_sort/array_union over transform",
+    "json_funcs" -> ("get_json_object/from_json are CodegenFallback in Spark " +
+      "— no codegen JSON path exists to switch to"),
+    "decontam_overlap" -> ("shingle construction is transform() over per-doc " +
+      "token arrays — bounded per doc, decade-measured (SCALING.md)"),
+    "dedup_near" -> ("MinHash shingle/signature HOFs over the shared cached " +
+      "shingle frame; runtime tracks pair count sub-linearly (LshStress)"),
+    "dedup_ngram" -> "shingle-construction HOF (shares the cached shingle frame)",
+    "dedup_simhash" -> "64-vote fingerprint agg over HOF-built shingle hashes",
+    "text_fingerprint" -> "rolling-hash fingerprint transform() over per-doc shingles",
+    "text_repetition" -> "n-gram repetition-ratio HOFs over the shared tokenization",
+    "text_quality" -> ("stopword-ratio exists() HOF; the regex ratios ride the " +
+      "same projection, so the whole stage is interpreted — cost measured " +
+      "0.6 s/sf0.1, linear per doc"),
+    "embed_quantize" -> ("element-wise int8 quantize/dequantize transform(); " +
+      "map-only single scan, integer-exact oracle"),
+    "sim_ann" -> ("lambda only in the broadcast probe-side centroid ranking " +
+      "(NProbes x k rows); hot candidate scoring is the native codegen'd " +
+      "CosineSim expression"),
+    "multimodal_decode" -> ("typed mapPartitions batch decode — the declared " +
+      "escape hatch for opaque binary payloads"),
+    "seq_pack_greedy" -> ("typed mapGroups first-fit packer — declared escape " +
+      "hatch for per-shard imperative bin packing"))
+
+  test("every key's plan stays in whole-stage codegen, or carries an approved exemption") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val findings =
+      try {
+        for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+             if !streamingFixed(k)) yield {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val interp = plan.linesIterator
+            .map(_.dropWhile(c => " +-:".contains(c)))
+            .filter(l => l.startsWith("Project [") || l.startsWith("Filter ("))
+            .toSeq
+          val lambdas = plan.linesIterator.count(_.contains("lambdafunction"))
+          val objNodes = plan.linesIterator.count(l =>
+            l.contains("MapPartitions") || l.contains("DeserializeToObject") ||
+              l.contains("SerializeFromObject"))
+          (k, interp, lambdas, objNodes)
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val flagged = findings.collect {
+      case (k, interp, lambdas, objNodes)
+          if interp.nonEmpty || lambdas > 0 || objNodes > 0 =>
+        k -> (s"interp=${interp.size} lambda=$lambdas obj=$objNodes " +
+          interp.headOption.map(_.take(120)).getOrElse(""))
+    }.toMap
+    val unapproved = flagged.keySet -- exempt.keySet
+    assert(unapproved.isEmpty,
+      s"keys fell out of whole-stage codegen WITHOUT an approved exemption " +
+        s"(interpreted per-row eval — a silent scale regression):\n" +
+        unapproved.toSeq.sorted.map(k => s"  $k: ${flagged(k)}").mkString("\n"))
+    val stale = exempt.keySet -- flagged.keySet
+    assert(stale.isEmpty,
+      s"exemptions no longer needed — remove them so the list stays " +
+        s"load-bearing: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

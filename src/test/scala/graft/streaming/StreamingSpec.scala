@@ -183,6 +183,80 @@ class StreamingSpec extends SparkSpec
     assert(out.filter(year(col("ws")) > 2030).count() === 0)
   }
 
+  test("checkpoint restart: stop after tranche 1, resume with new files — " +
+      "exactly-once across the restart (VERDICT r8 item 3)") {
+    // Two-tranche protocol over the stream_sink_files query shape
+    // (file source -> watermarked 1h windows -> parquet file sink):
+    //   run 1  processes tranche A only (AvailableNow), then terminates —
+    //          the graceful analogue of a kill after the first batch;
+    //          windows closed by A's own max ts are committed to the
+    //          sink, the boundary window stays OPEN in the state store;
+    //   run 2  is a NEW query on the SAME checkpoint + sink after
+    //          tranche B (+ flush sentinel) lands in the source dir.
+    // The final sink must equal the batch answer over A ∪ B. That
+    // single equality is sensitive to every recovery surface:
+    //  - source offset log: if run 2 re-read A, the still-open boundary
+    //    window would double-count A's rows (they are NOT late — the
+    //    watermark sits exactly at maxA);
+    //  - state store: the boundary window's A-side partial counts must
+    //    be restored for B's rows to top up;
+    //  - sink commit log: run-1 files must survive in _spark_metadata
+    //    alongside run-2 files (no loss, no duplicate emission).
+    // The numInputRows assertion additionally pins "run 2 processed
+    // exactly tranche B", so a silent full-reprocess that happens to
+    // produce correct rows cannot pass either.
+    val root = tmpDir("graft_restart_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val byTs = sample.sortBy(_._1.getTime)
+    // split mid-list, then walk forward until the boundary actually
+    // falls INSIDE an hour window (same truncated hour on both sides)
+    // so the state-recovery path is genuinely exercised
+    val half = byTs.length / 2
+    def hourOf(t: Timestamp) = t.getTime / 3600000L
+    val cut = (half until byTs.length - 1)
+      .find(i => hourOf(byTs(i - 1)._1) == hourOf(byTs(i)._1))
+      .getOrElse(half)
+    val (a, b) = byTs.splitAt(cut)
+    import spark.implicits._
+    def toDf(rows: Seq[(Timestamp, Long, String, Double)]) =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .select("ts", "event_type", "value")
+    val schema = toDf(a).schema
+    val agg = (src: DataFrame) => src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+    def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = agg(spark.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q
+    }
+    toDf(a).coalesce(2).write.mode("append").parquet(inDir)
+    runOnce()
+    val afterRun1 = spark.read.parquet(outDir).count()
+    // tranche B + the far-future sentinel that flushes every real window
+    val sentinel = Seq((flushTs, 0L, "__flush__", 0.0))
+    toDf(b ++ sentinel).coalesce(2).write.mode("append").parquet(inDir)
+    val q2 = runOnce()
+    val run2Rows = q2.recentProgress.map(_.numInputRows).sum
+    assert(run2Rows === (b.length + 1).toLong,
+      s"restarted query must process ONLY the new files: read $run2Rows " +
+        s"rows, tranche B holds ${b.length} (+1 sentinel)")
+    val out = spark.read.parquet(outDir) // reads via _spark_metadata
+    assert(out.count() > afterRun1, "run 2 must emit the remaining windows")
+    val oracle = agg(toDf(a ++ b)) // sentinel's own window never closes
+    assert(canon(out) === canon(oracle))
+  }
+
   test("sessionizer: out-of-order in-watermark event extends the open session's start") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
