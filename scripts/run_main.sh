@@ -12,8 +12,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_GRAFT_JAVA_OPTS: extra -D flags (e.g. -Dspark.memory.fraction=0.15
+# for the spill rehearsal — SparkSession picks spark.* system properties up
+# in any main without per-main plumbing).
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  ${SPARK_GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "$@"

@@ -107,7 +107,12 @@ object Bench {
       // Release operator caches after the last batch key, before the
       // streaming-fixed block (names order puts streaming last).
       if (streamingFixed(name)) graft.operators.Caches.releaseAll()
-      val base = if (streamingFixed(name)) 2 else 3
+      // SPARK_GRAFT_PASSES: local-rehearsal override (e.g. 1 for the
+      // sf10 ScaleGen decades, where per-key times are long enough to
+      // dominate host noise and best-of-3 would triple a half-hour
+      // sweep). The driver never sets it → best-of-3 + adaptive.
+      val override_ = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
+      val base = override_.getOrElse(if (streamingFixed(name)) 2 else 3)
       val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
       // Adaptive top-up for ANY noisy batch key (r7 verdict: the cap on
       // cheap keys left q6/json_funcs spreads at 3.7×/4.7× in the
@@ -116,7 +121,7 @@ object Bench {
       // FASTEST passes (below), so a single contended pass stops
       // polluting the reported reproducibility once a clean triple
       // exists — re-measuring can actually converge it.
-      while (!streamingFixed(name) && times.length < 5 &&
+      while (override_.isEmpty && !streamingFixed(name) && times.length < 5 &&
         spreadOf(times.toSeq) > 1.5)
         times += timed(name)
       name -> times.toSeq
