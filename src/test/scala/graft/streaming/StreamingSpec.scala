@@ -185,6 +185,30 @@ class StreamingSpec extends SparkSpec
 
   test("checkpoint restart: stop after tranche 1, resume with new files — " +
       "exactly-once across the restart (VERDICT r8 item 3)") {
+    restartRecovery()
+  }
+
+  test("checkpoint restart under the RocksDB state store — the backend for " +
+      "state larger than executor memory") {
+    // At 100 TB the windowed-agg state outgrows the default in-memory
+    // (HDFS-backed) provider; RocksDBStateStoreProvider spills state to
+    // local SST files and is the production choice. The SAME restart
+    // protocol must hold: state written by run 1 under RocksDB is
+    // recovered by run 2 from the checkpoint. A result divergence or a
+    // provider-specific recovery failure fails the same assertions as
+    // the default-provider test.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try restartRecovery()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def restartRecovery(): Unit = {
     // Two-tranche protocol over the stream_sink_files query shape
     // (file source -> watermarked 1h windows -> parquet file sink):
     //   run 1  processes tranche A only (AvailableNow), then terminates —
