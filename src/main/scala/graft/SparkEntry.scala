@@ -110,6 +110,7 @@ object SparkEntry {
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
+    "scan_evolving"     -> (graft.sources.FormatSources.scanEvolving _),
     "scan_binary"       -> (graft.sources.FormatSources.scanBinary _),
     "scan_partitioned"  -> (graft.sources.FormatSources.scanPartitioned _),
     "scan_dpp"          -> (graft.sources.FormatSources.scanDpp _),
@@ -1129,6 +1130,17 @@ object SparkEntry {
         |FROM supplier
         |WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
+
+    // Schema evolution (mergeSchema union): the batch split is a pure
+    // key expression, so the oracle replays it — rows from the old
+    // batch (even keys, written without the column) surface
+    // p_retailprice as NULL in BOTH engines.
+    "scan_evolving" ->
+      """SELECT p_partkey, p_name,
+        |       CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END
+        |         AS p_retailprice
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     // Dynamic partition pruning: the oracle replays the star join over
     // the original parquet (partition-column int round-trips losslessly

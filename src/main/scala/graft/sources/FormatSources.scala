@@ -221,4 +221,40 @@ object FormatSources {
       .filter(col("s_acctbal") > 0)
       .orderBy("s_suppkey")
   }
+
+  // `scan_evolving` — SCHEMA EVOLUTION across parquet batches (Q107):
+  // every long-lived corpus drops batches whose schema grew over time
+  // (a quality column added mid-crawl, a new metadata field) — the
+  // reader must union the schemas WITHOUT rewriting petabytes of old
+  // files. Two batches of the `part` projection land in one directory:
+  // the "old crawl" (even keys) without `p_retailprice`, the "new
+  // crawl" (odd keys) with it; `mergeSchema=true` unions the footers
+  // at planning time and old rows surface the new column as NULL —
+  // the exact semantics a backfill-free schema upgrade needs.
+  //
+  // Scale notes: schema merge is a FOOTER operation (one small read
+  // per file at planning, distributable via
+  // spark.sql.parquet.mergeSchema's respectSummaryFiles path) — data
+  // pages are untouched, so the upgrade is O(files), not O(bytes).
+  // The default stays mergeSchema=false for a reason: on a stable
+  // schema the merge pass is wasted planning cost at 100 TB — turn it
+  // on per-read exactly where drift exists (or pin the superset schema
+  // explicitly, which skips the footer pass entirely). Column pruning
+  // and filter pushdown work unchanged on the merged schema — absent
+  // columns prune to nulls at the row-group level for free.
+  def scanEvolving(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("evolve", dir)
+    val part = Tables.part(spark, dir)
+    // deterministic batch split on the key so the oracle can replay it:
+    // the old batch pre-dates the p_retailprice column
+    part.filter(pmod(col("p_partkey"), lit(2)) === 0)
+      .select("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(path)
+    part.filter(pmod(col("p_partkey"), lit(2)) === 1)
+      .select("p_partkey", "p_name", "p_retailprice")
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
 }

@@ -40,6 +40,22 @@ class SourcesSpec extends SparkSpec {
     assert(canon(back) === canon(docs))
   }
 
+  test("scan_evolving: mergeSchema unions batch schemas; pre-evolution rows " +
+      "surface the new column as NULL") {
+    val out = graft.sources.FormatSources.scanEvolving(spark, sf)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("p_partkey", "p_name", "p_retailprice"))
+    val rows = out.collect()
+    val nPart = graft.Tables.part(spark, sf).count()
+    assert(rows.length.toLong === nPart, "evolution must lose no rows")
+    // old batch (even keys, written before the column existed) → NULL;
+    // new batch (odd keys) → the real value
+    assert(rows.forall { r =>
+      val k = r.getLong(0)
+      if (k % 2 == 0) r.isNullAt(2) else !r.isNullAt(2)
+    })
+  }
+
   test("partitioned parquet write; reads prune partitions") {
     val path = tmp("part")
     docs.write.partitionBy("lang").parquet(path)
