@@ -131,6 +131,7 @@ object SparkEntry {
     "vocab_topk"        -> (TextAnalysis.vocabTopk _),
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
     "layout_sorted"     -> (Layout.layoutSorted _),
+    "layout_zorder"     -> (Layout.layoutZorder _),
     "ts_resample"       -> (EventAnalytics.tsResample _),
     "scan_xml"          -> (graft.sources.FormatSources.scanXml _),
   )
@@ -1446,6 +1447,26 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    // Z-order box read: layout is correctness-neutral, so the oracle
+    // replays the plain box filter. The cut points are sf-relative —
+    // both engines compute lo + floor(span/4) with exact arithmetic
+    // (span·0.25 is exact in a double at key magnitudes, and the Spark
+    // side uses integer division), so the literals agree.
+    "layout_zorder" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_extendedprice
+        |FROM lineitem, b
+        |WHERE l_partkey >= pmin + CAST(FLOOR((pmax - pmin) / 4.0) AS BIGINT)
+        |  AND l_partkey <  pmin + CAST(FLOOR((pmax - pmin) / 2.0) AS BIGINT)
+        |  AND l_suppkey >= smin + CAST(FLOOR((smax - smin) / 4.0) AS BIGINT)
+        |  AND l_suppkey <  smin + CAST(FLOOR((smax - smin) / 2.0) AS BIGINT)
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
 
     // Gap fill: silent hours must appear as explicit zero rows.

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 
 /** Physical-plan assertions — the scale contract (SURVEY.md §4, scale
   * notes in each operator file). These lock in the plan shapes that
@@ -269,6 +269,60 @@ class PlanSpec extends SparkSpec {
         s"unsorted baseline expected to emit all $total rows, got $unsorted")
       assert(clustered < total / 2,
         s"clustered scan emitted $clustered of $total — nothing skipped")
+    }
+  }
+
+  test("layout_zorder: z-clustered scan skips row groups on BOTH " +
+      "dimensions; a single-column sort cannot skip on the second") {
+    withoutAQE {
+      val matched = operators.Layout.layoutZorder(spark, sf).count()
+      val total = Tables.lineitem(spark, sf).count()
+      def scanRows(d: org.apache.spark.sql.DataFrame): Long = {
+        val exec = d.queryExecution.executedPlan
+        val scan = exec.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+        exec.execute().count()
+        scan.metrics("numOutputRows").value
+      }
+      assert(matched > 0 && matched < total)
+      // the ~1/16 box over both dimensions: the z envelope eliminates
+      // most files/row groups before any page read
+      val box = scanRows(operators.Layout.zorderRead(spark, sf))
+      assert(box < total / 2,
+        s"z-order box scan emitted $box of $total — nothing skipped")
+      // the second dimension ALONE still skips: a contiguous z range
+      // fixes high suppkey bits too, so each file's suppkey envelope
+      // covers only a fraction of the domain
+      val dim2 = scanRows(operators.Layout.zorderReadDim2(spark, sf))
+      // baseline: the same data clustered on l_partkey only — every
+      // file's suppkey envelope spans the whole domain, so the same
+      // suppkey box eliminates nothing
+      val singleDimPath = graft.sources.FormatSources
+        .exportPath("zorder_singledim", sf)
+      operators.Layout.zorderRead(spark, sf).sparkSession.read
+        .parquet(operators.Layout.zorderPath(sf))
+        .repartitionByRange(8, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(singleDimPath)
+      val (sLoHi) = {
+        val r = Tables.lineitem(spark, sf)
+          .agg(min("l_suppkey"), max("l_suppkey")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (smin, smax) = sLoHi
+      val (sLo, sHi) = (smin + (smax - smin) / 4, smin + (smax - smin) / 2)
+      val singleDim = scanRows(
+        spark.read.parquet(singleDimPath)
+          .filter(col("l_suppkey") >= lit(sLo) && col("l_suppkey") < lit(sHi)))
+      assert(singleDim === total,
+        s"single-dim baseline expected to emit all $total rows, got $singleDim")
+      assert(dim2 * 4 <= singleDim * 3,
+        s"z-order second-dim scan emitted $dim2 vs single-dim $singleDim — " +
+          "no cross-dimension envelope")
+      info(s"total=$total box=$box dim2=$dim2 singleDim=$singleDim")
     }
   }
 
