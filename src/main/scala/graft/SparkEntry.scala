@@ -128,6 +128,7 @@ object SparkEntry {
     "agg_bitmap_distinct" -> (EventAnalytics.aggBitmapDistinct _),
     "compact_files"     -> (Layout.compactFiles _),
     "scd2_history"      -> (EventAnalytics.scd2History _),
+    "sessionize_batch"  -> (EventAnalytics.sessionizeBatch _),
     "vocab_topk"        -> (TextAnalysis.vocabTopk _),
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
     "layout_sorted"     -> (Layout.layoutSorted _),
@@ -1418,6 +1419,33 @@ object SparkEntry {
         |            AS INTEGER) AS is_current
         |FROM f
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // Sessionization: all time arithmetic in integer microseconds
+    // (epoch_us ↔ unix_micros) so gap compares and durations are exact
+    // in both engines.
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), g AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM g
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences

@@ -240,4 +240,41 @@ object EventAnalytics {
         col("next_from").isNull.cast("int").as("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
   }
+
+  // `sessionize_batch` — gap-based SESSIONIZATION of the event log (the
+  // batch sibling of `stream_session`, and the op every product/behavior
+  // pipeline runs first): a user's events split into sessions wherever
+  // the gap to the previous event exceeds 30 minutes; emit one row per
+  // session with its event count and exact span. The canonical
+  // distributed shape: lag() marks session starts, a running sum of the
+  // start flags numbers them — BOTH window expressions share ONE
+  // (user_id)-partitioned (ts, event_id) sort, so the whole operator is
+  // one shuffle + one per-partition sort + a partial-aggregating
+  // groupBy whose output is ~sessions, far smaller than the log. No
+  // driver scalars, no second scan.
+  //
+  // All time arithmetic is in integer MICROSECONDS (unix_micros /
+  // DuckDB epoch_us): the gap compare and the duration are exact in
+  // both engines — second-truncated timestamps would disagree on
+  // sub-second gaps (floor(a)-floor(b) ≠ floor(a-b)).
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_s",
+        (lag(col("ts_us"), 1).over(byUser).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs)
+          .cast("long"))
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
 }

@@ -116,6 +116,19 @@ class PlanSpec extends SparkSpec {
       "struct-max must have a map-side partial")
   }
 
+  test("sessionize_batch: both windows and the session agg ride ONE " +
+      "user-keyed exchange") {
+    // lag (start flags) and the running sum share the (user_id) sort;
+    // the (user_id, session_id) groupBy is satisfied by the same hash
+    // partitioning (subset rule) — so the only exchanges are that one
+    // hash plus the terminal ORDER BY's range partitioning. A third
+    // exchange means the agg re-shuffled data it already owned.
+    val p = plan(operators.EventAnalytics.sessionizeBatch(spark, sf))
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window"))
+  }
+
   test("anomaly_zscore / funnel: per-key stats via aggregation, never a full-log window") {
     val pz = plan(operators.EventAnalytics.anomalyZscore(spark, sf))
     assert(!pz.contains("Window"), "moments must be a two-pass agg+join")

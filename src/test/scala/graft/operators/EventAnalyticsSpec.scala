@@ -152,4 +152,21 @@ class EventAnalyticsSpec extends SparkSpec {
           "cdc_upsert's last-writer-wins order is not total")
     }
   }
+
+  test("sessionize_batch: sessions partition the log, ids are contiguous " +
+      "from 1, spans are exact") {
+    val out = EventAnalytics.sessionizeBatch(spark, sf).collect()
+    // no event lost or double-counted: session sizes sum to the log
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum === totalEvents)
+    // per user the running-sum numbering yields exactly 1..k
+    out.groupBy(_.get(0)).foreach { case (u, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head === 1L && ids.last === ids.length.toLong,
+        s"user $u: session ids ${ids.mkString(",")} not contiguous from 1")
+    }
+    // duration is the exact microsecond span, never negative
+    assert(out.forall(r =>
+      r.getLong(5) === r.getLong(4) - r.getLong(3) && r.getLong(5) >= 0L))
+  }
 }
