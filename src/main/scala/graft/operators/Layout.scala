@@ -119,11 +119,16 @@ object Layout {
   // a timestamp-clustered layout would silently lose the skipping it
   // paid the write shuffle for. PlanSpec would catch that regression.
   def layoutSorted(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"), col("l_extendedprice"),
         to_date(col("l_shipdate")).as("ship_d"))
-      .repartitionByRange(8, col("ship_d"))
+    // Data-proportional write parallelism (same ~750k-rows-per-file
+    // rule as layout_zorder, same rationale: a literal partition count
+    // caps the clustering sort at that many tasks at any data size —
+    // the fixed-k cliff the r9 decade rehearsal measured).
+    val parts = math.max(8, math.ceil(li.count() / 750000.0).toInt)
+    li.repartitionByRange(parts, col("ship_d"))
       .sortWithinPartitions("ship_d")
       .write.mode("overwrite")
       .option("parquet.block.size", 256 * 1024)

@@ -317,13 +317,18 @@ object Relational {
   }
 
   /** The un-checkpointed skewed join (shared with PlanSpec's skew-split
-    * assertion). The repartition(8) below gives the join's shuffle >1
+    * assertion). The repartition below gives the join's shuffle >1
     * map task — AQE splits a skewed reduce partition at map-output
-    * boundaries, so a single-file scan (one map) is unsplittable. */
+    * boundaries, so a single-file scan (one map) is unsplittable. The
+    * 8 is a FLOOR, not a count: max(8, input partitions) never reduces
+    * the parallelism a large scan already has (a literal k here would
+    * funnel a 100-partition input through k tasks — the fixed-k cliff
+    * the r9 decade rehearsal measured on layout_zorder). */
   private[graft] def joinSkewPlan(spark: SparkSession, dir: String): DataFrame = {
-    val fact = Tables.lineitem(spark, dir)
+    val scan = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .repartition(8)
+    val fact = scan
+      .repartition(math.max(8, scan.rdd.getNumPartitions))
       .select(
         when(pmod(col("l_orderkey"), lit(100)) < 90, lit(0L))
           .otherwise(col("l_orderkey")).as("k"),
