@@ -78,6 +78,7 @@ object SparkEntry {
     "stream_join"     -> (graft.streaming.Streams.streamJoin _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_ngram"     -> (Dedup.dedupNgram _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_near"      -> (Dedup.dedupNear _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "sim_topk"        -> (Similarity.simTopk _),
@@ -616,6 +617,49 @@ object SparkEntry {
     // probability (1-J^2)^16 <= 8e-8, zero on this corpus.
     "dedup_near" -> dedupPairsOracle,
     "dedup_ngram" -> dedupPairsOracle,
+
+    // Batch-vs-corpus incremental dedup: both flags replay as EXISTS
+    // against the corpus half (same shingle CTE as the pairs oracle,
+    // restricted to cross-set joins).
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+        |), bexact AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hashes b JOIN hashes c ON b.h = c.h
+        |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2
+        |), bnear AS (
+        |  SELECT DISTINCT doc_a AS doc_id
+        |  FROM inter
+        |  JOIN cnt na ON doc_a = na.doc_id
+        |  JOIN cnt nb ON doc_b = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |)
+        |SELECT d.doc_id,
+        |       CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS exact_dup,
+        |       CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
+        |       CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+        |            THEN 1 ELSE 0 END AS kept
+        |FROM documents d
+        |LEFT JOIN bexact e ON d.doc_id = e.doc_id
+        |LEFT JOIN bnear  n ON d.doc_id = n.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "sim_topk" ->
       """WITH e AS (

@@ -67,6 +67,38 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 3L)) < 1.0)     // a real edit lowers Jaccard
   }
 
+  test("dedup_incremental: exact and near flags fire on cross-set dups; " +
+      "batch-internal dups do NOT flag") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince"
+    // corpus = ids not divisible by 10; batch = divisible
+    val docs = Seq(
+      (1L, base),                                // corpus
+      (2L, other),                               // corpus
+      (10L, "  " + base.toUpperCase + "  "),     // batch: exact (normalized) clone of 1
+      (20L, other.replace("quince", "veinte")),  // batch: near-dup of 2, not exact
+      (30L, "jade quartz topaz ruby onyx beryl opal agate flint slate"),
+      (40L, "red orange yellow green blue indigo violet cyan magenta white"),
+      (50L, "red orange yellow green blue indigo violet cyan magenta white"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalFlags(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out.keySet === Set(10L, 20L, 30L, 40L, 50L))
+    assert(out(10L) === ((1, 1, 0)), "normalized exact clone: both flags")
+    assert(out(20L) === ((0, 1, 0)), "one-word edit: near only")
+    assert(out(30L) === ((0, 0, 1)), "unique batch doc kept")
+    // the defining property vs self-dedup: 40 and 50 duplicate EACH
+    // OTHER inside the batch but match nothing in the corpus — the
+    // incremental pass must keep both (batch-internal dedup is the
+    // self-dedup pass's job, with its own keep-best policy)
+    assert(out(40L) === ((0, 0, 1)) && out(50L) === ((0, 0, 1)),
+      "batch-internal duplicates must not flag against the corpus")
+  }
+
   test("ngramPairsPrefiltered emits exactly ngramPairs' output — a df=1 " +
       "shingle can never contribute to an intersection") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
