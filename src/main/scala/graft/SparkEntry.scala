@@ -130,6 +130,7 @@ object SparkEntry {
     "compact_files"     -> (Layout.compactFiles _),
     "scd2_history"      -> (EventAnalytics.scd2History _),
     "sessionize_batch"  -> (EventAnalytics.sessionizeBatch _),
+    "join_temporal"     -> (Relational.joinTemporal _),
     "vocab_topk"        -> (TextAnalysis.vocabTopk _),
     "stream_sink_files" -> (graft.streaming.Streams.streamSinkFiles _),
     "layout_sorted"     -> (Layout.layoutSorted _),
@@ -1463,6 +1464,31 @@ object SparkEntry {
         |            AS INTEGER) AS is_current
         |FROM f
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // Point-in-time join: the dimension CTE is scd2_history's oracle
+    // compacted to (user, status, valid_from, valid_to); intervals
+    // partition each user's timeline so the join is exactly 1:1.
+    "join_temporal" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), dim AS (
+        |  SELECT user_id, event_type AS status, ts AS valid_from,
+        |         coalesce(lead(ts) OVER
+        |                    (PARTITION BY user_id ORDER BY ts, event_id),
+        |                  TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+        |  FROM f
+        |)
+        |SELECT e.user_id, e.ts, e.event_id, d.status
+        |FROM events e
+        |JOIN dim d ON e.user_id = d.user_id
+        |          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 
     // Sessionization: all time arithmetic in integer microseconds
     // (epoch_us ↔ unix_micros) so gap compares and durations are exact

@@ -396,4 +396,34 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
+
+  // `join_temporal` — point-in-time join against a VERSIONED dimension
+  // (the SCD2 lookup every feature store and lineage backfill runs:
+  // "which status was valid when this event happened?"): each event
+  // matches the dimension row whose [valid_from, valid_to) interval
+  // contains its timestamp. The dimension is Q100's scd2_history built
+  // from the same log, whose intervals PARTITION each user's timeline
+  // from the first event to the 2100 sentinel — so every event matches
+  // EXACTLY one version (EventAnalyticsSpec pins rows == events).
+  //
+  // Distinct from Q11's as-of join in mechanics and shape: as-of
+  // needs no dimension (union timeline, zero joins); temporal probes a
+  // maintained interval table. The equi component (user_id) keeps it a
+  // hash/sort-merge join — the interval predicate is a RESIDUAL
+  // evaluated per co-partitioned user, never a cartesian. At 100 TB
+  // the dimension is changes-only (orders of magnitude smaller than
+  // the log), bucketed on the same user key as the event stream, so
+  // the probe co-locates; per-user cost is that user's
+  // intervals × events, both bounded.
+  def joinTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val dim = EventAnalytics.scd2History(spark, dir)
+      .select(col("user_id").as("d_user"), col("status"),
+        col("valid_from"), col("valid_to"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("status"))
+      .orderBy("user_id", "ts", "event_id")
+  }
 }

@@ -38,6 +38,8 @@ class CodegenAuditSpec extends SparkSpec {
     "dedup_near" -> ("MinHash shingle/signature HOFs over the shared cached " +
       "shingle frame; runtime tracks pair count sub-linearly (LshStress)"),
     "dedup_ngram" -> "shingle-construction HOF (shares the cached shingle frame)",
+    "dedup_incremental" -> ("shingle-construction HOF on both sides of the " +
+      "cross-set probe (same machinery as dedup_ngram)"),
     "dedup_simhash" -> "64-vote fingerprint agg over HOF-built shingle hashes",
     "text_fingerprint" -> "rolling-hash fingerprint transform() over per-doc shingles",
     "text_repetition" -> "n-gram repetition-ratio HOFs over the shared tokenization",

@@ -116,6 +116,15 @@ class PlanSpec extends SparkSpec {
       "struct-max must have a map-side partial")
   }
 
+  test("join_temporal: interval probe stays an equi join with a residual, " +
+      "never a cartesian") {
+    val p = plan(operators.Relational.joinTemporal(spark, sf))
+    assert(!p.contains("CartesianProduct"), "interval join went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "equi component lost — BNLJ compares every event to every version")
+    assert(p.contains("Join"))
+  }
+
   test("sessionize_batch: both windows and the session agg ride ONE " +
       "user-keyed exchange") {
     // lag (start flags) and the running sum share the (user_id) sort;

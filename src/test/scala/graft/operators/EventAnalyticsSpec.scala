@@ -153,6 +153,17 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("join_temporal: every event matches EXACTLY one dimension version") {
+    // scd2's intervals partition each user's timeline, so the
+    // point-in-time join must be lossless AND fan-out-free: one output
+    // row per event. A wrong boundary (> vs >=) loses the
+    // change-moment events; an overlapping dimension would fan out.
+    val ev = Tables.events(spark, sf).count()
+    val out = Relational.joinTemporal(spark, sf)
+    assert(out.count() === ev)
+    assert(out.select("user_id", "ts", "event_id").distinct().count() === ev)
+  }
+
   test("sessionize_batch: sessions partition the log, ids are contiguous " +
       "from 1, spans are exact") {
     val out = EventAnalytics.sessionizeBatch(spark, sf).collect()
