@@ -111,7 +111,12 @@ object Bench {
       // sf10 ScaleGen decades, where per-key times are long enough to
       // dominate host noise and best-of-3 would triple a half-hour
       // sweep). The driver never sets it → best-of-3 + adaptive.
-      val override_ = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
+      val override_ = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
+        val p = v.toInt // fail fast on garbage, not deep in the run
+        require(p > 0, s"SPARK_GRAFT_PASSES must be >= 1, got $v " +
+          "(0 would record no timed runs and crash at min())")
+        p
+      }
       val base = override_.getOrElse(if (streamingFixed(name)) 2 else 3)
       val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
       // Adaptive top-up for ANY noisy batch key (r7 verdict: the cap on
@@ -128,15 +133,10 @@ object Bench {
     }
     graft.operators.Caches.releaseAll()
 
-    // full JSON string escaping (backslash, quote, ALL control chars) —
+    // full JSON string escaping — shared definition (Util.jsonEscape):
     // a raw control char from an exception message would make the one
     // line the driver parses invalid again
-    def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def esc(s: String): String = Util.jsonEscape(s)
     def r3(d: Double): String = f"$d%.3f"
     val best = results.map { case (k, runs) => k -> runs.min }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }

@@ -16,4 +16,16 @@ object Util {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
+
+  /** Full JSON string escaping (backslash, quote, ALL control chars) —
+    * any free text spliced into a machine-parsed single-line JSON
+    * record (Bench's error map, SpillRehearsal's per-key error) must
+    * pass through here: a raw newline or quote from an exception
+    * message would split/break the one line the driver parses. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 }

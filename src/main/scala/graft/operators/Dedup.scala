@@ -480,8 +480,15 @@ object Dedup {
     val exact = h(batch)
       .join(h(corpus).select("h").distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(1))
-    val bs = hashedShingles(batch)
-    val cs = hashedShingles(corpus)
+    // ONE shingle pass, filtered per side: shingles are per-doc, so
+    // filtering the shared cached frame yields exactly
+    // hashedShingles(batch)/(corpus) while reusing the SAME cache
+    // entry dedup_near/dedup_ngram already built — two separate
+    // hashedShingles(filtered) calls would re-tokenize the corpus and
+    // pin a second full copy of the shingle working set.
+    val sh = hashedShingles(docs)
+    val bs = sh.filter(isBatch)
+    val cs = sh.filter(!isBatch)
     val bcnt = bs.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val ccnt = cs.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val inter = bs.select(col("doc_id").as("doc_a"), col("h"))

@@ -200,7 +200,9 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", 256 * 1024)
       .parquet(zorderPath(dir))
-    zorderRead(spark, dir)
+    // reuse the bounds computed above — zorderRead(spark, dir) would
+    // pay the min/max/count aggregation a second time per invocation
+    zorderReadAt(spark, dir, pmin, pmax, smin, smax)
       .orderBy(Tables.lineitemKey.map(col): _*)
   }
 
@@ -236,6 +238,11 @@ object Layout {
     * the footer stats engage. */
   private[graft] def zorderRead(spark: SparkSession, dir: String): DataFrame = {
     val (pmin, pmax, smin, smax, _) = zorderBounds(spark, dir)
+    zorderReadAt(spark, dir, pmin, pmax, smin, smax)
+  }
+
+  private def zorderReadAt(spark: SparkSession, dir: String,
+      pmin: Long, pmax: Long, smin: Long, smax: Long): DataFrame = {
     val (pLo, pHi) = quarterHalf(pmin, pmax)
     val (sLo, sHi) = quarterHalf(smin, smax)
     spark.read.parquet(zorderPath(dir))

@@ -96,15 +96,22 @@ object SkewRehearsal {
     /** Executes df, returns (seconds, canonical rows, skew-split slice
       * count from the FINAL adaptive plan: PartialReducerPartitionSpec
       * entries are exactly the sub-reads a skewed partition was cut
-      * into). */
-    def timeIt(df: => DataFrame): (Double, Set[String], Int) = {
+      * into). Canonical rows carry (priority, exact count) only — the
+      * revenue sum is float and the three variants accumulate it in
+      * different partition orders, so at sf10 magnitudes (~1e12) the
+      * 2-dp rounding granule can flip between variants on identical
+      * data; it is compared separately with a tolerance. */
+    def timeIt(df: => DataFrame): (Double, Set[String], Int, Map[String, Double]) = {
       val d = df
       val t0 = System.nanoTime()
-      val rows = d.collect().map(_.mkString("|")).toSet
+      val collected = d.collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, rows, skewSlices(d.queryExecution.executedPlan))
+      val rows = collected.map(r => s"${r.get(0)}|${r.get(1)}").toSet
+      val rev = collected.map(r =>
+        r.get(0).toString -> r.getDouble(2)).toMap
+      (sec, rows, skewSlices(d.queryExecution.executedPlan), rev)
     }
-    def best(n: Int)(run: => (Double, Set[String], Int)) = {
+    def best(n: Int)(run: => (Double, Set[String], Int, Map[String, Double])) = {
       val rs = Seq.fill(n)(run)
       rs.minBy(_._1)
     }
@@ -112,11 +119,20 @@ object SkewRehearsal {
     // warm the parquet footers/page cache once so variant order doesn't bias
     unsalted.write.format("noop").mode("overwrite").save()
 
-    val (tPlain, rPlain, _) = best(2)(withSkew(false)(timeIt(unsalted)))
-    val (tAqe, rAqe, slices) = best(2)(withSkew(true)(timeIt(unsalted)))
-    val (tSalt, rSalt, _) = best(2)(withSkew(false)(timeIt(salted)))
+    val (tPlain, rPlain, _, vPlain) = best(2)(withSkew(false)(timeIt(unsalted)))
+    val (tAqe, rAqe, slices, vAqe) = best(2)(withSkew(true)(timeIt(unsalted)))
+    val (tSalt, rSalt, _, vSalt) = best(2)(withSkew(false)(timeIt(salted)))
     require(rPlain == rAqe && rPlain == rSalt,
       "skew rehearsal variants disagree — plan surgery changed the result")
+    // revenue compared with a relative tolerance, not string equality:
+    // summation order differs per plan, exact equality would abort a
+    // half-hour rehearsal over one reassociated ulp at the granule edge
+    for (k <- vPlain.keys) {
+      val (a, b, c) = (vPlain(k), vAqe(k), vSalt(k))
+      require(math.abs(a - b) <= math.abs(a) * 1e-9 + 0.011 &&
+        math.abs(a - c) <= math.abs(a) * 1e-9 + 0.011,
+        s"revenue_m diverges beyond rounding tolerance at $k: $a / $b / $c")
+    }
     println(f"[skew] unsalted=${tPlain}%.2f s  aqe=${tAqe}%.2f s  " +
       f"salted(x$salt)=${tSalt}%.2f s  skew_slices=$slices")
     println(s"""{"skew_rehearsal":{"sf":"$sfDir","unsalted_sec":${r3(tPlain)},""" +

@@ -91,8 +91,11 @@ object SpillRehearsal {
       row
     }
     val json = results.map { case (k, sec, m, d, err) =>
+      // error text must be JSON-escaped: a multi-line / quote-bearing
+      // Spark message would split or break the one parsed line
+      val e = err.map("\"" + graft.Util.jsonEscape(_) + "\"").getOrElse("null")
       s""""$k":{"sec":${math.round(sec * 1000) / 1000.0},"mem_spill_mb":$m,""" +
-      s""""disk_spill_mb":$d,"error":${err.map("\"" + _ + "\"").getOrElse("null")}}"""
+      s""""disk_spill_mb":$d,"error":$e}"""
     }.mkString("{", ",", "}")
     println(s"""{"spill_rehearsal":$json,"heap":"${Runtime.getRuntime.maxMemory / 1048576} MB","mem_fraction":$memFrac,"sf":"$sfDir"}""")
     spark.stop()

@@ -65,7 +65,12 @@ class CodegenAuditSpec extends SparkSpec {
           val plan = fn(spark, sf).queryExecution.executedPlan.toString
           val interp = plan.linesIterator
             .map(_.dropWhile(c => " +-:".contains(c)))
-            .filter(l => l.startsWith("Project [") || l.startsWith("Filter ("))
+            // bare prefixes: codegen'd nodes render as "*(n) Filter ..."
+            // and keep their '*' through the dropWhile, so only
+            // interpreted nodes match. "Filter " (not "Filter (") —
+            // a single-predicate FilterExec prints without parentheses
+            // ("Filter isnotnull(x#1)") and must not escape the audit.
+            .filter(l => l.startsWith("Project [") || l.startsWith("Filter "))
             .toSeq
           val lambdas = plan.linesIterator.count(_.contains("lambdafunction"))
           val objNodes = plan.linesIterator.count(l =>
