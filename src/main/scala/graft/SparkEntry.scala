@@ -137,6 +137,11 @@ object SparkEntry {
     "layout_zorder"     -> (Layout.layoutZorder _),
     "ts_resample"       -> (EventAnalytics.tsResample _),
     "scan_xml"          -> (graft.sources.FormatSources.scanXml _),
+    "join_full_outer"   -> (Relational.joinFullOuter _),
+    "subquery_correlated" -> (Relational.subqueryCorrelated _),
+    "win_range_frames"  -> (Analytic.winRangeFrames _),
+    "text_normalize"    -> (TextAnalysis.textNormalize _),
+    "agg_approx_topk"   -> (EventAnalytics.aggApproxTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -604,9 +609,15 @@ object SparkEntry {
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // The hash input is the canonical normalizer (text_normalize):
+    // DuckDB's strip_accents∘nfc_normalize is utf8proc NFD+STRIPMARK —
+    // the same fold as the Spark expression, applied in the same
+    // order (marks stripped BEFORE lower).
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
-        |       sha256(lower(trim(text))) AS h,
+        |       sha256(trim(regexp_replace(
+        |         lower(strip_accents(nfc_normalize(text))),
+        |         '\s+', ' ', 'g'))) AS h,
         |       count(*) AS n_copies
         |FROM documents
         |GROUP BY 2
@@ -1510,7 +1521,8 @@ object SparkEntry {
         |           AS session_id
         |  FROM f
         |)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
         |       max(ts_us) - min(ts_us) AS duration_us
         |FROM g
@@ -1596,6 +1608,104 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    // Full outer: sentinel-coalesced keys + a null_rank class column
+    // (0 matched / 1 left-only / 2 right-only) make the sort total in
+    // both engines regardless of NULL placement.
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, -1) AS cust,
+        |       coalesce(o_orderkey, -1) AS order_key,
+        |       CASE WHEN c_custkey IS NULL THEN 2
+        |            WHEN o_orderkey IS NULL THEN 1
+        |            ELSE 0 END AS null_rank,
+        |       coalesce(o_totalprice, 0.0) AS price
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_mktsegment = 'AUTOMOBILE') c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+        |                 FROM orders WHERE o_totalprice > 350000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY null_rank, cust, order_key""".stripMargin,
+
+    // Identical correlated-subquery text on both engines: DuckDB
+    // executes its own decorrelation, Spark runs
+    // RewriteCorrelatedScalarSubquery + semi-join — a green hash
+    // certifies the rewrites agree. Exact-integer-cents arithmetic
+    // throughout (see Relational.subqueryCorrelated): no float
+    // rounding exists in the output, so the Spark-vs-DuckDB round()
+    // half-boundary divergence cannot occur.
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |         - (SELECT CAST(floor(avg(
+        |              CAST(round(o2.o_totalprice * 100) AS BIGINT)))
+        |            AS BIGINT)
+        |            FROM orders o2
+        |            WHERE o2.o_custkey = o.o_custkey)
+        |         AS delta_vs_cust_avg_cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |        > 1.5 * (SELECT avg(
+        |                   CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |                 FROM orders o2
+        |                 WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_acctbal > 0.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // RANGE frame bounds by ts VALUE distance (integer microseconds,
+    // the sessionize_batch convention): tie order cannot change the
+    // frame, so no tiebreak column is needed in the window itself.
+    "win_range_frames" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events
+        |)
+        |SELECT user_id, ts_us, event_id,
+        |       count(*) OVER w AS n_1h,
+        |       round(sum(value) OVER w, 4) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // DuckDB's strip_accents∘nfc_normalize is utf8proc NFD+STRIPMARK —
+    // byte-identical to the Spark text_normalize expression's fold
+    // (marks stripped before lower; canonical forms only, no NFKC).
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(
+        |         lower(strip_accents(nfc_normalize(text))),
+        |         '\s+', ' ', 'g')) AS norm_text,
+        |       sha256(trim(regexp_replace(
+        |         lower(strip_accents(nfc_normalize(text))),
+        |         '\s+', ' ', 'g'))) AS norm_hash,
+        |       length(trim(regexp_replace(
+        |         lower(strip_accents(nfc_normalize(text))),
+        |         '\s+', ' ', 'g'))) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The oracle replays EXACT per-day counts: CMS cells are exact
+    // sums over seed-fixed hash positions, and at |types|=5 vs
+    // width=2000·depth=7 the min-over-depth estimate provably equals
+    // the true count (no candidate collides in all rows) — verified
+    // est == exact on this corpus. The skew-stressed approximation
+    // behavior is pinned separately in EventAnalyticsSpec.
+    "agg_approx_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         count(*) AS est_count
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, event_type, est_count,
+        |         row_number() OVER (PARTITION BY day
+        |           ORDER BY est_count DESC, event_type) AS rk
+        |  FROM c
+        |)
+        |SELECT day, rk, event_type, est_count
+        |FROM r WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

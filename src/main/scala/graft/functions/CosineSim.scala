@@ -101,8 +101,11 @@ object CosineSim {
 }
 
 /** The blessed plug-in path: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects `cosine_sim` into every session built with the config. */
+  * injects the graft function library into every session built with
+  * the config. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSim.registration)
+    ext.injectFunction(TextNormalize.registration)
+  }
 }

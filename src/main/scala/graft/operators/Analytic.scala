@@ -137,6 +137,32 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  // `win_range_frames` — event-time RANGE frame (VERDICT r9 item 4):
+  // per-user rolling 1-hour count + sum over `events`, the time-based
+  // sibling of the ROWS frames above (win_running / win_moving_avg).
+  // A RANGE frame bounds by ORDER-BY VALUE distance, not row offset, so
+  // it is insensitive to tie order: all ts peers enter the frame
+  // together, making the result deterministic without a tiebreak column
+  // in the frame spec. Arithmetic is integer microseconds (unix_micros,
+  // the sessionize_batch convention) so the 1-hour bound compares
+  // exactly in both engines — no interval/timestamp coercion. At scale:
+  // one shuffle on user_id, then a per-partition sort and a sliding
+  // two-pointer frame evaluation — same economics as any window; the
+  // frame never materializes (running aggregate with retraction).
+  def winRangeFrames(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .select(
+        col("user_id"), col("ts_us"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   // Q22 `sort_limit_topk` — global top-k. orderBy+limit plans as
   // TakeOrderedAndProject: per-partition heap of k, driver merges k·p rows
   // — no global sort/shuffle, the only top-k that works at 100 TB.

@@ -42,9 +42,17 @@ object Caches {
     * exactly as long as any such view is alive. */
   private[graft] def registerCheckpoint[T <: Dataset[_]](df: T): T =
     synchronized {
-      df.queryExecution.logical.collectFirst {
+      val rdds = df.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach { rdd =>
+      }
+      // A frame with NO LogicalRDD is not a checkpoint: registering it
+      // would silently void the release guarantee (ADVICE r9), so the
+      // contract is fail-fast. Multi-checkpoint plans (e.g. a join of
+      // two checkpointed sides) register EVERY backing RDD.
+      require(rdds.nonEmpty,
+        "registerCheckpoint: plan contains no LogicalRDD — frame is not " +
+          "an eager (local)checkpoint, nothing would be released")
+      rdds.foreach { rdd =>
         checkpoints +=
           new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](rdd)
       }

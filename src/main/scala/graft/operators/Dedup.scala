@@ -89,14 +89,28 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Canonical content hash: sha256 over the fully-normalized text
+    * (NFD + mark strip + case fold + ws collapse + trim — the
+    * [[graft.functions.TextNormalize]] expression; VERDICT r9 item 5).
+    * The sibling keys that pinned the legacy `lower(trim())` contract
+    * before r10 (dedup_incremental / dedup_keep_best / pipeline_corpus
+    * / stream_dedup) keep it — their oracles hash the same legacy form
+    * and the ASCII corpus makes the two group identically; migrating
+    * them is mechanical once wanted. */
+  private[graft] def exactHash(text: Column): Column =
+    sha2(graft.functions.TextNormalize.textNormalize(text), 256)
+
   // Q37 `dedup_exact` — exact dedup on sha2(normalized text): one
   // surviving doc (min doc_id) per content-hash group plus the group
   // size. Single shuffle on the 256-bit hash; at 100 TB this is the
   // standard first dedup pass (hash is computed map-side, only
-  // (hash, doc_id) pairs shuffle — not the text).
+  // (hash, doc_id) pairs shuffle — not the text). The hash input is
+  // the CANONICAL normalization ([[exactHash]]): composed vs
+  // decomposed accent variants of the same content dedup together
+  // (DedupSpec pins a café/café fixture pair).
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .groupBy(exactHash(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy("doc_id")

@@ -426,4 +426,85 @@ object Relational {
       .select(col("user_id"), col("ts"), col("event_id"), col("status"))
       .orderBy("user_id", "ts", "event_id")
   }
+
+  // `join_full_outer` — the one classic join type the family above
+  // lacked (VERDICT r9 item 2): null-extension on BOTH sides. The two
+  // inputs deliberately overlap only partially — customers in segment
+  // AUTOMOBILE vs orders above a price floor — so all three row
+  // classes appear: matched, left-only (customer with no qualifying
+  // order), right-only (qualifying order whose customer is in another
+  // segment). Nullable keys from either side are coalesced to
+  // sentinels so the terminal ORDER BY is total and engine-agnostic
+  // (Spark sorts NULLS FIRST, DuckDB LAST — same rule as Q07). A
+  // null_rank column classifies the row (0 matched / 1 left-only /
+  // 2 right-only) and participates in the sort, pinning the
+  // null-extension semantics into the hash. At scale this is a plain
+  // shuffled sort-merge join on the key — FullOuter cannot broadcast
+  // (both sides must null-extend, so neither side may be replicated);
+  // PlanSpec asserts SortMergeJoin FullOuter is what Catalyst picks.
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"), col("c_name"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 350000.0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), lit(-1L)).as("cust"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("order_key"),
+        (when(col("c_custkey").isNull, lit(2))
+          .when(col("o_orderkey").isNull, lit(1))
+          .otherwise(lit(0))).as("null_rank"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price"))
+      .orderBy("null_rank", "cust", "order_key")
+
+  // `subquery_correlated` — correlated scalar subquery + correlated
+  // EXISTS, written AS SUBQUERIES (SQL entry path) precisely so
+  // Catalyst's decorrelation fires (VERDICT r9 item 3; SURVEY.md §4
+  // cites RewriteCorrelatedScalarSubquery): each order is compared to
+  // ITS customer's average order value — the per-row re-aggregation a
+  // naive engine would execute as one subquery per outer row (O(N²)
+  // scans). Catalyst rewrites the scalar subquery into ONE grouped
+  // aggregate over orders joined back on the correlation key, and the
+  // EXISTS into a semi-join — both shuffled hash/SMJ on o_custkey,
+  // never a CartesianProduct (PlanSpec asserts both properties). The
+  // two scalar references (SELECT and WHERE) hit the same aggregate:
+  // MergeScalarSubqueries + subquery reuse keep it one scan. At 100 TB
+  // this is the decorrelation contract that makes correlated SQL
+  // usable at all — per-customer groups are bounded, the aggregate is
+  // partial+final, and the join co-partitions with the probe.
+  // Numerics: all arithmetic in EXACT integer cents. A raw-double
+  // avg is summation-order-dependent, and a rounded delta whose true
+  // decimal sits exactly on a half boundary (possible here: prices are
+  // 2-dp, so delta is a small-denominator rational) hits the one case
+  // where Spark's BigDecimal HALF_UP and DuckDB's scaled-nearbyint
+  // round() DISAGREE (observed: 215781.1987 vs .1988). Integer cents
+  // sum exactly in any order (< 2^53, every partial sum is an exact
+  // double), avg = exact_sum / n is the identical double in both
+  // engines, and floor() is deterministic because a non-integer
+  // quotient is ≥ 1/n from the boundary — no rounding anywhere.
+  def subqueryCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |         - (SELECT CAST(floor(avg(
+        |              CAST(round(o2.o_totalprice * 100) AS BIGINT)))
+        |            AS BIGINT)
+        |            FROM sq_orders o2
+        |            WHERE o2.o_custkey = o.o_custkey)
+        |         AS delta_vs_cust_avg_cents
+        |FROM sq_orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |        > 1.5 * (SELECT avg(
+        |                   CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |                 FROM sq_orders o2
+        |                 WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM sq_customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_acctbal > 0.0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
 }

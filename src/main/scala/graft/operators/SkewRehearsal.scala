@@ -88,9 +88,11 @@ object SkewRehearsal {
     }
 
     def withSkew[T](on: Boolean)(body: => T): T = {
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+      val key = "spark.sql.adaptive.skewJoin.enabled"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, on.toString)
       try body
-      finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      finally spark.conf.set(key, prior)
     }
 
     /** Executes df, returns (seconds, canonical rows, skew-split slice

@@ -38,14 +38,19 @@ object SpillRehearsal {
     val sfDir = args.headOption.getOrElse("target/scale/sf10")
     val keys =
       if (args.length > 1) args(1).split(",").toSeq else DefaultKeys
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val memFrac = sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.15")
+    // Fail fast on malformed env (ADVICE r9): these values are spliced
+    // into the machine-parsed JSON summary line, so garbage like "15%"
+    // must die here, not emit invalid JSON after a long run.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt.toString
+    val memFrac =
+      sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.15").toDouble.toString
     // More shuffle partitions than cores is the first lever a memory-
     // constrained cluster pulls: per-task state shrinks linearly. The
     // default (= cores) reproduces the bench layout; the rehearsal
     // raises it for keys whose per-partition hash state has an
     // in-memory floor (see SCALING.md "Spill rehearsal").
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt.toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -339,8 +339,12 @@ class PlanSpec extends SparkSpec {
       val singleDim = scanRows(
         spark.read.parquet(singleDimPath)
           .filter(col("l_suppkey") >= lit(sLo) && col("l_suppkey") < lit(sHi)))
-      assert(singleDim === total,
-        s"single-dim baseline expected to emit all $total rows, got $singleDim")
+      // Near-total, not exact: parquet column-index page skipping is on
+      // by default, so a page whose suppkey envelope happens to be
+      // narrow in the partkey-sorted file may legitimately be pruned
+      // (ADVICE r9). The z-order claim is carried by the dim2 bound.
+      assert(singleDim >= total * 95 / 100,
+        s"single-dim baseline expected to emit ~all $total rows, got $singleDim")
       assert(dim2 * 4 <= singleDim * 3,
         s"z-order second-dim scan emitted $dim2 vs single-dim $singleDim — " +
           "no cross-dimension envelope")
