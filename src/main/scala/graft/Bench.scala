@@ -202,8 +202,8 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty || t == "-") "0" else t
     }
-    def nestedQueries(dec: Int): String = {
-      val (underscored, plain) = best.partition(_._1.contains("_"))
+    def nestedQueries(dec: Int, entries: Seq[(String, Double)] = best): String = {
+      val (underscored, plain) = entries.partition(_._1.contains("_"))
       val fams = underscored.groupBy(_._1.takeWhile(_ != '_'))
       val (nested, singleton) = fams.partition(_._2.size >= 2)
       val flat = (plain ++ singleton.values.flatten.toSeq)
@@ -217,18 +217,33 @@ object Bench {
       }
       (flat ++ groups).mkString("{", ",", "}")
     }
-    // headline/streaming rounded to ms here (full precision is in the
-    // full line above) — 17-char raw doubles would waste tail budget
+    // headline rounded to ms here (full precision is in the full line
+    // above) — 17-char raw doubles would waste tail budget. Wrapper is
+    // minimal (r10: 116 keys overflowed both nested tiers and the line
+    // silently degraded to q6-only): "unit" (always seconds) and
+    // "streaming_fixed_sec" live in the committed bench.json full
+    // line, and "sf" carries only the basename — every byte saved here
+    // is a per-key datum that stays inside the driver's 2000-char
+    // stdout tail.
     val headlineCompact = if (errors.isEmpty) rd(headline, 3) else "null"
-    def compactLine(qmap: String): String =
-      s"""{"metric":"total","value":$headlineCompact,"unit":"sec",""" +
-      s""""queries":$qmap,""" +
-      s""""streaming_fixed_sec":${rd(streamingSec, 3)},"n_errors":${errors.size},""" +
-      s""""sf":"$sfDir"}"""
+    val sfBase = sfDir.reverse.takeWhile(_ != '/').reverse
+    def compactLine(qmap: String, extra: String = ""): String =
+      s"""{"metric":"total","value":$headlineCompact,""" +
+      s""""queries":$qmap,$extra"n_errors":${errors.size},""" +
+      s""""sf":"$sfBase"}"""
     val q6Only = "{" +
       best.collectFirst { case ("q6", v) => "\"q6\":" + v }.getOrElse("") + "}"
+    // Growth tier before the q6-only last resort: drop sub-0.1 s keys
+    // (overhead-dominated at bench sf — a regression that matters
+    // lifts a key ABOVE the floor, where it reappears) and say how
+    // many were dropped, so truncation is visible, never silent.
+    val (kept, dropped) = best.partition(_._2 >= 0.1)
+    val bigOnly = nestedQueries(1, kept)
+    // line + trailing newline must sit inside the tail window: 1995+1
+    // leaves 4 chars of margin in the 2000
     val compact = (Seq(2, 1).map(d => compactLine(nestedQueries(d))) :+
-      compactLine(q6Only)).find(_.length <= 1990).getOrElse(compactLine("{}"))
+      compactLine(bigOnly, s""""n_sub100ms":${dropped.size},""") :+
+      compactLine(q6Only)).find(_.length <= 1995).getOrElse(compactLine("{}"))
     println(compact)
   }
 }

@@ -1635,22 +1635,19 @@ object SparkEntry {
     // half-boundary divergence cannot occur.
     "subquery_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |       CAST(round(o_totalprice * 100) AS BIGINT)
-        |         - (SELECT CAST(floor(avg(
-        |              CAST(round(o2.o_totalprice * 100) AS BIGINT)))
-        |            AS BIGINT)
-        |            FROM orders o2
-        |            WHERE o2.o_custkey = o.o_custkey)
+        |       cents - CAST(floor(avg_cents) AS BIGINT)
         |         AS delta_vs_cust_avg_cents
-        |FROM orders o
-        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
-        |        > 1.5 * (SELECT avg(
-        |                   CAST(round(o2.o_totalprice * 100) AS BIGINT))
-        |                 FROM orders o2
-        |                 WHERE o2.o_custkey = o.o_custkey)
-        |  AND EXISTS (SELECT 1 FROM customer c
-        |              WHERE c.c_custkey = o.o_custkey
-        |                AND c.c_acctbal > 0.0)
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         (SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |          FROM orders o2
+        |          WHERE o2.o_custkey = o.o_custkey) AS avg_cents
+        |  FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = o.o_custkey
+        |                  AND c.c_acctbal > 0.0)
+        |) sub WHERE cents > 1.5 * avg_cents
         |ORDER BY o_orderkey""".stripMargin,
 
     // RANGE frame bounds by ts VALUE distance (integer microseconds,

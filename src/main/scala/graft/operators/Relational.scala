@@ -468,12 +468,16 @@ object Relational {
   // scans). Catalyst rewrites the scalar subquery into ONE grouped
   // aggregate over orders joined back on the correlation key, and the
   // EXISTS into a semi-join — both shuffled hash/SMJ on o_custkey,
-  // never a CartesianProduct (PlanSpec asserts both properties). The
-  // two scalar references (SELECT and WHERE) hit the same aggregate:
-  // MergeScalarSubqueries + subquery reuse keep it one scan. At 100 TB
-  // this is the decorrelation contract that makes correlated SQL
-  // usable at all — per-customer groups are bounded, the aggregate is
-  // partial+final, and the join co-partitions with the probe.
+  // never a CartesianProduct (PlanSpec asserts both properties).
+  // The avg is referenced by SELECT and WHERE, so it is hoisted into
+  // a single correlated subquery in a derived table and consumed
+  // twice OUTSIDE — Spark's MergeScalarSubqueries does not merge
+  // CORRELATED subqueries (measured: the two-subquery form plans TWO
+  // aggregate joins), so single-evaluation is the author's job here.
+  // At 100 TB this is the decorrelation contract that makes
+  // correlated SQL usable at all — per-customer groups are bounded,
+  // the aggregate is partial+final, and the join co-partitions with
+  // the probe.
   // Numerics: all arithmetic in EXACT integer cents. A raw-double
   // avg is summation-order-dependent, and a rounded delta whose true
   // decimal sits exactly on a half boundary (possible here: prices are
@@ -489,22 +493,19 @@ object Relational {
     Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |       CAST(round(o_totalprice * 100) AS BIGINT)
-        |         - (SELECT CAST(floor(avg(
-        |              CAST(round(o2.o_totalprice * 100) AS BIGINT)))
-        |            AS BIGINT)
-        |            FROM sq_orders o2
-        |            WHERE o2.o_custkey = o.o_custkey)
+        |       cents - CAST(floor(avg_cents) AS BIGINT)
         |         AS delta_vs_cust_avg_cents
-        |FROM sq_orders o
-        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
-        |        > 1.5 * (SELECT avg(
-        |                   CAST(round(o2.o_totalprice * 100) AS BIGINT))
-        |                 FROM sq_orders o2
-        |                 WHERE o2.o_custkey = o.o_custkey)
-        |  AND EXISTS (SELECT 1 FROM sq_customer c
-        |              WHERE c.c_custkey = o.o_custkey
-        |                AND c.c_acctbal > 0.0)
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         (SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |          FROM sq_orders o2
+        |          WHERE o2.o_custkey = o.o_custkey) AS avg_cents
+        |  FROM sq_orders o
+        |  WHERE EXISTS (SELECT 1 FROM sq_customer c
+        |                WHERE c.c_custkey = o.o_custkey
+        |                  AND c.c_acctbal > 0.0)
+        |) WHERE cents > 1.5 * avg_cents
         |ORDER BY o_orderkey""".stripMargin)
   }
 }

@@ -450,6 +450,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_full_outer: shuffled sort-merge FullOuter — broadcast is " +
+      "impossible (both sides null-extend)") {
+    val p = plan(operators.Relational.joinFullOuter(spark, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected SortMergeJoin FullOuter:\n$p")
+    assert(!p.contains("Broadcast"),
+      "a FullOuter side must never be replicated")
+  }
+
+  test("subquery_correlated: decorrelated — no cartesian, the orders log " +
+      "is aggregated ONCE (reused exchange), EXISTS is a semi-join") {
+    val p = plan(operators.Relational.subqueryCorrelated(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery was not decorrelated:\n$p")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi-join")
+    // CollapseProject inlines the avg_cents alias into its filter and
+    // project use sites, so the decorrelated aggregate appears as two
+    // join builds — but the EXPENSIVE work must not double: exactly
+    // one partial aggregation of the orders log, the second build
+    // consuming its shuffle via ReusedExchange. (Asserting join count
+    // here would pin a Catalyst inlining quirk, not the scale claim.)
+    assert(count(p, "partial_avg") === 1,
+      "orders must be partial-aggregated exactly once")
+    assert(p.contains("ReusedExchange"),
+      "second aggregate build must reuse the first shuffle")
+  }
+
+  test("win_range_frames: RANGE frame rides one user-keyed exchange " +
+      "plus the terminal sort only") {
+    val p = plan(operators.Analytic.winRangeFrames(spark, sf))
+    assert(p.contains("RangeFrame"),
+      s"expected a RANGE (value-distance) window frame:\n$p")
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the

@@ -23,6 +23,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 1L))
   }
 
+  test("exactHash: composed vs decomposed accent variants dedup together " +
+      "(the canonical-normalizer contract, VERDICT r9 item 5)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // same content four ways: precomposed é, decomposed e+U+0301,
+    // case drift, internal-whitespace drift — one hash group; a
+    // genuinely different doc stays distinct
+    val docs = Seq(
+      (1L, "Café du Monde"),
+      (2L, "Café du Monde"),
+      (3L, "café DU monde"),
+      (4L, "  café du \t monde "),
+      (5L, "beignets du monde")).toDF("doc_id", "text")
+    val hashes = docs.select(col("doc_id"),
+      Dedup.exactHash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(hashes).size === 1,
+      "accent/case/whitespace variants must share one content hash")
+    assert(hashes(5L) !== hashes(1L))
+  }
+
   test("MinHash-LSH finds every planted pair (vs exact ngram ground truth)") {
     val exact = pairs(Dedup.dedupNgram(spark, sf))
     val near  = pairs(Dedup.dedupNear(spark, sf))

@@ -180,4 +180,50 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.forall(r =>
       r.getLong(5) === r.getLong(4) - r.getLong(3) && r.getLong(5) >= 0L))
   }
+
+  test("agg_approx_topk: CMS estimates on a SKEWED fixture — top-k set " +
+      "matches exact, estimates within 2% (the Q90-style accuracy pin)") {
+    import spark.implicits._
+    // zipf-ish skew: one dominant type, a mid tier, a long unit tail —
+    // the regime where CMS over-estimation (colliding tail counts)
+    // would actually show, unlike the near-uniform corpus
+    val counts = Map("hot" -> 5000, "warm" -> 300, "mid" -> 120,
+      "cool" -> 40, "rare" -> 7) ++ (1 to 5).map(i => s"tail$i" -> 1)
+    val rows = counts.toSeq.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val df = rows.toDF("t")
+    val skBytes = df
+      .agg(expr("count_min_sketch(t, 0.001d, 0.99d, 42)")).head()
+      .getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val est = counts.keys.map(t => t -> sk.estimateCount(t)).toMap
+    // CMS never underestimates; ≤2% over on the heavy hitters
+    counts.foreach { case (t, exact) =>
+      assert(est(t) >= exact.toLong, s"$t: CMS underestimated")
+      if (exact >= 40)
+        assert(est(t) <= math.ceil(exact * 1.02).toLong,
+          s"$t: est ${est(t)} vs exact $exact exceeds 2%")
+    }
+    val topkExact = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(3).map(_._1)
+    val topkEst = est.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(3).map(_._1)
+    assert(topkEst === topkExact)
+  }
+
+  test("agg_approx_topk: per-day top-3 ranks agree with exact counts on " +
+      "the corpus (the oracle's premise: no candidate collides)") {
+    val approx = EventAnalytics.aggApproxTopk(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (day, rs) =>
+        rs.sortBy(t => (-t._3, t._2)).zipWithIndex.take(3)
+          .map { case ((_, ty, n), i) => (day, i + 1L) -> (ty, n) }
+      }.toMap
+    assert(approx === exact)
+  }
 }
