@@ -142,6 +142,9 @@ object SparkEntry {
     "win_range_frames"  -> (Analytic.winRangeFrames _),
     "text_normalize"    -> (TextAnalysis.textNormalize _),
     "agg_approx_topk"   -> (EventAnalytics.aggApproxTopk _),
+    "unpivot_melt"      -> (Analytic.unpivotMelt _),
+    "agg_mode"          -> (Analytic.aggMode _),
+    "win_distinct_count" -> (Analytic.winDistinctCount _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1703,6 +1706,54 @@ object SparkEntry {
         |SELECT day, rk, event_type, est_count
         |FROM r WHERE rk <= 3
         |ORDER BY day, rk""".stripMargin,
+
+    // Melt column names come out as the literal source column names in
+    // both engines; all four measures are parquet doubles so the melted
+    // value column is DOUBLE on both sides with no decimal promotion.
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, measure, value
+        |FROM (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |             l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey % 50 = 0)
+        |UNPIVOT (value FOR measure IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, measure""".stripMargin,
+
+    // The oracle replays the SAME explicit two-stage tie-break (count
+    // desc, value asc) — native mode() documents arbitrary tie order in
+    // both engines and is therefore not hash-gateable.
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT c_mktsegment, o_orderpriority, n,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c
+        |)
+        |SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB supports count(DISTINCT) OVER natively; Spark does not, so
+    // the engine side is size(collect_set() OVER) — semantically equal.
+    // The frame sort is (ts, event_id): event_id makes it total, so the
+    // ROWS frame contents are identical in both engines.
+    "win_distinct_count" ->
+      """SELECT event_id, user_id,
+        |       count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |         AS distinct_types_10,
+        |       count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS distinct_types_cum
+        |FROM events
+        |WHERE user_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

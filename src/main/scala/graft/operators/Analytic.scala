@@ -373,4 +373,73 @@ object Analytic {
         (col("l_orderkey") % 7).as("mod7"),
         round(log(col("l_extendedprice")), 4).as("ln_price"))
       .orderBy(Tables.lineitemKey.map(col): _*)
+
+  // `unpivot_melt` — wide→long reshape, the inverse of pivot_status:
+  // the four lineitem measures melt into (measure, value) rows via the
+  // native unpivot operator (plans as a single Expand node — one pass,
+  // map-only, no shuffle before the contract sort; the same node the
+  // rollup/cube family uses). The melt is the standard feature-table →
+  // training-example-stream reshape; output is 4× the filtered input,
+  // so the key keeps a scale-invariant modulo slice of the corpus
+  // (2% of orderkeys at every sf, never a fixed row count).
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("measure"))
+
+  // `agg_mode` — per-group most-frequent value (mode) with an EXPLICIT
+  // deterministic tie-break (count desc, then value asc): the native
+  // mode() aggregate in both engines documents arbitrary tie order, so
+  // the contract formulation is the two-stage count + row_number pick —
+  // one shuffle on the (group, value) pair with map-side partials, then
+  // a window over the tiny aggregated set (|groups|·|values| rows, not
+  // the corpus). The same shape computes "dominant language per source"
+  // over a 100 TB crawl.
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val pick = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  // `win_distinct_count` — distinct count over a window frame. Spark has
+  // no native count(DISTINCT) OVER (Catalyst rejects it), so the engine
+  // formulation is size(collect_set() OVER frame) — semantically equal
+  // and still a single window pass; the oracle replays DuckDB's native
+  // count(DISTINCT …) OVER. State per row is the set of distinct values
+  // IN THE FRAME (≤ 10 here, bounded by the ROWS frame), so executor
+  // memory is frame-bounded, not partition-bounded; the partition key
+  // (user_id) keeps any one partition's sort local. The rolling and
+  // cumulative variants share one (partition, sort) pass.
+  def winDistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(
+        col("event_id"), col("user_id"),
+        size(collect_set(col("event_type"))
+          .over(w.rowsBetween(-9, Window.currentRow))).cast("long")
+          .as("distinct_types_10"),
+        size(collect_set(col("event_type"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long").as("distinct_types_cum"))
+      .orderBy("event_id")
+  }
 }
