@@ -648,7 +648,10 @@ object SparkEntry {
         |), cnt AS (
         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
         |), hashes AS (
-        |  SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+        |  SELECT doc_id, sha256(trim(regexp_replace(
+        |           lower(strip_accents(nfc_normalize(text))),
+        |           '\s+', ' ', 'g'))) AS h
+        |  FROM documents
         |), bexact AS (
         |  SELECT DISTINCT b.doc_id
         |  FROM hashes b JOIN hashes c ON b.h = c.h
@@ -909,7 +912,10 @@ object SparkEntry {
     // doc_id magnitude.
     "dedup_keep_best" ->
       """WITH d AS (
-        |  SELECT doc_id, n_chars, sha256(lower(trim(text))) AS h
+        |  SELECT doc_id, n_chars,
+        |         sha256(trim(regexp_replace(
+        |           lower(strip_accents(nfc_normalize(text))),
+        |           '\s+', ' ', 'g'))) AS h
         |  FROM documents
         |), r AS (
         |  SELECT doc_id, h, n_chars,
@@ -1314,7 +1320,8 @@ object SparkEntry {
     "pipeline_corpus" ->
       """WITH RECURSIVE surv AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
-        |  GROUP BY sha256(lower(trim(text)))
+        |  GROUP BY sha256(trim(regexp_replace(
+        |    lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')))
         |), d AS (
         |  SELECT doc.* FROM documents doc JOIN surv USING (doc_id)
         |), toks AS (
@@ -1710,6 +1717,11 @@ object SparkEntry {
     // Melt column names come out as the literal source column names in
     // both engines; all four measures are parquet doubles so the melted
     // value column is DOUBLE on both sides with no decimal promotion.
+    // NULL asymmetry: DuckDB UNPIVOT EXCLUDES null values by default
+    // while Spark Dataset.unpivot KEEPS them — safe here only because
+    // all four measures are non-null by the parquet schema; a nullable
+    // measure would need INCLUDE NULLS (or a WHERE value IS NOT NULL
+    // guard on both sides) to keep row counts aligned.
     "unpivot_melt" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, measure, value
         |FROM (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,

@@ -23,22 +23,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert to a microsecond
-    * TimestampType (lossless here: the generator writes µs-precision
-    * values; DuckDB does the same ns→µs truncation).
+  /** `events.ts` normalized to a microsecond TimestampType regardless
+    * of the fixture's physical encoding — the driver has shipped it
+    * two ways across rounds (TIMESTAMP(NANOS), which Spark's
+    * vectorized reader only admits as a long via the nanosAsLong
+    * conf; and plain non-UTC-adjusted TIMESTAMP(MICROS), which scans
+    * as TIMESTAMP_NTZ). Every graft entry point pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast is
+    * value-preserving and every downstream consumer (window(),
+    * unix_micros, watermarks) sees the identical instants either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Required at scan time. Asserted rather than set here: a loader
-    // that mutates session conf is a surprise side effect for
-    // concurrent callers (ADVICE r3) — every graft entry point
-    // (Bench/Verify/TestSession) sets it in its session builder.
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet stores TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>   // legacy ns fixture
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw                                  // already TIMESTAMP
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -422,11 +422,14 @@ object Analytic {
   // no native count(DISTINCT) OVER (Catalyst rejects it), so the engine
   // formulation is size(collect_set() OVER frame) — semantically equal
   // and still a single window pass; the oracle replays DuckDB's native
-  // count(DISTINCT …) OVER. State per row is the set of distinct values
-  // IN THE FRAME (≤ 10 here, bounded by the ROWS frame), so executor
-  // memory is frame-bounded, not partition-bounded; the partition key
-  // (user_id) keeps any one partition's sort local. The rolling and
-  // cumulative variants share one (partition, sort) pass.
+  // count(DISTINCT …) OVER. Per-row state is the frame's distinct SET:
+  // frame-bounded (≤ 10 values) for the rolling ROWS-9 variant, and
+  // bounded by per-partition event_type cardinality — a small fixed
+  // domain, NOT the frame — for the UNBOUNDED PRECEDING cumulative
+  // variant (don't run the cumulative form over an unbounded-domain
+  // column at scale). The partition key (user_id) keeps any one
+  // partition's sort local; both variants share one (partition, sort)
+  // pass.
   def winDistinctCount(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

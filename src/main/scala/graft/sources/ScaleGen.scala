@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *    plus one novel token — Jaccard ≈ 0.97 ≥ the 0.8 contract), an
   *    sf0.1-matched exact-dup rate, the same ~40-word vocabulary and
   *    30–80-token lengths, en-heavy language mix;
-  *  - events.ts is written as raw INT64 nanoseconds — the driver
-  *    fixtures store parquet TIMESTAMP(NANOS), which `Tables.events`
-  *    reads through the nanosAsLong conf as a long; a plain int64
-  *    column hits the identical read path;
+  *  - events.ts is written as µs TIMESTAMP_NTZ — the driver fixtures
+  *    store non-UTC-adjusted parquet TIMESTAMP(MICROS) (ns in earlier
+  *    rounds; `Tables.events` normalizes either encoding to a UTC
+  *    TimestampType);
   *  - usage: `ScaleGen <outDir> [mult]` then
   *    `SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_ONLY=... graft.Bench`.
   */
@@ -99,11 +99,14 @@ object ScaleGen {
     val window = 90L * 86400L
     spark.range(n)
       .select(col("id").as("event_id"))
-      // raw int64 nanos — the same shape Tables.events reads the
-      // TIMESTAMP(NANOS) fixture column through nanosAsLong
+      // µs-precision TIMESTAMP_NTZ — the same scan type as the driver
+      // fixture's non-UTC-adjusted TIMESTAMP(MICROS) column (values
+      // identical to the earlier nanos encoding truncated to µs)
       .withColumn("ts",
-        (lit(t0) + pmod(h(col("event_id") * 11), lit(window))) * lit(1000000000L) +
-          pmod(h(col("event_id") * 29), lit(1000000L)) * lit(1000L))
+        timestamp_micros(
+          (lit(t0) + pmod(h(col("event_id") * 11), lit(window))) * lit(1000000L) +
+            pmod(h(col("event_id") * 29), lit(1000000L)))
+          .cast("timestamp_ntz"))
       .withColumn("user_id", pmod(h(col("event_id") * 13), lit(nUsers)))
       .withColumn("event_type",
         element_at(types, (pmod(h(col("event_id") * 17), lit(5)) + 1).cast("int")))

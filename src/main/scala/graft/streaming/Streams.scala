@@ -285,7 +285,7 @@ object Streams {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val history = Tables.documents(s, dir)
-      .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
+      .select(graft.operators.Dedup.exactHash(col("text")).as("h")).distinct()
     // One known-historical text for the demo stream (tiny driver fetch,
     // part of the fixed test harness — not the operator's data path).
     val dup0 = Tables.documents(s, dir)
@@ -293,7 +293,7 @@ object Streams {
     val novel = "graft stream static join novel text never in corpus"
     val input = MemoryStream[(Long, String)]
     val fresh = input.toDF().toDF("new_id", "text")
-      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("h", graft.operators.Dedup.exactHash(col("text")))
       .join(history, Seq("h"), "left_anti")
       .select("new_id")
     val name = s"stream_static_sink_${System.nanoTime()}"

@@ -25,8 +25,9 @@ class ScaleGenSpec extends SparkSpec {
       "nation" -> ScaleGen.nation(spark),
       "region" -> ScaleGen.region(spark))
     gens.foreach { case (name, gen) =>
-      // raw load (not Tables.events) so the fixture's TIMESTAMP(NANOS)
-      // column surfaces as the same LongType the generator writes
+      // raw load (not Tables.events) so the fixture's non-UTC-adjusted
+      // TIMESTAMP(MICROS) column surfaces as the same TimestampNTZType
+      // the generator writes
       val fixture = Tables.load(spark, sf, name).schema
         .map(f => (f.name, f.dataType))
       val got = gen.schema.map(f => (f.name, f.dataType))
