@@ -145,6 +145,11 @@ object SparkEntry {
     "unpivot_melt"      -> (Analytic.unpivotMelt _),
     "agg_mode"          -> (Analytic.aggMode _),
     "win_distinct_count" -> (Analytic.winDistinctCount _),
+    "graph_triangles"   -> (Graph.graphTriangles _),
+    "ts_interpolate"    -> (EventAnalytics.tsInterpolate _),
+    "agg_hist"          -> (Analytic.aggHist _),
+    "stream_join_outer" -> (graft.streaming.Streams.streamJoinOuter _),
+    "stream_update_mode" -> (graft.streaming.Streams.streamUpdateMode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1766,6 +1771,106 @@ object SparkEntry {
         |FROM events
         |WHERE user_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+
+    // The oracle replays the naive form: canonical u<v edges, each
+    // triangle {a<b<c} matched exactly once as (a,b)(b,c)(a,c); total
+    // wedges Σ d(d−1)/2 off the degree table. The Spark side's
+    // degree-oriented join is a pure execution strategy — same counts.
+    "graph_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+        |  ) GROUP BY x
+        |), tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+        |         AS n_wedges,
+        |       CAST(n_triangles AS BIGINT) AS n_triangles,
+        |       round(3.0 * n_triangles /
+        |         (SELECT sum(d * (d - 1) / 2) FROM deg), 4) AS clustering
+        |FROM tri""".stripMargin,
+
+    // Same spine as ts_resample's oracle; neighbor lookup replays the
+    // identical IGNORE NULLS window pair. Rounding-free by design:
+    // exact integer cents + epoch-hour indexes, half-up via
+    // floor((2·num + den)/(2·den)) — the one double division's
+    // quotient sits ≥ 1/(2·den) from any integer when fractional, so
+    // the floor is exact in both engines (see the Spark-side note).
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS c_obs
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(h) FROM obs), (SELECT max(h) FROM obs),
+        |    INTERVAL 1 HOUR)) AS h
+        |), spine AS (
+        |  SELECT g.h, t.event_type
+        |  FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM obs) t
+        |), j AS (
+        |  SELECT s.h, s.event_type, o.c_obs,
+        |         CAST(epoch(s.h) AS BIGINT) // 3600 AS hx
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.h = o.h AND s.event_type = o.event_type
+        |), n AS (
+        |  SELECT h, event_type, c_obs, hx,
+        |         last_value(c_obs IGNORE NULLS) OVER (
+        |           PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |         last_value(CASE WHEN c_obs IS NOT NULL THEN hx END
+        |           IGNORE NULLS) OVER (
+        |           PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |         first_value(c_obs IGNORE NULLS) OVER (
+        |           PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |         first_value(CASE WHEN c_obs IS NOT NULL THEN hx END
+        |           IGNORE NULLS) OVER (
+        |           PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j
+        |)
+        |SELECT h, event_type,
+        |       CASE WHEN c_obs IS NOT NULL THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS observed,
+        |       CAST(CASE
+        |         WHEN c_obs IS NOT NULL THEN c_obs
+        |         WHEN pv IS NULL THEN nv
+        |         WHEN nv IS NULL THEN pv
+        |         ELSE CAST(floor(
+        |           (2 * (pv * (nh - hx) + nv * (hx - ph)) + (nh - ph))
+        |           / (2.0 * (nh - ph))) AS BIGINT)
+        |       END AS BIGINT) AS value_cents
+        |FROM n
+        |ORDER BY h, event_type""".stripMargin,
+
+    // Identical explicit-edge floor binning on both sides; bin ids and
+    // edges are exact (integer floor of double arithmetic over 2-dp
+    // inputs), min/max are order-independent.
+    "agg_hist" ->
+      """SELECT o_orderpriority,
+        |       CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT)
+        |         AS bin,
+        |       round(0.0 + floor((o_totalprice - 0.0) / 50000.0)
+        |         * 50000.0, 4) AS bin_lo,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 4) AS bin_min,
+        |       round(max(o_totalprice), 4) AS bin_max
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY o_orderpriority, bin""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

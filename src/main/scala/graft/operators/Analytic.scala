@@ -445,4 +445,34 @@ object Analytic {
           .cast("long").as("distinct_types_cum"))
       .orderBy("event_id")
   }
+
+  // `agg_hist` — fixed-width HISTOGRAM per group (the distribution
+  // summary every feature audit and data-quality dashboard computes,
+  // and the binning step of equal-width feature bucketization):
+  // o_totalprice binned at an explicit width per orderpriority, with
+  // per-bin count and observed min/max. Explicit (lo, width) literals
+  // rather than data-derived bounds — at 100 TB the bounds come from
+  // table statistics, not an extra full pass, and explicit edges make
+  // the bins STABLE across corpus versions (a data-derived range
+  // re-bins everything when one outlier lands). Binning is a map-side
+  // projection (floor of a subtraction+division — codegen arithmetic,
+  // no UDF); the shuffle carries only (group, bin) partial aggregates,
+  // |groups|·|bins| rows. Same two-level key shape as agg_mode.
+  def aggHist(spark: SparkSession, dir: String): DataFrame = {
+    val lo = 0.0
+    val width = 50000.0
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        floor((col("o_totalprice") - lit(lo)) / lit(width)).cast("long")
+          .as("bin"),
+        col("o_totalprice"))
+      .groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 4).as("bin_min"),
+        round(max(col("o_totalprice")), 4).as("bin_max"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * lit(width), 4))
+      .select(col("o_orderpriority"), col("bin"), col("bin_lo"), col("n"),
+        col("bin_min"), col("bin_max"))
+      .orderBy("o_orderpriority", "bin")
+  }
 }

@@ -257,6 +257,70 @@ object EventAnalytics {
       .orderBy("h", "event_type")
   }
 
+  // `ts_interpolate` — LINEAR interpolation over the gap grid: where
+  // ts_resample materializes silent hours as zeros (count semantics),
+  // this estimates the MISSING MEASUREMENT (sensor/metric semantics —
+  // a gap in a mean-value series is unknown, not zero): each absent
+  // (hour, type) cell gets prev + (next − prev)·(h − h_prev)/(h_next −
+  // h_prev) between its nearest observed neighbors, clamped to the
+  // nearest observation at the series edges. The standard densify step
+  // before any windowed feature or anomaly baseline.
+  //
+  // Scale shape: identical to ts_resample — the corpus is touched once
+  // by the hourly aggregation (one shuffle, map-side partials); the
+  // interpolation runs on the |hours|·|types| spine, never the log.
+  // Neighbor lookup is two IGNORE-NULLS window passes (last-before /
+  // first-after) sharing ONE (type)-partitioned hour sort — linear,
+  // no self-join on time.
+  //
+  // Determinism (the contract rule, hardened): the hourly metric is
+  // the total in integer CENTS (2-dp inputs are exact in cents), hours
+  // are integer epoch-hour indexes, and the lerp rounds HALF-UP via
+  // integer arithmetic — (2·num + den) / (2·den) floored — so no
+  // engine ever rounds a floating half-boundary (the first cut used
+  // round(lerp, 4) and diverged at row 30: spark 54.6608 vs duck
+  // 54.6609). The one double division is of exact integers whose
+  // quotient sits ≥ 1/(2·den) ≈ 1e-4 from any integer when fractional
+  // — 12 orders of magnitude beyond double rounding error — so the
+  // floor is exact in both engines.
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Caches.register(
+      Tables.events(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"), col("value"))
+        .groupBy("h", "event_type")
+        .agg(round(sum(col("value")) * 100).cast("long").as("c_obs"))
+        .persist())
+    val grid = obs.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hIdx = (unix_timestamp(col("h")) / 3600).cast("long")
+    val obsH = when(col("c_obs").isNotNull, hIdx)
+    val num = col("pv") * (col("nh") - col("hx")) +
+      col("nv") * (col("hx") - col("ph"))
+    val den = col("nh") - col("ph")
+    grid.crossJoin(obs.select("event_type").distinct())
+      .join(obs, Seq("h", "event_type"), "left_outer")
+      .select(col("h"), col("event_type"), col("c_obs"), hIdx.as("hx"),
+        last(col("c_obs"), ignoreNulls = true).over(before).as("pv"),
+        last(obsH, ignoreNulls = true).over(before).as("ph"),
+        first(col("c_obs"), ignoreNulls = true).over(after).as("nv"),
+        first(obsH, ignoreNulls = true).over(after).as("nh"))
+      .select(col("h"), col("event_type"),
+        when(col("c_obs").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("observed"),
+        when(col("c_obs").isNotNull, col("c_obs"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(floor((lit(2) * num + den) / (lit(2) * den))
+            .cast("long"))
+          .as("value_cents"))
+      .orderBy("h", "event_type")
+  }
+
   // `scd2_history` — slowly-changing-dimension TYPE 2 from a changelog
   // (cdc_upsert is type 1 — latest state only; this keeps the full
   // validity history a training-data lineage or feature-store backfill

@@ -456,4 +456,114 @@ object Streams {
     * count-vs-batch check this process (see above). */
   private val sinkVerified =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // `stream_join_outer` — stream-stream LEFT OUTER join with
+  // WATERMARK-DRIVEN NULL EMISSION (the r10 frontier item): ads joined
+  // to their clicks within [imp_ts, imp_ts + 30 min]; an impression
+  // that gets no in-range click is still emitted — null-extended —
+  // but only once BOTH watermarks have passed the end of its join
+  // window, because until then a matching click could still arrive.
+  // That deferral is the semantic difference from batch left-outer:
+  // the null row is a POSITIVE claim ("no click can ever match now"),
+  // and only the watermark can license it. State on both sides stays
+  // watermark-bounded exactly as in the inner `stream_join`.
+  //
+  // Batch plan (deterministic):
+  //  batch 1: imps 1,2,3 at 10:00/10:05/10:10; click ad 1 at 10:20 —
+  //           the match emits; ads 2,3 are HELD (window still open);
+  //  batch 2: click ad 3 at 10:15 (in range — late but within its
+  //           watermark) emits; far-future rows on BOTH streams (the
+  //           GLOBAL watermark is the min across inputs — advancing
+  //           only the click side licenses nothing) drag the
+  //           watermark past every join window;
+  //  batch 3: another far-future impression forces one more
+  //           micro-batch — the watermark computed at batch N's END
+  //           gates emission in batch N+1 → ad 2's null row emits.
+  // The far-future rows themselves stay HELD in state (their own
+  // windows never close before q.stop), so they never reach the sink.
+  // The spec pins all three row classes and that the null row does
+  // NOT appear before the watermark passes.
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = imp.join(clk,
+      col("ad_id") === col("c_ad_id") &&
+      col("click_ts") >= col("imp_ts") &&
+      col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+    val name = s"stream_join_outer_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_sjoinout_ckpt_")
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      impressions.addData((1L, t("10:00")), (2L, t("10:05")), (3L, t("10:10")))
+      clicks.addData((1L, t("10:20")))
+      q.processAllAvailable()
+      clicks.addData((3L, t("10:15")), (99L, t("12:00")))
+      impressions.addData((98L, t("12:00")))
+      q.processAllAvailable()
+      // one more micro-batch applies the batch-2 watermark → null flush
+      impressions.addData((97L, t("12:01")))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    s.table(name)
+      .select(col("ad_id"),
+        when(col("click_ts").isNull, lit(0)).otherwise(lit(1)).as("matched"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
+          .as("delay_sec"))
+      .orderBy("ad_id")
+  }
+
+  // `stream_update_mode` — tumbling aggregation in UPDATE output mode:
+  // the mode a live dashboard consumes. Append emits a window ONCE,
+  // after the watermark closes it (final answer, exactly-once rows);
+  // update RE-EMITS a window's current partial every micro-batch that
+  // changes it (fresh answer, upsert rows — the sink must key on the
+  // window). The memory sink keeps every emission, so the returned
+  // table IS the emission history and the spec can pin the partials:
+  // window 10:00 emits n=2 then n=3 as a third event lands in it —
+  // exactly the revision stream append mode is forbidden from
+  // producing. State size is identical to append (one row per open
+  // window per key); what changes is WHEN results leave the store.
+  // No watermark: under update mode it only bounds state eviction —
+  // omitting it keeps every window revisable, the dashboard contract.
+  def streamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+    val name = s"stream_update_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_supd_ckpt_")
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      input.addData((t("10:01"), 1.0), (t("10:03"), 2.0))
+      q.processAllAvailable()
+      input.addData((t("10:05"), 4.0), (t("10:12"), 5.0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    // emission history: (10:00 n=2 sum=3) revised to (n=3 sum=7),
+    // plus (10:10 n=1 sum=5) — unique under (ws, n)
+    s.table(name).orderBy("ws", "n")
+  }
 }

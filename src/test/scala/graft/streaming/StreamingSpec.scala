@@ -381,4 +381,31 @@ class StreamingSpec extends SparkSpec
     // stream_dedup's contract, not this operator's)
     assert(rows.toSeq === Seq(1001L, 1002L))
   }
+
+  test("stream_join_outer: matches emit eagerly, the null row only after the watermark closes its window") {
+    val rows = Streams.streamJoinOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // all three row classes: ad 1 matched in batch 1 (+20min), ad 3
+    // matched by the late-but-in-watermark click (+5min), ad 2
+    // null-extended ONLY after the 12:00 click dragged the watermark
+    // past its join window (the flush batch) — a null row is a claim
+    // "no click can ever match", licensed by the watermark alone
+    assert(rows.toSeq === Seq(
+      (1L, 1, Some(1200L)), (2L, 0, None), (3L, 1, Some(300L))))
+  }
+
+  test("stream_update_mode: a changed window RE-emits its revised partial every micro-batch") {
+    val rows = Streams.streamUpdateMode(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    // emission HISTORY (memory sink keeps every update): window 10:00
+    // emits n=2/sum=3 in batch 1, then the REVISION n=3/sum=7 when
+    // batch 2 adds a third event to it — exactly the row an
+    // append-mode sink is forbidden from producing twice — plus the
+    // new 10:10 window's first partial
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", 3L, 7.0),
+      ("2024-01-01 10:10:00.0", 1L, 5.0)))
+  }
 }
