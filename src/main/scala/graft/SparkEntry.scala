@@ -150,6 +150,9 @@ object SparkEntry {
     "agg_hist"          -> (Analytic.aggHist _),
     "stream_join_outer" -> (graft.streaming.Streams.streamJoinOuter _),
     "stream_update_mode" -> (graft.streaming.Streams.streamUpdateMode _),
+    "agg_filtered"      -> (Analytic.aggFiltered _),
+    "rollup_time_grain" -> (Analytic.rollupTimeGrain _),
+    "text_entropy"      -> (TextAnalysis.textEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1855,6 +1858,62 @@ object SparkEntry {
         |       END AS BIGINT) AS value_cents
         |FROM n
         |ORDER BY h, event_type""".stripMargin,
+
+    // Identical FILTER-clause SQL (DuckDB supports SQL:2003 FILTER
+    // natively). No filtered AVG by design — see the Spark-side
+    // boundary note; counts/sums/extremes are grid-safe.
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),
+        |             4) AS sum_open,
+        |       round(max(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),
+        |             4) AS max_finished
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Identical GROUPING SETS replay — both engines truncate weeks to
+    // Monday and run the same grouping() disambiguation.
+    "rollup_time_grain" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts)   AS d,
+        |         date_trunc('week', ts)  AS w,
+        |         date_trunc('month', ts) AS m,
+        |         value
+        |  FROM events
+        |)
+        |SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+        |            WHEN grouping(w) = 0 THEN 'week'
+        |            ELSE 'month' END AS grain,
+        |       coalesce(d, w, m) AS grain_start,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((d), (w), (m))
+        |ORDER BY grain, grain_start""".stripMargin,
+
+    // Char stream replayed positionally (substr over generate_series —
+    // code-point semantics on both sides for this corpus); the same
+    // log2(N) − Σ n·log2(n)/N algebraic form keeps the operation
+    // sequence identical.
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, length(text))) t(i)
+        |), cnt AS (
+        |  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(n) AS BIGINT) AS n_chars,
+        |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+        |         AS entropy_bits
+        |FROM cnt
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Identical explicit-edge floor binning on both sides; bin ids and
     // edges are exact (integer floor of double arithmetic over 2-dp

@@ -446,6 +446,63 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  // `agg_filtered` — FILTER-clause aggregation (SQL:2003 `agg(...)
+  // FILTER (WHERE ...)`): several differently-conditioned aggregates
+  // of ONE table in ONE pass — the idiom that replaces N self-joined
+  // subqueries or a forest of CASE WHEN wrappers in every reporting
+  // query. Catalyst plans it as conditional partial aggregation: one
+  // scan, one (group)-keyed shuffle of partial buffers, each FILTER
+  // evaluated map-side inside codegen. Deliberately no filtered AVG:
+  // an average of cent-grid values can land EXACTLY on the 4-dp
+  // half-boundary (cents/(100·count) hits odd/2·10⁴ whenever the
+  // count divides out), the ts_interpolate lesson — counts, sums and
+  // extremes are boundary-safe on this data.
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("af_orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),
+        |             4) AS sum_open,
+        |       round(max(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),
+        |             4) AS max_finished
+        |FROM af_orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // `rollup_time_grain` — multi-grain time rollup: day, week and month
+  // aggregates of the event log in ONE pass via grouping sets over
+  // pre-derived truncations (the materialized-rollup build every
+  // metrics store runs nightly). The alternative — three separate
+  // queries — scans the corpus three times; this plans a single scan
+  // whose Expand node replicates each row once per grain BEFORE the
+  // partial aggregation, so the shuffle carries |days|+|weeks|+|months|
+  // aggregated buckets, not 3× the log. grouping() disambiguates the
+  // grain (a NULL day can't: day IS the grouping key).
+  def rollupTimeGrain(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("tg_events")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts)   AS d,
+        |         date_trunc('week', ts)  AS w,
+        |         date_trunc('month', ts) AS m,
+        |         value
+        |  FROM tg_events
+        |)
+        |SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+        |            WHEN grouping(w) = 0 THEN 'week'
+        |            ELSE 'month' END AS grain,
+        |       coalesce(d, w, m) AS grain_start,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((d), (w), (m))
+        |ORDER BY grain, grain_start""".stripMargin)
+  }
+
   // `agg_hist` — fixed-width HISTOGRAM per group (the distribution
   // summary every feature audit and data-quality dashboard computes,
   // and the binning step of equal-width feature bucketization):

@@ -94,6 +94,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `text_entropy` — per-document character-level Shannon entropy
+  // (bits/char): the compression-adjacent quality signal that flags
+  // boilerplate, padding and generator loops (low entropy) without
+  // running a model — a standard corpus-filter feature next to
+  // text_quality's surface ratios and text_repetition's n-gram rates.
+  // H = log2(N) − Σ n·log2(n)/N over per-char counts — the algebraic
+  // form that needs only (n, Σn), no p=n/N division per char class.
+  //
+  // Scale shape: the char explode is token-level volume (the same
+  // order as dedup_spans' window stream); per-(doc, char) counts
+  // collapse map-side BEFORE the shuffle, so the exchange carries at
+  // most |alphabet| rows per doc, and the second agg reduces those to
+  // one row per doc on the same doc_id hashing (subset rule — one
+  // shuffle total). Entropy rounds at 4 dp off irrational log2 sums —
+  // not a grid value, so the half-boundary class that bit
+  // ts_interpolate cannot arise.
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_chars"),
+        sum(col("n") * log2(col("n"))).as("s"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log2(col("n_chars")) - col("s") / col("n_chars"), 4)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Language marker trigrams/words (public-knowledge function-word
     * n-grams). Scoring = total occurrence count of each language's
     * markers in the text. */

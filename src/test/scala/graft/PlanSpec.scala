@@ -72,6 +72,87 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_"))
   }
 
+  test("agg_hist: binning is map-side projection + partial agg — the " +
+      "shuffle carries (group, bin) partials, never rows") {
+    val p = plan(operators.Analytic.aggHist(spark, sf))
+    assert(count(p, "HashAggregate") >= 2)
+    assert(p.contains("partial_"))
+    // FLOOR arithmetic stays in the codegen'd projection — no UDF node
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("agg_filtered: all FILTER conditions ride ONE scan and ONE " +
+      "partial aggregation — no per-condition subquery") {
+    val exec = withoutAQE {
+      operators.Analytic.aggFiltered(spark, sf).queryExecution.executedPlan
+    }
+    val leaves = exec.collectLeaves()
+    assert(leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      === 1, "each FILTER clause must not replan its own scan")
+    val p = exec.toString
+    assert(count(p, "HashAggregate") >= 2 && p.contains("partial_"))
+  }
+
+  test("rollup_time_grain: three grains ride ONE scan through an Expand " +
+      "— never three queries") {
+    val exec = withoutAQE {
+      operators.Analytic.rollupTimeGrain(spark, sf)
+        .queryExecution.executedPlan
+    }
+    assert(exec.collectLeaves().count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      === 1, "multi-grain rollup re-scanned the log")
+    val p = exec.toString
+    assert(p.contains("Expand"), "grouping sets lost the Expand plan")
+    assert(count(p, "HashAggregate") >= 2 && p.contains("partial_"),
+      "grain aggregation must partial-combine map-side")
+  }
+
+  test("graph_triangles: wedge probe is an equi SEMI join; persisted " +
+      "oriented/degree frames feed every consumer — no re-derivation") {
+    // the scalar combines are single-row broadcast BNLJs (fine); what
+    // must NOT happen is the SEMI probe itself going nested-loop (that
+    // would compare every wedge to every edge) or any consumer
+    // re-deriving the edge list from the parquet scan
+    val (p, leaves) = withoutAQE {
+      val qe = operators.Graph.graphTriangles(spark, sf).queryExecution
+      (qe.executedPlan.toString, qe.executedPlan.collectLeaves())
+    }
+    assert(p.contains("LeftSemi"), "triangle probe lost its semi join")
+    assert(!p.contains("BroadcastNestedLoopJoin LeftSemi") &&
+      !p.contains("CartesianProduct"),
+      "wedge→edge probe must stay an equi hash/sort-merge join")
+    val fileScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val cacheScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(fileScans === 0,
+      s"$fileScans consumer(s) re-derived the graph from the corpus scan")
+    assert(cacheScans >= 5, // wedges ×2 + semi probe + edge/vertex/wedge aggs
+      s"expected ≥5 cached-frame consumers, got $cacheScans")
+  }
+
+  test("ts_interpolate: spine and lerp consume the cached hourly agg; " +
+      "both neighbor passes ride ONE type-keyed sort") {
+    val exec = withoutAQE {
+      operators.EventAnalytics.tsInterpolate(spark, sf)
+        .queryExecution.executedPlan
+    }
+    val leaves = exec.collectLeaves()
+    val fileScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(fileScans === 0, "a consumer bypassed the cached hourly agg")
+    assert(leaves.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]) >= 3)
+    // last-before (preceding frame) and first-after (following frame)
+    // share the (event_type)×(h) window spec: one Window operator, one
+    // underlying sort — a second sort would mean a second pass
+    val p = exec.toString
+    assert(count(p, "Window") === 1,
+      "neighbor lookups split into multiple window passes")
+  }
+
   test("sim_topk: probe side broadcasts; candidates never shuffle for scoring") {
     val p = plan(operators.Similarity.simTopk(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"))
