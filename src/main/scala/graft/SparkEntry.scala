@@ -153,6 +153,8 @@ object SparkEntry {
     "agg_filtered"      -> (Analytic.aggFiltered _),
     "rollup_time_grain" -> (Analytic.rollupTimeGrain _),
     "text_entropy"      -> (TextAnalysis.textEntropy _),
+    "stream_transform_state" ->
+      (graft.streaming.Streams.streamTransformState _),
   )
 
   def oracleSql: Map[String, String] = Map(

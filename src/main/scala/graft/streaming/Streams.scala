@@ -38,6 +38,38 @@ case class SessAcc(startUs: Long, endUs: Long, n: Long, sum: Double)
 case class SessOut(user_id: Long, session_start: java.time.Instant,
     session_end: java.time.Instant, n: Long, sum_value: Double)
 
+/** Per-key LIFETIME totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+  * for `stream_transform_state` — the transformWithState API (Spark 4's
+  * successor to [map|flatMap]GroupsWithState: typed named state
+  * primitives with per-state TTL, timers decoupled from output mode,
+  * schema-evolvable state). State here is ONE (n, sum) pair per key —
+  * the footprint a lifetime-aggregate keeps at 100 TB is |keys|, not
+  * |events|, and it lives in RocksDB (the production provider for
+  * state beyond executor memory; transformWithState requires it).
+  * No TTL: lifetime means lifetime — bound state by key cardinality,
+  * not time (a TTLConfig duration is the one-line change when the
+  * domain is unbounded, e.g. session tokens). */
+class RunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Timestamp, Double), (Long, Long, Double)] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Timestamp, Double)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; s += r._3 }
+    totals.update((n, s))
+    // one revised total per key per batch — update-mode upsert rows
+    Iterator((key, n, s))
+  }
+}
+
 object Streams {
 
   /** Child session for the MemoryStream demo queries: same
@@ -565,5 +597,47 @@ object Streams {
     // emission history: (10:00 n=2 sum=3) revised to (n=3 sum=7),
     // plus (10:10 n=1 sum=5) — unique under (ws, n)
     s.table(name).orderBy("ws", "n")
+  }
+
+  // `stream_transform_state` — per-user LIFETIME running totals via
+  // transformWithState (the [[RunningTotals]] processor above): the
+  // arbitrary-stateful pattern the old APIs strain at — state that
+  // never expires, revised output every batch, typed named state —
+  // in Spark 4's intended API. The sink upserts on user_id; the
+  // memory sink keeps the emission history so the spec pins the
+  // per-batch revisions exactly as stream_update_mode does for the
+  // built-in windowed agg.
+  def streamTransformState(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    // transformWithState requires the RocksDB provider (state store
+    // v2 with changelog metadata) — also the honest 100 TB choice
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
+    val name = s"stream_tws_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_stws_ckpt_")
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      input.addData((1L, t("10:00"), 1.0), (1L, t("10:01"), 2.0),
+        (2L, t("10:02"), 5.0))
+      q.processAllAvailable()
+      input.addData((1L, t("10:05"), 4.0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    // history: user 1 totals (2, 3.0) revised to (3, 7.0); user 2 (1, 5.0)
+    s.table(name).orderBy("user_id", "n_events")
   }
 }

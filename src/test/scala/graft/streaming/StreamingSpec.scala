@@ -395,6 +395,15 @@ class StreamingSpec extends SparkSpec
       (1L, 1, Some(1200L)), (2L, 0, None), (3L, 1, Some(300L))))
   }
 
+  test("stream_transform_state: lifetime totals revise per batch under transformWithState + RocksDB") {
+    val rows = Streams.streamTransformState(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // emission history: user 1's lifetime totals (2, 3.0) in batch 1,
+    // REVISED to (3, 7.0) when batch 2 adds an event — state carried
+    // across batches by the ValueState pair; user 2 emits once
+    assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 5.0)))
+  }
+
   test("stream_update_mode: a changed window RE-emits its revised partial every micro-batch") {
     val rows = Streams.streamUpdateMode(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
