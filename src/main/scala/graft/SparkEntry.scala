@@ -111,6 +111,7 @@ object SparkEntry {
     "anomaly_zscore"    -> (EventAnalytics.anomalyZscore _),
     "graph_pagerank"    -> (Graph.graphPagerank _),
     "scan_orc"          -> (graft.sources.FormatSources.scanOrc _),
+    "scan_avro"         -> (graft.sources.FormatSources.scanAvro _),
     "scan_evolving"     -> (graft.sources.FormatSources.scanEvolving _),
     "scan_binary"       -> (graft.sources.FormatSources.scanBinary _),
     "scan_partitioned"  -> (graft.sources.FormatSources.scanPartitioned _),
@@ -1207,6 +1208,14 @@ object SparkEntry {
         |FROM supplier
         |WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
+
+    // Lossless binary row-format round-trip ⇒ the oracle replays
+    // projection + filter over the original parquet.
+    "scan_avro" ->
+      """SELECT c_custkey, c_nationkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // Schema evolution (mergeSchema union): the batch split is a pure
     // key expression, so the oracle replays it — rows from the old

@@ -222,6 +222,33 @@ object FormatSources {
       .orderBy("s_suppkey")
   }
 
+  // `scan_avro` — AVRO export/scan of the customer projection: the
+  // ROW-oriented binary interchange format (Kafka payloads, log
+  // shipping, schema-registry pipelines land data as avro before any
+  // columnar rewrite). Contract differences from ORC/parquet, on
+  // purpose: avro is row-major, so there is NO column pruning or
+  // predicate pushdown — the filter below runs in Spark after a full
+  // record decode, which is exactly why a 100 TB pipeline treats avro
+  // as an INGEST surface (read once, rewrite to parquet) and never as
+  // the analytical store. Splittable per block, schema carried in the
+  // file header; doubles/longs round-trip bit-exact (binary encoding,
+  // no text parse), which the oracle's replay over the ORIGINAL
+  // parquet certifies.
+  /** The avro FileFormat class (bundled inside spark-sql in this
+    * Spark 4 build, but NOT service-registered under the "avro" short
+    * name — lookupDataSource only accepts the FQCN here). */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def scanAvro(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("avro", dir)
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").format(AvroFormat).save(path)
+    spark.read.format(AvroFormat).load(path)
+      .filter(col("c_acctbal") > 0)
+      .orderBy("c_custkey")
+  }
+
   // `scan_evolving` — SCHEMA EVOLUTION across parquet batches (Q107):
   // every long-lived corpus drops batches whose schema grew over time
   // (a quality column added mid-crawl, a new metadata field) — the
