@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Value-level invariants for the analytic-layer keys whose oracles
+  * certify emitted values but not the CONSTRUCTION contract (the same
+  * division of labor as TextAnalysisSpec vs the doc_chunk oracle). */
+class AnalyticSpec extends SparkSpec {
+
+  test("agg_hist: bins partition the table — counts sum to row count, " +
+      "every observed extreme sits inside its bin's envelope") {
+    val hist = Analytic.aggHist(spark, sf).persist()
+    val total = Tables.orders(spark, sf).count()
+    try {
+      assert(hist.agg(sum(col("n"))).head.getLong(0) === total,
+        "histogram dropped or double-counted rows")
+      // explicit-edge contract: bin_lo = lo + bin*width, and the
+      // observed min/max of every bin lie in [bin_lo, bin_lo + width)
+      val width = 50000.0
+      val bad = hist.filter(
+        col("bin_min") < col("bin_lo") ||
+        col("bin_max") >= col("bin_lo") + width ||
+        col("bin_min") > col("bin_max") ||
+        col("n") <= 0).count()
+      assert(bad === 0, "a bin's envelope leaked past its edges")
+    } finally hist.unpersist()
+  }
+
+  test("agg_mode: the picked value really is the group's most frequent " +
+      "(tie-break: count desc, value asc)") {
+    val mode = Analytic.aggMode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((seg, picks) <- counts.groupBy(_._1)) {
+      val best = picks.map { case (_, v, n) => (v, n) }
+        .sortBy { case (v, n) => (-n, v) }.head
+      assert(mode(seg) === best, s"segment $seg picked ${mode(seg)}, " +
+        s"recount says $best")
+    }
+  }
+}

