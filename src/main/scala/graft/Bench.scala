@@ -240,10 +240,28 @@ object Bench {
     // many were dropped, so truncation is visible, never silent.
     val (kept, dropped) = best.partition(_._2 >= 0.1)
     val bigOnly = nestedQueries(1, kept)
+    // Final growth tier (r11: at 129 keys every fixed-floor tier can
+    // overflow and the line degraded to q6-only — the driver's tail
+    // lost all per-key data): keep the SLOWEST keys, as many as fit —
+    // a regression anywhere surfaces by lifting its key into the kept
+    // set; the drop count keeps the truncation visible.
+    def topFit(): String = {
+      val desc = best.sortBy(-_._2)
+      // budget: wrapper + n_dropped field ≈ 120 chars of overhead
+      var keep = desc.length
+      var line = ""
+      do {
+        line = compactLine(nestedQueries(1, desc.take(keep)),
+          s""""n_dropped":${desc.length - keep},""")
+        keep -= 8
+      } while (line.length > 1995 && keep > 0)
+      line
+    }
     // line + trailing newline must sit inside the tail window: 1995+1
     // leaves 4 chars of margin in the 2000
     val compact = (Seq(2, 1).map(d => compactLine(nestedQueries(d))) :+
       compactLine(bigOnly, s""""n_sub100ms":${dropped.size},""") :+
+      topFit() :+
       compactLine(q6Only)).find(_.length <= 1995).getOrElse(compactLine("{}"))
     println(compact)
   }
