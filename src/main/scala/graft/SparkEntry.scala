@@ -156,6 +156,10 @@ object SparkEntry {
     "text_entropy"      -> (TextAnalysis.textEntropy _),
     "stream_transform_state" ->
       (graft.streaming.Streams.streamTransformState _),
+    "agg_listagg"       -> (Analytic.aggListagg _),
+    "agg_bitwise"       -> (Analytic.aggBitwise _),
+    "win_ignore_nulls"  -> (Analytic.winIgnoreNulls _),
+    "join_lateral"      -> (Relational.joinLateral _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1941,6 +1945,58 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1, 2, 3
         |ORDER BY o_orderpriority, bin""".stripMargin,
+
+    // Both sides sort INSIDE the aggregate (array_sort / ORDER BY n_name)
+    // because native listagg element order is engine-arbitrary.
+    "agg_listagg" ->
+      """SELECT c_mktsegment,
+        |       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        |       count(DISTINCT n_name) AS n_nations
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT o_orderpriority,
+        |       bit_and(o_orderkey % 4096) AS mask_and,
+        |       bit_or(o_orderkey % 4096)  AS mask_or,
+        |       bit_xor(o_orderkey % 4096) AS mask_xor,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB spells the modifier inside the call: f(args IGNORE NULLS).
+    // The running last_value frame is explicit on both sides; lag uses
+    // the implicit (-1,-1) offset frame on both sides.
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_type = 'purchase' THEN value END
+        |           AS purchase_value
+        |  FROM events WHERE user_id % 20 = 0
+        |)
+        |SELECT event_id, user_id,
+        |       round(coalesce(last_value(purchase_value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+        |         AS last_purchase,
+        |       round(coalesce(lag(purchase_value, 1 IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4)
+        |         AS prev_purchase
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_custkey % 10 = 0
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

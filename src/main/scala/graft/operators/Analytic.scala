@@ -532,4 +532,75 @@ object Analytic {
         col("bin_min"), col("bin_max"))
       .orderBy("o_orderpriority", "bin")
   }
+
+  // `agg_listagg` — per-group string concatenation (LISTAGG / string_agg).
+  // Both engines' native listagg documents arbitrary element order unless
+  // given an explicit ORDER BY, so the contract formulation sorts inside
+  // the aggregate: collect_set → array_sort → array_join here, string_agg
+  // (DISTINCT … ORDER BY …) in the oracle. The aggregated set (nations a
+  // segment's customers come from) is bounded by the 25-nation dimension —
+  // the precondition for listagg at scale: the concatenated string must be
+  // bounded by a DIMENSION's cardinality, never by event volume, or one
+  // group materializes an unbounded row. One shuffle on c_mktsegment with
+  // map-side partial collect_set (each partial ≤ 25 entries).
+  def aggListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("c_mktsegment")
+
+  // `agg_bitwise` — bit_and / bit_or / bit_xor aggregates: flag-mask
+  // rollups (permission masks, feature flags, bloom-ish presence words)
+  // folded per group. Associative + commutative, so Spark runs them as
+  // partial+final hash aggregates — the shuffle carries one 8-byte word
+  // per (group, agg), the cheapest aggregate family there is at 100 TB.
+  // Masks derive deterministically from orderkey (low 12 bits) so the
+  // oracle replays bit-identically; n pins the group populations.
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        (col("o_orderkey") % 4096L).as("mask"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("bit_and(mask)").as("mask_and"),
+        expr("bit_or(mask)").as("mask_or"),
+        expr("bit_xor(mask)").as("mask_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  // `win_ignore_nulls` — IGNORE NULLS window navigation: carry the last
+  // non-null observation forward (the gap-fill / last-observation-
+  // carried-forward pattern every sparse time series needs). The
+  // observation column is sparse BY CONSTRUCTION (value only on
+  // 'purchase' events, null otherwise); last(…, ignoreNulls = true)
+  // over ROWS UNBOUNDED PRECEDING scans each partition once carrying
+  // one scalar of state — per-row cost O(1), state O(1), exactly the
+  // shape that survives an unbounded event stream. lag(…, ignoreNulls)
+  // shares the same single (user_id, ts, event_id) sort pass. The
+  // user_id partitioning bounds any one partition to one user's
+  // events; the % 20 slice keeps the contract output scale-invariant.
+  def winIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // last() takes an explicit running frame; lag() is an offset function
+    // and REQUIRES the implicit (-1,-1) frame — same sort pass, two
+    // WindowExpressions sharing one Window node.
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sparse = when(col("event_type") === "purchase", col("value"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sparse.as("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        round(coalesce(
+          last(col("purchase_value"), ignoreNulls = true).over(running),
+          lit(0.0)), 4).as("last_purchase"),
+        round(coalesce(
+          lag(col("purchase_value"), 1, null, ignoreNulls = true).over(order),
+          lit(0.0)), 4).as("prev_purchase"))
+      .orderBy("event_id")
+  }
 }

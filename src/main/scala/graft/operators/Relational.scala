@@ -508,4 +508,30 @@ object Relational {
         |) WHERE cents > 1.5 * avg_cents
         |ORDER BY o_orderkey""".stripMargin)
   }
+
+  // `join_lateral` — correlated LATERAL derived table with ORDER BY +
+  // LIMIT: "top-2 orders per customer" expressed the way an analyst
+  // writes it. A naive engine re-executes the inner query per outer row
+  // (O(N) scans of orders); Catalyst decorrelates the LIMIT via a
+  // row_number window over the correlation key — the plan is ONE
+  // shuffle of orders on o_custkey, a per-key rank, and a hash join
+  // back to the probe slice. That rewrite is what makes per-entity
+  // top-k affordable at 100 TB: work is one sort-within-key pass, and
+  // the window partition (a customer's orders) is bounded. The modulo
+  // slice keeps output scale-invariant; INNER lateral semantics drop
+  // order-less customers in both engines.
+  def joinLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM lat_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM lat_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_custkey % 10 = 0
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
 }

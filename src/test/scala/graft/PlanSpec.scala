@@ -568,6 +568,29 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("join_lateral: LIMIT-in-LATERAL decorrelates to a window rank + " +
+      "equi join — never a per-outer-row re-execution") {
+    val p = plan(operators.Relational.joinLateral(spark, sf))
+    // the correlated ORDER BY ... LIMIT 2 must become ONE windowed rank
+    // over o_custkey (row_number / rank on the correlation key) ...
+    assert(p.contains("Window"), s"expected decorrelation window in:\n$p")
+    // ... feeding an equi join back to the probe — not a nested-loop
+    // replay of the subquery per customer
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Cartesian")).mkString("\n"))
+  }
+
+  test("win_ignore_nulls: both IGNORE NULLS expressions share one Window " +
+      "node and one user-keyed exchange") {
+    val p = plan(operators.Analytic.winIgnoreNulls(spark, sf))
+    assert(count(p, "Window") === 1,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // one hash exchange for the partition key + the terminal sort only
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the
