@@ -62,7 +62,15 @@ object TextNormalize {
       else
         Marks.matcher(Normalizer.normalize(s, Normalizer.Form.NFD))
           .replaceAll("")
-    Ws.matcher(folded.toLowerCase(Locale.ROOT)).replaceAll(" ").trim
+    // Σ (U+03A3) folds to σ BEFORE toLowerCase: Java lowercases a
+    // word-final Σ contextually to ς (U+03C2) while DuckDB's utf8proc
+    // maps Σ→σ unconditionally — the one Greek divergence (measured:
+    // 'ΛΟΓΟΣ' → duckdb 'λογοσ', raw Java 'λογος'). Pre-substituting the
+    // CAPITAL sigma sidesteps the contextual rule without touching an
+    // original ς, which both engines preserve (TextNormalizeSpec pins
+    // both directions).
+    Ws.matcher(folded.replace('Σ', 'σ').toLowerCase(Locale.ROOT))
+      .replaceAll(" ").trim
   }
 
   def normalizeUtf8(s: UTF8String): UTF8String =

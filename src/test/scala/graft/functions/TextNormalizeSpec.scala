@@ -32,6 +32,31 @@ class TextNormalizeSpec extends SparkSpec {
     assert(normalize("straße") === "straße")
   }
 
+  test("Greek sigma matches utf8proc, not Java's contextual rule") {
+    // DuckDB-verified bytes (lower∘strip_accents∘nfc_normalize):
+    // capital Σ folds to σ (U+03C3) even word-finally — Java's
+    // contextual toLowerCase would emit final ς (U+03C2) instead,
+    // which is why the fold substitutes Σ→σ BEFORE lowercasing.
+    assert(normalize("ΛΟΓΟΣ") === "λογοσ")
+    assert(normalize("ΟΣ ΟΣ") === "οσ οσ")
+    // ... while an ORIGINAL final ς is preserved by both engines
+    // (it is already lowercase; neither engine rewrites it)
+    assert(normalize("λόγος") === "λογος")
+    assert(normalize("λόγος").last === 'ς')
+    // mixed: the accent strips, the capital folds, the small survives
+    assert(normalize("Λόγος ΛΟΓΟΣ") === "λογος λογοσ")
+  }
+
+  test("NFD fast path is idempotent with the slow path") {
+    // already-NFD mark-free strings take the fast path; re-normalizing
+    // any output must be a fixed point either way
+    for (s <- Seq("plain ascii", "Café", "İstanbul", "ΛΟΓΟΣ", "straße"))
+      assert(normalize(normalize(s)) === normalize(s))
+    // combining marks on non-Latin scripts strip like Latin accents
+    // (utf8proc STRIPMARK drops all \p{M}): Devanagari qa = ka + nukta
+    assert(normalize("क़") === "क")
+  }
+
   test("column expression: codegen and interpreted paths agree; null passes") {
     import spark.implicits._
     val docs = Seq("Café  du\tMonde", "café du monde", null)
