@@ -568,6 +568,44 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("unpivot_melt: the melt is ONE Expand node fed map-side — no " +
+      "shuffle before the contract sort") {
+    val p = plan(operators.Analytic.unpivotMelt(spark, sf))
+    assert(count(p, "Expand") === 1,
+      p.linesIterator.filter(_.contains("Expand")).mkString("\n"))
+    // the terminal ORDER BY's range partitioning is the only exchange:
+    // filter + project + expand all run in the scan stage
+    assert(count(p, "Exchange") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("agg_mode: count shuffles once on the (group, value) pair; the " +
+      "pick window runs over the aggregated set, not the corpus") {
+    val p = plan(operators.Analytic.aggMode(spark, sf))
+    // customer is a dimension: the enrich join must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial+final count on (c_mktsegment, o_orderpriority)
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      count(p, "HashAggregate") >= 2, p)
+    // the window sorts AFTER aggregation — its input is |groups|·|values|
+    // rows; plan order check: the (window) sort appears above the
+    // aggregate in the tree string (executed after)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregate (win@$winIdx, agg@$aggIdx):\n$p")
+  }
+
+  test("win_distinct_count: both frames share ONE Window node and one " +
+      "user-keyed exchange") {
+    val p = plan(operators.Analytic.winDistinctCount(spark, sf))
+    assert(count(p, "Window") === 1,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // one hashpartitioning(user_id) + the terminal sort only
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("join_lateral: LIMIT-in-LATERAL decorrelates to a window rank + " +
       "equi join — never a per-outer-row re-execution") {
     val p = plan(operators.Relational.joinLateral(spark, sf))
