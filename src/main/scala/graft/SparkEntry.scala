@@ -648,6 +648,50 @@ object SparkEntry {
     "dedup_near" -> dedupPairsOracle,
     "dedup_ngram" -> dedupPairsOracle,
 
+    // SimHash with an md5 bit source (r12: closes the r10/r11 oracle
+    // question — xxhash64 has no DuckDB equivalent, md5 does). Bit b of
+    // a shingle's vote = hex nibble b/4 of md5(s), shifted by b%4.
+    // Fingerprint assembled as UBIGINT (same bit pattern as Spark's
+    // signed long; only shift-mask/xor/bit_count read it). The 4x16-bit
+    // band join is replayed verbatim — pigeonhole makes it lossless for
+    // Hamming <= 3, so this is the exact output, not an approximation.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((strpos('0123456789abcdef',
+        |                          substr(md5(s), (b // 4) + 1, 1)) - 1)
+        |                        >> (b % 4)) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS v
+        |  FROM sh, LATERAL unnest(generate_series(0, 63)) tb(b)
+        |  GROUP BY doc_id, b
+        |), fp AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+        |             ELSE 0::HUGEINT END)::UBIGINT AS f
+        |  FROM votes GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, f, band, (f >> (16 * band)) & 65535 AS bv
+        |  FROM fp, LATERAL unnest(generate_series(0, 3)) t(band)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.f AS fa, b.f AS fb
+        |  FROM banded a
+        |  JOIN banded b ON a.band = b.band AND a.bv = b.bv
+        |               AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Batch-vs-corpus incremental dedup: both flags replay as EXISTS
     // against the corpus half (same shingle CTE as the pairs oracle,
     // restricted to cross-set joins).

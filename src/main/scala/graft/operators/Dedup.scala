@@ -412,19 +412,50 @@ object Dedup {
       .orderBy("h")
 
   /** 64-bit SimHash per document from its distinct 5-shingles: every
-    * shingle's xxhash64 votes +1/-1 on each bit; the fingerprint keeps
-    * the sign. Formulated as ONE aggregation with 64 vote columns (one
-    * sum per bit, all map-side partial) — not a shingle×64 row explode,
-    * which would push 64× the shingle count through the exchange.
+    * shingle's 128-bit md5 supplies 64 vote bits (one per hex nibble
+    * pair position: bit b = nibble b/4 of the hex digest, shifted by
+    * b%4); each bit votes +1/-1 and the fingerprint keeps the sign.
+    * Formulated as ONE aggregation with 64 vote columns (one sum per
+    * bit, all map-side partial) — not a shingle×64 row explode, which
+    * would push 64× the shingle count through the exchange.
+    *
+    * Bit source is md5, NOT the shared xxhash64 shingle hash
+    * ([[hashedShingles]]): DuckDB has md5 but no xxhash64, and unlike
+    * the Jaccard regimes (where the hash is an internal join key whose
+    * collisions are the only observable) the SimHash OUTPUT — Hamming
+    * distances — is a direct function of the hash bits, so an oracle
+    * must replay the exact bit source. Deliberately decoupled from the
+    * cached xxh64 frame so the switch cannot perturb
+    * dedup_near/ngram/incremental (their oracles stay proven as-is);
+    * the one extra tokenize+shingle pass is this key's only consumer.
     */
   private[operators] def simhash(docs: DataFrame): DataFrame = {
-    val votes = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    // One md5 per distinct shingle, parsed as TWO 32-bit words (2 conv
+    // calls, not 16 per-nibble ones — measured 2.5 s → 1.7 s on the
+    // full key at sf0.1). Bit b of the vote = nibble b/4 of the hex
+    // digest shifted by b%4 — identical values to the oracle's
+    // per-nibble formula: substr(m, 1, 8) parses big-endian, so hex
+    // char n+1 (nibble n) lands at word bits 4*(7 - n%8)..+3.
+    val words = (0 until 2).map { w =>
+      conv(substring(col("m"), 8 * w + 1, 8), 16, 10).cast("long").as(s"w$w")
     }
+    val worded = shingles(docs)
+      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id") +: words: _*)
+    val votes = (0 until 64).map { b =>
+      val n = b / 4 // nibble index in the hex digest
+      val shift = 4 * (7 - n % 8) + b % 4
+      sum(when(shiftright(col(s"w${n / 8}"), shift).bitwiseAND(lit(1)) === 1,
+        1).otherwise(-1)).as(s"v$b")
+    }
+    // 1L << 63 wraps to Long.MinValue — the sign bit IS bit 63; the
+    // oracle's UBIGINT has the identical bit pattern, and only
+    // bit-pattern functions (shift-mask bands, xor, bit_count) ever
+    // read the fingerprint.
     val fingerprint = (0 until 64).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    hashedShingles(docs) // same cached frame the other regimes read
+    worded
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
@@ -432,9 +463,11 @@ object Dedup {
 
   // Q38c `dedup_simhash` — SimHash near-dup pairs: fingerprint every doc,
   // split the 64 bits into 4×16-bit bands, join on any equal band
-  // (pigeonhole: Hamming ≤ 3 ⇒ at least one band identical), then exact
-  // Hamming filter ≤ 3 via bit_count(xor). Candidate join is banded —
-  // never all-pairs. Deterministic (xxhash64 is seedless and stable).
+  // (pigeonhole: Hamming ≤ 3 ⇒ at least one band identical — banding is
+  // LOSSLESS for this threshold, so the DuckDB oracle replays it
+  // verbatim), then exact Hamming filter ≤ 3 via bit_count(xor).
+  // Candidate join is banded — never all-pairs. Deterministic (md5 is
+  // seedless and stable).
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhash(Tables.documents(spark, dir))
     val banded = fp.select(

@@ -68,6 +68,31 @@ class DedupSpec extends SparkSpec {
     assert(sim.subsetOf(exact))
   }
 
+  test("simhash fingerprint matches an independent per-nibble md5 replay " +
+      "(pins the r12 md5 bit source the DuckDB oracle depends on)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val got = Dedup.simhash(Seq((7L, text)).toDF("doc_id", "text")).collect()
+    assert(got.length === 1)
+    // pure-JVM replay of the declared bit mapping: distinct 5-shingles,
+    // bit b of a shingle's vote = hex nibble b/4 of md5, shifted b%4
+    val w = text.toLowerCase.trim.split("\\s+")
+    val sh = (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = Array.fill(64)(0)
+    sh.foreach { s =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      for (b <- 0 until 64) {
+        val nib = Integer.parseInt(hex.substring(b / 4, b / 4 + 1), 16)
+        votes(b) += (if (((nib >> (b % 4)) & 1) == 1) 1 else -1)
+      }
+    }
+    val expected =
+      (0 until 64).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+    assert(got(0).getLong(0) === 7L)
+    assert(got(0).getLong(1) === expected)
+  }
+
   test("planted synthetic duplicates: ngramPairs finds exactly the clones") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
