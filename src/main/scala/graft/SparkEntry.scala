@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
+    "token_bpe"       -> (TextAnalysis.tokenBpe _),
     "text_quality"    -> (TextAnalysis.textQuality _),
     "text_langid"     -> (TextAnalysis.textLangid _),
     "text_fingerprint"-> (TextAnalysis.textFingerprint _),

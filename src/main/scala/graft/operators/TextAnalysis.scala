@@ -71,6 +71,163 @@ object TextAnalysis {
         ceil(length(col("text")) / 4.0).cast("long").as("approx_llm_tokens"))
       .orderBy("doc_id")
 
+  // `token_bpe` — byte-pair-encoding tokenizer APPLY: encode every doc
+  // against a broadcast merge-rank table with the exact greedy
+  // algorithm production tokenizers run (repeatedly merge ALL
+  // occurrences of the lowest-rank adjacent symbol pair — GPT-2's
+  // bpe(), public reference implementation), emitting token ids +
+  // counts. This is the one production LLM-pipeline step token_count's
+  // chars/4 heuristic stands in for; the spec cross-checks the two.
+  //
+  // The ranks are learned from the corpus itself in two BATCHED
+  // passes so the pipeline stays deterministic and self-contained (no
+  // external vocab artifact exists in this environment): pass A ranks
+  // the top adjacent CHAR pairs, pass B re-encodes under pass A and
+  // ranks the top SYMBOL pairs (ranks 128..255, so merges chain to
+  // length-4 tokens). Each pass is ONE weighted aggregation over
+  // DISTINCT words — cost tracks |vocab|, not token volume. In
+  // production the rank table is a static artifact (tiktoken-style
+  // merges file) loaded and broadcast; the operator contract here is
+  // the apply side, and the learner is how we synthesize that input.
+  //
+  // Scale shape: learn = two vocab-sized aggregations (shuffle on the
+  // pair), a 256-entry driver collect, broadcast; apply is MAP-ONLY —
+  // a typed mapPartitions fold with a per-partition word→ids cache
+  // (Zipf: hit rate makes encode cost ~|distinct words| per partition,
+  // the same memoization real tokenizer runners use). The greedy merge
+  // loop is inherently sequential per word — the same deliberate typed
+  // escape hatch as seq_pack_greedy; everything around it stays
+  // relational. No oracle: DuckDB cannot replay a greedy merge fold
+  // (recursive CTE per word per merge); TextAnalysisSpec pins golden
+  // encodings on a fixed rank table, the decode∘encode = strip-spaces
+  // identity on corpus docs, and the id-space partition.
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val (ranks, symIds) = bpeTables(docs)
+    val bcRanks = spark.sparkContext.broadcast(ranks)
+    val bcSyms = spark.sparkContext.broadcast(symIds)
+    docs.select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bcRanks.value
+        val sy = bcSyms.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        val re = java.util.regex.Pattern.compile(BpePretokenRegex)
+        it.map { case (id, norm) =>
+          var nWords = 0L
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val m = re.matcher(norm)
+          while (m.find()) {
+            nWords += 1
+            val w = m.group()
+            ids ++= cache.getOrElseUpdate(w,
+              bpeEncodeWord(w, rk).map(bpeSymbolId(_, sy)))
+          }
+          (id, nWords, ids.length.toLong, norm.length.toLong, ids.toSeq)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars_norm", "token_ids")
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_chars_norm"),
+        when(col("n_tokens") > 0,
+          round(col("n_chars_norm").cast("double") / col("n_tokens"), 4))
+          .as("chars_per_token"),
+        col("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** Pre-tokenizer regex — same segmentation as token_count's
+    * `bpe_tokens` column (letter runs / digit runs / single other
+    * chars), applied JVM-side over lower(trim(text)). */
+  private[operators] val BpePretokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Merged-symbol id space starts above the max Unicode codepoint
+    * (0x10FFFF) so char ids (= the codepoint) and merge ids
+    * (= base + rank) can never collide. */
+  private[operators] val BpeMergeIdBase = 0x200000L
+
+  private[operators] def bpeSymbolId(sym: String,
+      symIds: collection.Map[String, Long]): Long =
+    if (sym.length == 1) sym.codePointAt(0).toLong else symIds(sym)
+
+  /** Exact greedy BPE apply for one word: find the lowest-rank adjacent
+    * symbol pair, merge ALL its occurrences left-to-right, repeat until
+    * no ranked pair remains (GPT-2 bpe() semantics). Pure JVM — called
+    * from the typed fold and from the learner's pass B. */
+  private[operators] def bpeEncodeWord(word: String,
+      ranks: collection.Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var merging = true
+    while (merging && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestA = ""; var bestB = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) merging = false
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            out += bestA + bestB; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Two-pass batched BPE learner + id assignment. Returns
+    * (merge ranks, merged-symbol ids). Pass A: top `perPass` adjacent
+    * char pairs by weighted corpus frequency (ties broken by pair
+    * text, so the table is deterministic). Pass B: re-encode the
+    * distinct words under pass A, rank the top `perPass` adjacent
+    * SYMBOL pairs (disjoint from pass A by construction: greedy apply
+    * leaves no rank-A pair adjacent). Ids: first merge producing a
+    * given surface string wins (vocab ids are per-string, as in real
+    * BPE vocabs where ("a","bc") and ("ab","c") collide). */
+  private[operators] def bpeTables(docs: DataFrame, perPass: Int = 128)
+      : (Map[(String, String), Int], Map[String, Long]) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wordCounts = docs
+      .select(explode(regexp_extract_all(lower(trim(col("text"))),
+        lit(BpePretokenRegex), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topPairs(pairFreq: DataFrame): Array[(String, String)] =
+      pairFreq.groupBy("a", "b").agg(sum(col("n")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(perPass)
+        .select("a", "b").as[(String, String)].collect()
+    val passA = topPairs(wordCounts.flatMap { case (w, n) =>
+      (0 until w.length - 1).iterator.map(i =>
+        (w.substring(i, i + 1), w.substring(i + 1, i + 2), n))
+    }.toDF("a", "b", "n"))
+    val ranksA = passA.zipWithIndex.toMap
+    val bcA = s.sparkContext.broadcast(ranksA)
+    val passB = topPairs(wordCounts.flatMap { case (w, n) =>
+      val syms = bpeEncodeWord(w, bcA.value)
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
+    }.toDF("a", "b", "n"))
+    wordCounts.unpersist()
+    val merges = passA ++ passB
+    val ranks = merges.zipWithIndex.toMap
+    val symIds = merges.zipWithIndex
+      .foldLeft(Map.empty[String, Long]) { case (m, ((a, b), r)) =>
+        val surface = a + b
+        if (m.contains(surface)) m else m + (surface -> (BpeMergeIdBase + r))
+      }
+    (ranks, symIds)
+  }
+
   // `text_quality` — per-doc quality signals: length, alphanumeric
   // ratio, average token length, stopword ratio, and a deterministic
   // composite score in [0,1] (coverage×(1-stopword dominance)) — the

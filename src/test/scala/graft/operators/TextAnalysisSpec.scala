@@ -107,4 +107,58 @@ class TextAnalysisSpec extends SparkSpec {
       col("entropy_bits") > log2(col("n_chars"))).count() === 0,
       "entropy must sit in [0, log2(n_chars)]")
   }
+
+  test("token_bpe: golden greedy encodings on a fixed rank table " +
+      "(exact GPT-2 merge-all-occurrences semantics)") {
+    val ranks = Map(
+      ("t", "h") -> 0, ("th", "e") -> 1, ("i", "n") -> 2,
+      ("a", "n") -> 3, ("an", "d") -> 4, ("l", "l") -> 5)
+    def enc(w: String) = TextAnalysis.bpeEncodeWord(w, ranks).toSeq
+    assert(enc("the") === Seq("the"))            // chained: th, then th+e
+    assert(enc("thin") === Seq("th", "in"))
+    assert(enc("and") === Seq("and"))            // an (3), then an+d (4)
+    assert(enc("xyz") === Seq("x", "y", "z"))    // no ranked pair
+    assert(enc("a") === Seq("a"))                // single symbol
+    // merge-ALL-occurrences in one step: both "ll" pairs of "llll"
+    // merge in the first application (GPT-2 semantics), not one
+    assert(enc("llll") === Seq("ll", "ll"))
+    // lower rank wins even when a later pair appears first in the word
+    assert(enc("inthe") === Seq("in", "the"))
+  }
+
+  test("token_bpe: decode∘encode over corpus docs reproduces the " +
+      "normalized text modulo whitespace; id spaces partition cleanly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val (ranks, symIds) = TextAnalysis.bpeTables(docs)
+    // 128/pass is a CAP: a small corpus can expose fewer distinct
+    // adjacent pairs than the budget (sf0.001 yields ~133)
+    assert(ranks.nonEmpty && ranks.size <= 256)
+    val idToSym: Map[Long, String] = symIds.map(_.swap)
+    val out = TextAnalysis.tokenBpe(spark, sf)
+      .select("doc_id", "n_tokens", "token_ids").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val norm = docs.select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    // decode: char ids back to codepoints, merge ids via the symbol
+    // table; concatenation must equal the normalized text with ALL
+    // whitespace stripped (the pre-tokenizer consumes separators)
+    out.foreach { case (docId, (n, ids)) =>
+      assert(ids.length === n)
+      val decoded = ids.map { id =>
+        if (id < TextAnalysis.BpeMergeIdBase)
+          new String(Character.toChars(id.toInt))
+        else idToSym(id)
+      }.mkString
+      assert(decoded === norm(docId).replaceAll("\\s+", ""),
+        s"decode∘encode mismatch on doc $docId")
+    }
+    // the chars/4 heuristic token_count ships should be within 2× of
+    // the real tokenization corpus-wide (it is ~3.2 chars/token here)
+    val totalTokens = out.values.map(_._1).sum.toDouble
+    val totalChars = norm.values.map(_.length).sum.toDouble
+    val ratio = (totalChars / 4.0) / totalTokens
+    assert(ratio > 0.5 && ratio < 2.0,
+      s"chars/4 heuristic off by ${ratio}x vs real BPE token count")
+  }
 }
