@@ -104,20 +104,17 @@ object Bench {
       runOnce(name).left.foreach(msg => errors += name -> msg)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map { name =>
-      // Release operator caches after the last batch key, before the
-      // streaming-fixed block (names order puts streaming last).
-      if (streamingFixed(name)) graft.operators.Caches.releaseAll()
-      // SPARK_GRAFT_PASSES: local-rehearsal override (e.g. 1 for the
-      // sf10 ScaleGen decades, where per-key times are long enough to
-      // dominate host noise and best-of-3 would triple a half-hour
-      // sweep). The driver never sets it → best-of-3 + adaptive.
-      val override_ = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
-        val p = v.toInt // fail fast on garbage, not deep in the run
-        require(p > 0, s"SPARK_GRAFT_PASSES must be >= 1, got $v " +
-          "(0 would record no timed runs and crash at min())")
-        p
-      }
+    // SPARK_GRAFT_PASSES: local-rehearsal override (e.g. 1 for the
+    // sf10 ScaleGen decades, where per-key times are long enough to
+    // dominate host noise and best-of-3 would triple a half-hour
+    // sweep). The driver never sets it → best-of-3 + adaptive.
+    val override_ = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
+      val p = v.toInt // fail fast on garbage, not deep in the run
+      require(p > 0, s"SPARK_GRAFT_PASSES must be >= 1, got $v " +
+        "(0 would record no timed runs and crash at min())")
+      p
+    }
+    def measure(name: String): (String, Seq[Double]) = {
       val base = override_.getOrElse(if (streamingFixed(name)) 2 else 3)
       val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
       // Adaptive top-up for ANY noisy batch key (r7 verdict: the cap on
@@ -132,6 +129,27 @@ object Bench {
         times += timed(name)
       name -> times.toSeq
     }
+    val firstPass = batchNames.map(measure)
+    // Second-window re-measure (VERDICT r11 item 1): a key whose 5
+    // in-line passes all landed inside one host-contention window keeps
+    // a high spread that later reads as a phantom regression (r11:
+    // math_funcs 4.53×, layout_zorder 2.88×). Sweep again AFTER the
+    // whole batch block — minutes later, a different contention window
+    // — buying up to 2 more observations for any key still above 2×.
+    // Extra passes can only lower the reported min and, via the
+    // fastest-3 spread window, converge the spread once 3 clean passes
+    // exist anywhere in the run.
+    val batchResults = firstPass.map { case (name, runs) =>
+      val times = scala.collection.mutable.ArrayBuffer(runs: _*)
+      while (override_.isEmpty && times.length < 7 &&
+        spreadOf(times.toSeq) > 2.0)
+        times += timed(name)
+      name -> times.toSeq
+    }
+    // Release operator caches after the last batch key, before the
+    // streaming-fixed block.
+    graft.operators.Caches.releaseAll()
+    val results = batchResults ++ streamNames.map(measure)
     graft.operators.Caches.releaseAll()
 
     // full JSON string escaping — shared definition (Util.jsonEscape):
@@ -246,16 +264,26 @@ object Bench {
     // a regression anywhere surfaces by lifting its key into the kept
     // set; the drop count keeps the truncation visible.
     def topFit(): String = {
+      // q6 — the flagship gate number — is ALWAYS kept (r11: the
+      // driver-tail map dropped it at 0.15 s), then the slowest other
+      // keys, as many as fit. Binary-search the largest keep that fits
+      // (line length grows with keep; the 5-char margin under 2000
+      // absorbs the n_dropped digit wobble) instead of the old fixed
+      // -8 walk, which could overshoot by up to 7 keys.
       val desc = best.sortBy(-_._2)
-      // budget: wrapper + n_dropped field ≈ 120 chars of overhead
-      var keep = desc.length
-      var line = ""
-      do {
-        line = compactLine(nestedQueries(1, desc.take(keep)),
-          s""""n_dropped":${desc.length - keep},""")
-        keep -= 8
-      } while (line.length > 1995 && keep > 0)
-      line
+      val (q6Row, rest) = desc.partition(_._1 == "q6")
+      def lineFor(keep: Int): String = {
+        val keptRows = q6Row ++ rest.take(keep)
+        compactLine(nestedQueries(1, keptRows),
+          s""""n_dropped":${desc.length - keptRows.length},""")
+      }
+      var lo = 0
+      var hi = rest.length
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (lineFor(mid).length <= 1995) lo = mid else hi = mid - 1
+      }
+      lineFor(lo)
     }
     // line + trailing newline must sit inside the tail window: 1995+1
     // leaves 4 chars of margin in the 2000

@@ -35,7 +35,20 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    val raw = load(spark, dir, "events")
+    // The TIMESTAMP(NANOS) fixture variant is only scannable with
+    // spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
+    // entry point); without it Spark throws an opaque "Illegal Parquet
+    // type: INT64 (TIMESTAMP(NANOS,...))" at schema resolution.
+    // Rephrase that case so a bare-session caller learns the fix.
+    val raw =
+      try load(spark, dir, "events")
+      catch { case e: Exception
+        if Option(e.getMessage).exists(_.contains("TIMESTAMP(NANOS")) =>
+          throw new IllegalStateException(
+            s"events.parquet in $dir uses TIMESTAMP(NANOS); set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+            "(all graft mains do) so it scans as a long", e)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>   // legacy ns fixture
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

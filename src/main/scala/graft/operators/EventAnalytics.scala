@@ -297,7 +297,11 @@ object EventAnalytics {
     val w = Window.partitionBy("event_type").orderBy("h")
     val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val hIdx = (unix_timestamp(col("h")) / 3600).cast("long")
+    // floor, not truncate-toward-zero: the DuckDB oracle computes
+    // epoch(h) // 3600 (floor division), which differs from a plain
+    // cast for pre-1970 instants (negative epochs). Fixture epochs are
+    // all non-negative today, but the semantics must not depend on it.
+    val hIdx = floor(unix_timestamp(col("h")) / 3600).cast("long")
     val obsH = when(col("c_obs").isNotNull, hIdx)
     val num = col("pv") * (col("nh") - col("hx")) +
       col("nv") * (col("hx") - col("ph"))
