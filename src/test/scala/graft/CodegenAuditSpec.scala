@@ -23,7 +23,8 @@ class CodegenAuditSpec extends SparkSpec {
     * semantics are covered by StreamingSpec. */
   private val streamingFixed = Set("stream_late_data", "stream_dedup",
     "stream_join", "stream_join_outer", "stream_static_join",
-    "stream_sink_files", "stream_transform_state", "stream_update_mode")
+    "stream_sink_files", "stream_transform_state", "stream_update_mode",
+    "stream_state_ttl")
 
   /** Approved codegen-exempt keys. Kinds of fallback observed at audit
     * time are part of the pin: interp = un-codegen'd Project/Filter,
@@ -55,7 +56,10 @@ class CodegenAuditSpec extends SparkSpec {
     "multimodal_decode" -> ("typed mapPartitions batch decode — the declared " +
       "escape hatch for opaque binary payloads"),
     "seq_pack_greedy" -> ("typed mapGroups first-fit packer — declared escape " +
-      "hatch for per-shard imperative bin packing"))
+      "hatch for per-shard imperative bin packing"),
+    "token_bpe" -> ("typed mapPartitions greedy merge fold over broadcast " +
+      "ranks — declared escape hatch (SURVEY Q134); map-only, " +
+      "per-partition word cache, measured decade"))
 
   test("every key's plan stays in whole-stage codegen, or carries an approved exemption") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -417,4 +417,23 @@ class StreamingSpec extends SparkSpec
       ("2024-01-01 10:00:00.0", 3L, 7.0),
       ("2024-01-01 10:10:00.0", 1L, 5.0)))
   }
+
+  test("stream_state_ttl: inactivity timers flush idle sessions, fresh " +
+      "data re-arms, and the TTL'd lifetime counter evicts on a long gap") {
+    val rows = Streams.streamStateTtl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    // - key 1: 2 events under a 60 s guard gap + 1 re-arming event emit
+    //   as ONE 3-event session (fresh data deleted the pending timer
+    //   before it could fire — never 2+1)
+    // - keys 2/5: single-event 150 ms-gap sessions flushed by timer
+    //   expiry in a later batch
+    // - key 5 returns after sleeping out the 600 ms `visited` TTL: its
+    //   SECOND session opens with prior_visit = false (the short-TTL
+    //   marker evicted) yet lifetime_events = 2 (the 10-min counter
+    //   survived) — both TTL horizons observable in one row
+    assert(rows.toSeq === Seq(
+      (1L, 3L, 7.0, 3L, false), (2L, 1L, 5.0, 1L, false),
+      (5L, 1L, 7.0, 1L, false), (5L, 1L, 8.0, 2L, false)))
+  }
 }
