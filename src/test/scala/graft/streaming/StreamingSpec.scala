@@ -428,7 +428,7 @@ class StreamingSpec extends SparkSpec
     //   before it could fire — never 2+1)
     // - keys 2/5: single-event 150 ms-gap sessions flushed by timer
     //   expiry in a later batch
-    // - key 5 returns after sleeping out the 600 ms `visited` TTL: its
+    // - key 5 returns after sleeping out the 300 ms `visited` TTL: its
     //   SECOND session opens with prior_visit = false (the short-TTL
     //   marker evicted) yet lifetime_events = 2 (the 10-min counter
     //   survived) — both TTL horizons observable in one row
