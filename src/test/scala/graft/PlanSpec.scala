@@ -638,4 +638,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"))
     assert(p.contains("*(1) HashAggregate"))
   }
+
+  test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
+      "matching named PlanSpec test") {
+    // The census test (GoldenSpec) stops KEY-count drift; nothing
+    // stopped PLAN-PROMISE drift — a §2B row claiming "PlanSpec
+    // asserts X" whose test was never written (or later renamed away).
+    // Contract: a §2B row that promises a plan pin mentions "PlanSpec"
+    // literally, and the matching test's NAME leads with (or contains)
+    // the row's key, which every existing pin already follows.
+    import java.nio.file.{Files => F, Paths => P}
+    def read(rel: String): String = {
+      val p = Seq(P.get(rel), P.get(sys.props("user.dir")).resolve(rel))
+        .find(F.exists(_))
+        .getOrElse(fail(s"cannot locate $rel from ${sys.props("user.dir")}"))
+      new String(F.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val promised = read("SURVEY.md").linesIterator
+      .filter(l => l.startsWith("| Q") && l.contains("PlanSpec"))
+      .map(_.split("\\|").map(_.trim).apply(2).stripPrefix("`").stripSuffix("`"))
+      .toSeq
+    // format-drift guard: a SURVEY reformat that empties the parse must
+    // fail loudly, not vacuously pass
+    assert(promised.size >= 15, s"§2B parse found only $promised")
+    val src = read("src/test/scala/graft/PlanSpec.scala")
+    // test headers, with "+"-concatenated string literals joined
+    val names = """(?s)test\((.*?)\)\s*\{""".r.findAllMatchIn(src)
+      .map(_.group(1)
+        .replaceAll("\"\\s*\\+\\s*\"", "")
+        .replaceAll("^\\s*\"|\"\\s*$", ""))
+      .toSeq
+    val missing = promised.filterNot(k => names.exists(_.contains(k)))
+    assert(missing.isEmpty,
+      s"SURVEY §2B promises a PlanSpec pin with no matching test: $missing")
+  }
 }
