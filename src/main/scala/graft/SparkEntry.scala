@@ -162,6 +162,7 @@ object SparkEntry {
     "win_ignore_nulls"  -> (Analytic.winIgnoreNulls _),
     "join_lateral"      -> (Relational.joinLateral _),
     "stream_state_ttl"  -> (graft.streaming.Streams.streamStateTtl _),
+    "text_perplexity"   -> (TextAnalysis.textPerplexity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2043,6 +2044,32 @@ object SparkEntry {
         |         LIMIT 2) t
         |WHERE c.c_custkey % 10 = 0
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+
+    // keep flag compares the ROUNDED ppl so both engines branch
+    // identically at the threshold
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts
+        |), lm AS (
+        |  SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 16
+        |), scored AS (
+        |  SELECT toks.doc_id,
+        |         coalesce(ln(CAST(lm.cnt AS DOUBLE) / tot.t),
+        |                  ln(1.0 / tot.t)) AS lp
+        |  FROM toks LEFT JOIN lm USING (tok) CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       round(exp(-avg(lp)), 4) AS ppl,
+        |       CASE WHEN round(exp(-avg(lp)), 4) <= 600.0
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -518,6 +518,55 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // `text_perplexity` — unigram language-model perplexity scoring, the
+  // CCNet-style quality filter (Wenzek et al. 2019, public: docs are
+  // kept/bucketed by LM perplexity; production uses a 5-gram KenLM, the
+  // unigram case is the same pipeline shape): learn token logprobs from
+  // the corpus itself, score every doc by exp(-mean logprob), flag the
+  // low-perplexity (in-distribution) half.
+  //
+  // Scale shape: the LM is the TOP-16 tokens by count (deterministic
+  // (cnt desc, tok) cut; 16 because this synthetic corpus has a 31-word
+  // vocabulary and the cut must leave real OOV traffic — production
+  // uses the same shape at ~50k) — a bounded table that BROADCASTS,
+  // exactly how a production perplexity filter ships its fixed LM to
+  // executors; every other token scores at the OOV floor ln(1/T).
+  // Token counting
+  // is one (tok) shuffle with map-side partials over the exploded
+  // stream; scoring re-scans the corpus (cheaper at 100 TB than caching
+  // an exploded token stream) and collapses map-side to one row per doc
+  // before the (doc_id) shuffle — a doc's tokens never split across
+  // partitions. Nothing corpus-global except the broadcast LM and the
+  // scalar total.
+  //
+  // Determinism: ppl is rounded to 4 dp and the keep flag compares the
+  // ROUNDED value (both engines branch identically); the per-doc mean
+  // sums ~1e1-magnitude logprobs over ≤ a few hundred tokens, so
+  // engine-order float error (~1e-13 relative) sits ~9 orders below
+  // the rounding grid.
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokStream = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val counts = Caches.register(
+      tokStream.groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
+    val total = counts.agg(sum(col("cnt")).cast("double").as("t"))
+    val lm = counts.orderBy(col("cnt").desc, col("tok")).limit(16)
+    val floorLp = log(lit(1.0) / col("t")) // OOV: count-1 smoothing floor
+    tokStream
+      .join(broadcast(lm), Seq("tok"), "left_outer")
+      .crossJoin(total) // 1-row scalar, broadcast NLJ
+      .select(col("doc_id"),
+        coalesce(log(col("cnt").cast("double") / col("t")), floorLp).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(exp(-avg(col("lp"))), 4).as("ppl"))
+      // fixed-literal keep threshold (CCNet's head/middle decision):
+      // splits sf0.01 at its median (250/500 kept) and stays
+      // non-degenerate at sf0.1 (210/5000)
+      .withColumn("keep",
+        when(col("ppl") <= 600.0, lit(1)).otherwise(lit(0)))
+      .orderBy("doc_id")
+  }
+
   // Formulation note (measured, not guessed): a zero-exchange variant
   // computing the sketch per row with array higher-order builtins
   // (`transform(shingles, md5)` → `array_sort` → `slice`) looks

@@ -639,6 +639,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) HashAggregate"))
   }
 
+  test("text_perplexity: the LM broadcasts to the scoring join; token " +
+      "counts collapse map-side before the shuffle") {
+    val p = plan(operators.TextAnalysis.textPerplexity(spark, sf))
+    // the top-16 LM reaches the token stream as a broadcast hash join —
+    // a sort-merge here would shuffle the whole exploded corpus by token
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // partial aggregation before both the (tok) and (doc_id) exchanges
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")) >= 2, p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
