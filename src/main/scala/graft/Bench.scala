@@ -29,7 +29,8 @@ object Bench {
   private val streamingFixed =
     Set("stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_sink_files",
-      "stream_transform_state", "stream_update_mode", "stream_state_ttl")
+      "stream_transform_state", "stream_update_mode", "stream_state_ttl",
+      "stream_foreachbatch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

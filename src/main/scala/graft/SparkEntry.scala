@@ -163,6 +163,9 @@ object SparkEntry {
     "join_lateral"      -> (Relational.joinLateral _),
     "stream_state_ttl"  -> (graft.streaming.Streams.streamStateTtl _),
     "text_perplexity"   -> (TextAnalysis.textPerplexity _),
+    "graph_shortest_path" -> (Graph.graphShortestPath _),
+    "stream_foreachbatch" ->
+      (graft.streaming.Streams.streamForeachBatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2070,6 +2073,29 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS keep
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // recursive-CTE BFS with UNION (distinct) recursion — (node, d)
+    // rows dedup per level, so the working set is bounded by 5·|V|,
+    // never the path-enumeration blowup of UNION ALL; min(d) over the
+    // ≤4-hop levels is the BFS distance, matching the frontier loop's
+    // settled-at-first-visit construction.
+    "graph_shortest_path" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |), e0 AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), edges AS (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        |), bfs AS (
+        |  SELECT DISTINCT u AS node, 0 AS d FROM edges WHERE u % 97 = 0
+        |  UNION
+        |  SELECT e.v, bfs.d + 1 FROM bfs JOIN edges e ON bfs.node = e.u
+        |  WHERE bfs.d < 4
+        |)
+        |SELECT node, min(d) AS hops FROM bfs GROUP BY node
+        |ORDER BY node""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -146,4 +146,64 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
           .as("clustering"))
   }
+
+  // `graph_shortest_path` — bounded multi-source BFS over the same
+  // part-co-purchase graph as graph_triangles: hop distance from a
+  // deterministic source set (partkey % 97 = 0) to every reachable
+  // vertex within 4 hops. The production shapes this models: blast
+  // radius ("everything within k hops of a flagged item"), influence
+  // neighborhoods, feature propagation depth.
+  //
+  // Distributed shape — FRONTIER BFS, the level-synchronous pattern:
+  // each round expands only the newly-reached frontier (frontier ⋈
+  // edges), anti-joins the settled set so no vertex is ever re-expanded
+  // (each vertex settles at its MINIMUM hop count by construction), and
+  // localCheckpoints the round's two frames so round h never re-pays
+  // rounds 1..h-1 (the graph_pagerank lineage lesson). Work per round
+  // is O(|frontier| · avg-degree) — total O(E) over the whole run, the
+  // optimal bound — with NO driver traffic at all: the hop cap is a
+  // fixed literal, so no per-round count decides termination. At 100 TB
+  // the settled set and frontier shuffle on the vertex id only.
+  //
+  // Determinism: integer-only arithmetic; the hop cap (4) is part of
+  // the declared contract and matches the oracle's recursion bound.
+  def graphShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val MaxHops = 4
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    // symmetric adjacency, persisted once — every round probes it
+    val edges = Caches.register(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))).persist())
+    var dist = edges.select(col("u").as("node")).distinct()
+      .filter(col("node") % 97 === 0)
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to MaxHops) {
+      val (prevFrontier, prevDist) = (frontier, dist)
+      frontier = frontier
+        .join(edges, frontier("node") === edges("u"))
+        .select(edges("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti") // settled vertices stay settled
+        .select(col("node"), lit(h).as("hops"))
+        .localCheckpoint(true)
+      // the new settled set is materialized eagerly, so the previous
+      // round's checkpoint blocks (frontier + settled set) are dead —
+      // release them now, not at ContextCleaner GC time
+      dist = dist.union(frontier).localCheckpoint(true)
+      Caches.releaseCheckpoint(prevFrontier)
+      if (prevDist ne prevFrontier) Caches.releaseCheckpoint(prevDist)
+    }
+    Caches.releaseCheckpoint(frontier)
+    // the final settled set ESCAPES to the caller — queue its release
+    // for the next harness boundary instead of dropping it now
+    Caches.registerCheckpoint(dist)
+    dist.orderBy("node")
+  }
 }

@@ -254,12 +254,13 @@ object Streams {
     * delete-on-exit demo checkpoint never provides from EITHER
     * filesystem. The durable-restart semantics stay covered by
     * StreamingSpec's checkpoint-restart tests. */
-  private def ckptDir(prefix: String): java.nio.file.Path = {
+  private def tmpRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
   }
+  private def ckptDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(tmpRoot, prefix)
 
   /** Streaming checkpoints are per-invocation temp dirs; delete on
     * completion or each bench/verify run leaks state-store files in
@@ -888,5 +889,68 @@ object Streams {
     } finally { q.stop(); deleteRecursively(ckpt) }
     // (user_id, sum_value) is unique across the emission history
     s.table(name).orderBy("user_id", "sum_value")
+  }
+
+  // `stream_foreachbatch` — the foreachBatch sink: THE production sink
+  // API. Everything Spark has no native sink for routes through it
+  // (JDBC upserts, multi-table fan-out, dedupe-merge into a lakehouse
+  // table), and its correctness discipline is the operator's contract:
+  //  1. the sink receives (batchDF, batchId) and must be IDEMPOTENT by
+  //     batchId — the engine guarantees at-least-once delivery, so a
+  //     redelivered id must no-op for end-to-end exactly-once;
+  //  2. a batch consumed more than once inside the function is
+  //     persisted first (here: written then counted — two actions).
+  // The demo runs an update-mode windowed agg whose per-batch UPDATE
+  // rows land in a parquet emission log partitioned by batch_id
+  // (discovery turns the dir name back into a column), then PROVES the
+  // idempotent-skip by replaying a poisoned frame under an
+  // already-written batch id after the query stops — if the skip ever
+  // broke, the poison rows would surface in the pinned output.
+  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+    // deterministic output root, cleared at START of each invocation
+    // (the returned frame reads it lazily, so clearing at the end would
+    // race the caller's terminal action); fresh checkpoint per run so
+    // batch ids restart at 0
+    val outRoot = tmpRoot
+      .resolve(s"graft_fb_out_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    deleteRecursively(outRoot)
+    Files.createDirectories(outRoot)
+    val ckpt = ckptDir("graft_fb_ckpt_")
+    def writeBatch(batch: DataFrame, id: Long): Unit = {
+      val target = outRoot.resolve(s"batch_id=$id")
+      if (!Files.exists(target) && !batch.isEmpty) {
+        // two consumers below (write + count) -> persist once
+        batch.persist()
+        try {
+          batch.write.mode("overwrite").parquet(target.toString)
+          batch.count() // stand-in second sink (metrics path)
+        } finally batch.unpersist()
+      }
+    }
+    val q = agg.writeStream
+      .foreachBatch(writeBatch _)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      input.addData((t("10:01"), 1.0), (t("10:03"), 2.0))
+      q.processAllAvailable()
+      input.addData((t("10:05"), 4.0), (t("10:12"), 5.0))
+      q.processAllAvailable()
+    } finally { q.stop(); deleteRecursively(ckpt) }
+    // redelivery drill: batch id 1 arrives AGAIN with poisoned content —
+    // the idempotent guard must skip it (at-least-once -> exactly-once)
+    writeBatch(
+      Seq((t("09:00"), 999L, 999.0)).toDF("ws", "n", "sum_value"), 1L)
+    s.read.parquet(outRoot.toString).orderBy("batch_id", "ws")
   }
 }

@@ -24,7 +24,7 @@ class CodegenAuditSpec extends SparkSpec {
   private val streamingFixed = Set("stream_late_data", "stream_dedup",
     "stream_join", "stream_join_outer", "stream_static_join",
     "stream_sink_files", "stream_transform_state", "stream_update_mode",
-    "stream_state_ttl")
+    "stream_state_ttl", "stream_foreachbatch")
 
   /** Approved codegen-exempt keys. Kinds of fallback observed at audit
     * time are part of the pin: interp = un-codegen'd Project/Filter,

@@ -74,13 +74,14 @@ class GoldenSpec extends SparkSpec {
       "agg_sketch_rollup", "token_bpe",
       "stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_update_mode",
-      "stream_transform_state", "stream_state_ttl"))
+      "stream_transform_state", "stream_state_ttl",
+      "stream_foreachbatch"))
     // No orphan oracles: SQL for a key that isn't declared would make
     // the driver's compare report a missing result dir as a failure.
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 136)
+    assert(SparkEntry.queries.size === 138)
   }
 }

@@ -436,4 +436,20 @@ class StreamingSpec extends SparkSpec
       (1L, 3L, 7.0, 3L, false), (2L, 1L, 5.0, 1L, false),
       (5L, 1L, 7.0, 1L, false), (5L, 1L, 8.0, 2L, false)))
   }
+
+  test("stream_foreachbatch: per-batch update rows land partitioned by " +
+      "batch id; a redelivered batch id is idempotently skipped") {
+    val rows = Streams.streamForeachBatch(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // batch 0: window 10:00 first partial (n=2, sum=3); batch 1: its
+    // update-mode REVISION (n=3, sum=7) plus the new 10:10 window.
+    // The operator replays a poisoned frame under batch id 1 after the
+    // query stops — if the idempotent-by-batchId guard ever broke, a
+    // (09:00, 999, 999.0, 1) row would appear here.
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 2L, 3.0, 0),
+      ("2024-01-01 10:00:00.0", 3L, 7.0, 1),
+      ("2024-01-01 10:10:00.0", 1L, 5.0, 1)))
+  }
 }
