@@ -166,6 +166,7 @@ object SparkEntry {
     "graph_shortest_path" -> (Graph.graphShortestPath _),
     "stream_foreachbatch" ->
       (graft.streaming.Streams.streamForeachBatch _),
+    "embed_rp"          -> (Similarity.embedRp _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -531,6 +532,7 @@ object SparkEntry {
         |       l_orderkey % 7 AS mod7,
         |       round(ln(l_extendedprice), 4) AS ln_price
         |FROM lineitem
+        |WHERE l_orderkey % 10 = 0
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
 
     "array_funcs" ->
@@ -2096,6 +2098,24 @@ object SparkEntry {
         |)
         |SELECT node, min(d) AS hops FROM bfs GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    // the ±1 hyperplane matrix re-derives from md5 parity in BOTH
+    // engines — identical sign expression, identical per-(vec,j) sums
+    "embed_rp" ->
+      """WITH ex AS (
+        |  SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       LATERAL unnest(generate_series(1, len(embedding))) t(i)
+        |), grid AS (
+        |  SELECT vec_id, i, x, g.j
+        |  FROM ex, LATERAL unnest(generate_series(0, 7)) g(j)
+        |)
+        |SELECT vec_id, j,
+        |       round(sum(CASE WHEN instr('13579bdf', substring(md5(concat(
+        |         CAST(i AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 1)) > 0
+        |         THEN -1.0 ELSE 1.0 END * x) / 8.0, 4) AS y
+        |FROM grid GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

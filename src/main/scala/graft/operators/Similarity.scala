@@ -313,4 +313,40 @@ object Similarity {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
       .orderBy("vec_id")
+
+  // `embed_rp` — random-projection dimensionality reduction 64 → 8
+  // (Achlioptas 2001 / Johnson-Lindenstrauss, public): y_j =
+  // Σᵢ s(i,j)·xᵢ / √d with a DETERMINISTIC ±1 hyperplane matrix derived
+  // from md5 parity — s(i,j) = −1 iff the first hex digit of
+  // md5("i:j") is odd. The database-friendly RP: no gaussian sampling,
+  // no stored matrix, both engines (and any future reader of the
+  // projected table) re-derive the identical matrix from the formula.
+  // This is the pre-step that makes 100 TB embedding workloads cheap —
+  // downstream clustering/ANN runs on 8 floats instead of 64.
+  //
+  // Scale shape: posexplode × a sequence(0..7) generator give the
+  // (i, j) grid inside whole-stage codegen (the repo's measured HOF
+  // lesson: exploded codegen beats interpreted lambda aggregation);
+  // each vector's 512 terms stay in its partition, so the partial
+  // aggregation collapses to 8 rows per vector BEFORE the (vec_id, j)
+  // shuffle. Long output format (vec_id, j, y) keeps the oracle a
+  // plain GROUP BY replay.
+  //
+  // Determinism: the per-(vec, j) sum adds 64 float32-sourced doubles
+  // (~1-magnitude), so engine summation-order drift is ~1e-15 —
+  // 11 orders below the round(·,4) grid.
+  def embedRp(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"),
+        explode(sequence(lit(0L), lit(7L))).as("j"))
+      // s(i,j): -1 iff the first hex digit of md5("i:j") is odd —
+      // written as SQL so the oracle replays the identical expression
+      .withColumn("sign", expr(
+        "CASE WHEN instr('13579bdf', substring(md5(concat(" +
+          "cast(i AS string), ':', cast(j AS string))), 1, 1)) > 0 " +
+        "THEN -1.0 ELSE 1.0 END"))
+      .groupBy("vec_id", "j")
+      .agg(round(sum(col("sign") * col("x")) / 8.0, 4).as("y"))
+      .orderBy("vec_id", "j")
 }
