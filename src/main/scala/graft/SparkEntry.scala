@@ -167,6 +167,8 @@ object SparkEntry {
     "stream_foreachbatch" ->
       (graft.streaming.Streams.streamForeachBatch _),
     "embed_rp"          -> (Similarity.embedRp _),
+    "json_variant"      -> (SemiStructured.jsonVariant _),
+    "pipeline_observe"  -> (Pipeline.pipelineObserve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2116,6 +2118,30 @@ object SparkEntry {
         |         THEN -1.0 ELSE 1.0 END * x) / 8.0, 4) AS y
         |FROM grid GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
+
+    // v_schema is schema_of_variant's inferred type string — constant
+    // for this fixture's uniform {"k": <int>} props (verified live);
+    // nil_is_null pins VARIANT's explicit-JSON-null vs SQL-null split
+    "json_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       'OBJECT<k: BIGINT>' AS v_schema,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS arr_1,
+        |       event_type AS meta_t,
+        |       true AS nil_is_null
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "pipeline_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_in,
+        |       CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(n_chars) FILTER (WHERE n_chars >= 200) AS BIGINT)
+        |         AS chars_kept,
+        |       round((count(*) FILTER (WHERE n_chars >= 200)) * 1.0
+        |         / count(*), 4) AS kept_ratio
+        |FROM documents""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

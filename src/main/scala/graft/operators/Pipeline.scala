@@ -65,4 +65,40 @@ object Pipeline {
       .filter(col("n_tok") >= 10)
     TextAnalysis.packBins(kept)
   }
+
+  // `pipeline_observe` — Dataset.observe() + Observation: the
+  // data-quality instrumentation API every production pipeline wraps
+  // around its gates. observe() attaches aggregate metrics to a plan
+  // node; they are computed ON THE SAME PASS as the downstream action
+  // (a CollectMetrics node riding the existing scan) — the alternative
+  // is a SECOND full scan of the input just to count what the gate
+  // dropped, which at 100 TB doubles the job. The demo instruments the
+  // corpus quality gate: pre-gate count/chars observe on the scan, the
+  // post-gate aggregate is the driving action, and the returned 1-row
+  // frame joins both with the drop ratio — the shape a pipeline writes
+  // to its run-metrics table.
+  //
+  // The metric scalars surface on the driver BY DESIGN (Observation
+  // .get blocks on the action's QueryExecutionListener callback) —
+  // this is the documented API contract, not a collect() of data rows.
+  def pipelineObserve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"gate_metrics_${System.nanoTime()}")
+    val gated = Tables.documents(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_in"),
+        sum(col("n_chars")).as("chars_in"))
+      .filter(col("n_chars") >= 200) // the quality gate under observation
+    // the driving action: one pass computes gate output AND metrics
+    val Array(keptRow) = gated
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .collect()
+    val m = obs.get
+    Seq((m("n_in").asInstanceOf[Long], m("chars_in").asInstanceOf[Long],
+      keptRow.getLong(0), keptRow.getLong(1)))
+      .toDF("n_in", "chars_in", "n_kept", "chars_kept")
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_in"), 4))
+  }
 }

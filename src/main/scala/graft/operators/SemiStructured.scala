@@ -101,4 +101,40 @@ object SemiStructured {
             org.apache.spark.sql.types.LongType))))
           .getField("k").as("k_schema"))
       .orderBy("event_id")
+
+  // `json_variant` — Spark 4's VARIANT type (the flagship
+  // semi-structured feature): parse_json materializes a binary
+  // variant ONCE, then every path extraction reads the variant's
+  // internal encoding instead of re-parsing text — the reason VARIANT
+  // replaces get_json_object chains at scale (json_funcs re-parses the
+  // string per path; N variant_get calls re-parse zero times). The
+  // demo parses events.props AND a constructed nested document
+  // (object > array, object > object paths), extracts typed paths,
+  // and surfaces schema_of_variant's inferred type string. Output
+  // columns are all plain types — the variant itself stays internal,
+  // so the oracle replays with ordinary JSON path extraction.
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    // {"arr":[k,2k],"meta":{"t":"<event_type>"},"nil":null}
+    val nestedJson = concat(
+      lit("{\"arr\":["), k, lit(","),
+      (k.cast("long") * 2).cast("string"),
+      lit("],\"meta\":{\"t\":\""), col("event_type"),
+      lit("\"},\"nil\":null}"))
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        parse_json(col("props")).as("v"),
+        parse_json(nestedJson).as("nested"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        schema_of_variant(col("v")).as("v_schema"),
+        variant_get(col("nested"), "$.arr[1]", "long").as("arr_1"),
+        variant_get(col("nested"), "$.meta.t", "string").as("meta_t"),
+        // VARIANT distinguishes an explicit JSON null from an absent
+        // path: $.nil is a variant-NULL (true), not a SQL NULL
+        is_variant_null(variant_get(col("nested"), "$.nil", "variant"))
+          .as("nil_is_null"))
+      .orderBy("event_id")
+  }
 }
