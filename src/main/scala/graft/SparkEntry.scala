@@ -169,6 +169,9 @@ object SparkEntry {
     "embed_rp"          -> (Similarity.embedRp _),
     "json_variant"      -> (SemiStructured.jsonVariant _),
     "pipeline_observe"  -> (Pipeline.pipelineObserve _),
+    "url_funcs"         -> (SemiStructured.urlFuncs _),
+    "str_collation"     -> (Analytic.strCollation _),
+    "join_null_aware"   -> (Relational.joinNullAware _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2142,6 +2145,57 @@ object SparkEntry {
         |       round((count(*) FILTER (WHERE n_chars >= 200)) * 1.0
         |         / count(*), 4) AS kept_ratio
         |FROM documents""".stripMargin,
+
+    // the URL is constructed from event columns, so the oracle
+    // recomputes every parsed field from the same base columns — same
+    // values, no SQL re-implementation of the parser
+    "url_funcs" ->
+      """SELECT event_id,
+        |       'https' AS proto,
+        |       event_type || '.example.com' AS host,
+        |       '/d/' || CAST(event_id % 50 AS VARCHAR) || '/page' AS path,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS q_param,
+        |       'a b/c' AS t_decoded,
+        |       's' || CAST(event_id % 7 AS VARCHAR) AS fragment,
+        |       'example' AS domain
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // DuckDB has no collations — the oracle replays the SEMANTICS with
+    // explicit lower() folds (exactly the materialization the collated
+    // type avoids engine-side)
+    "str_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+        |              ELSE p_type END AS messy
+        |  FROM part
+        |)
+        |SELECT lower(messy) AS p_type_folded,
+        |       count(*) AS n_parts,
+        |       count(DISTINCT messy) AS n_case_variants,
+        |       count(*) FILTER (WHERE upper(messy) LIKE 'PROMO%')
+        |         AS n_promo
+        |FROM m
+        |GROUP BY lower(messy)
+        |ORDER BY p_type_folded""".stripMargin,
+
+    // identical NOT IN SQL — DuckDB applies the same three-valued
+    // logic, so the poisoned variant is 0 in both engines
+    "join_null_aware" ->
+      """SELECT 'clean' AS variant, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer
+        |   WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'poisoned' AS variant, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+        |               ELSE c_custkey END
+        |   FROM customer
+        |   WHERE c_mktsegment = 'BUILDING' OR c_custkey % 100 = 0)
+        |ORDER BY variant""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -609,4 +609,36 @@ object Analytic {
           lit(0.0)), 4).as("prev_purchase"))
       .orderBy("event_id")
   }
+
+  // `str_collation` — Spark 4 COLLATION-aware comparison (the other
+  // flagship 4.x type feature next to VARIANT): `collate(c,
+  // 'UTF8_LCASE')` makes equality, GROUP BY, DISTINCT and
+  // startsWith case-insensitive AT THE TYPE LEVEL — no lower()
+  // materialization of the group key, no double-evaluation of the fold
+  // in every predicate, and (on sources that support it) pushdown-safe
+  // because the column value is untouched. The query groups a
+  // deliberately case-mangled p_type column under UTF8_LCASE: case
+  // variants land in ONE group (n_case_variants counts the surviving
+  // binary-distinct spellings per group — 2 where the mangle bit,
+  // 1 where it didn't), and a collated startsWith drives a filtered
+  // count. Output keys are folded + re-collated to UTF8_BINARY so the
+  // parquet/oracle surface carries no collation metadata. Scale:
+  // ordinary partial+final hash aggregation on the collated key —
+  // collation changes the key's equality fn, not the plan shape.
+  def strCollation(spark: SparkSession, dir: String): DataFrame = {
+    val messy = when(pmod(col("p_partkey"), lit(2)) === 0,
+      lower(col("p_type"))).otherwise(col("p_type"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), messy.as("messy"))
+      .groupBy(collate(col("messy"), "UTF8_LCASE").as("kc"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        count_distinct(col("messy")).as("n_case_variants"),
+        count(when(collate(col("messy"), "UTF8_LCASE")
+          .startsWith(lit("PROMO")), 1)).as("n_promo"))
+      .select(
+        collate(lower(col("kc")), "UTF8_BINARY").as("p_type_folded"),
+        col("n_parts"), col("n_case_variants"), col("n_promo"))
+      .orderBy("p_type_folded")
+  }
 }

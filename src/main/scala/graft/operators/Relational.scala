@@ -534,4 +534,42 @@ object Relational {
         |WHERE c.c_custkey % 10 = 0
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
   }
+
+  // `join_null_aware` — NOT IN (subquery) under SQL three-valued logic,
+  // and the physical operator Spark plans for it. `x NOT IN (set)` is
+  // FALSE when x matches, UNKNOWN (→ row dropped) when the set contains
+  // any NULL and x doesn't match — so one NULL in the subquery silently
+  // empties the whole result, the classic NOT-IN trap every migration
+  // from EXISTS-based SQL hits. A naive engine evaluates this with a
+  // nested loop (the match predicate is non-equi once null-intolerance
+  // is folded in, O(N·M)); Spark's optimizeNullAwareAntiJoin rewrite
+  // keeps the O(N+M) hash shape: a BroadcastHashJoin LeftAnti with
+  // isNullAwareAntiJoin=true that short-circuits to empty output the
+  // moment the build side holds a null (PlanSpec pins the NAAJ plan —
+  // BuildRight + the null-aware flag — and that no nested loop
+  // appears). Both variants run over the same orders log: the clean
+  // subquery is null-free (rows survive); the poisoned one injects one
+  // NULL (c_custkey 100 folds to NULL at every SF) and must yield 0.
+  // Scale: the subquery side is a filtered dimension (broadcast-sized
+  // by construction — NAAJ exists only for broadcast builds); the
+  // orders side streams map-side with no shuffle.
+  def joinNullAware(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("naaj_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("naaj_customer")
+    spark.sql(
+      """SELECT 'clean' AS variant, count(*) AS n_orders
+        |FROM naaj_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM naaj_customer
+        |   WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'poisoned' AS variant, count(*) AS n_orders
+        |FROM naaj_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+        |               ELSE c_custkey END
+        |   FROM naaj_customer
+        |   WHERE c_mktsegment = 'BUILDING' OR c_custkey % 100 = 0)
+        |ORDER BY variant""".stripMargin)
+  }
 }

@@ -137,4 +137,41 @@ object SemiStructured {
           .as("nil_is_null"))
       .orderBy("event_id")
   }
+
+  // `url_funcs` — URL parsing (`parse_url` + `url_decode`), the
+  // field-extraction surface every web-crawl pipeline runs before
+  // anything else: per-domain grouping (dedup scopes, rate stats,
+  // robots policy) needs HOST; canonicalization needs PATH with the
+  // fragment dropped; tracking-parameter handling needs single-key
+  // QUERY extraction; percent-encoded params need url_decode. URLs are
+  // constructed deterministically from event columns (the jsonVariant
+  // pattern — the oracle recomputes every field from the same base
+  // columns rather than re-implementing a parser in SQL), then pulled
+  // apart with the real parser, including the registrable-domain slice
+  // off HOST. Scale: map-only projection, no shuffle before the
+  // contract sort; parse_url is codegen'd, one parse per field group.
+  def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val url = concat(
+      lit("https://"), col("event_type"), lit(".example.com/d/"),
+      pmod(col("event_id"), lit(50)).cast("string"), lit("/page?q="),
+      k.cast("string"), lit("&lang=en&t=a%20b%2Fc#s"),
+      pmod(col("event_id"), lit(7)).cast("string"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), url.as("url"))
+      .select(
+        col("event_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("q")).cast("long")
+          .as("q_param"),
+        url_decode(parse_url(col("url"), lit("QUERY"), lit("t")))
+          .as("t_decoded"),
+        parse_url(col("url"), lit("REF")).as("fragment"),
+        // registrable-domain slice: drop the subdomain label
+        element_at(split(parse_url(col("url"), lit("HOST")), "\\."), 2)
+          .as("domain"))
+      .orderBy("event_id")
+  }
 }

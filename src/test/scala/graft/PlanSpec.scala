@@ -651,6 +651,19 @@ class PlanSpec extends SparkSpec {
       l.contains("HashAggregate") && l.contains("partial_count")) >= 2, p)
   }
 
+  test("join_null_aware: NOT IN plans the null-aware anti join — " +
+      "BroadcastHashJoin LeftAnti with the NAAJ flag, no nested loop") {
+    val p = plan(operators.Relational.joinNullAware(spark, sf))
+    // the poisoned variant's NOT IN must become a null-aware broadcast
+    // hash anti join (the trailing `true` in the exec's argument list is
+    // isNullAwareAntiJoin), not a BroadcastNestedLoopJoin evaluating
+    // the null-tolerant disjunction per probe row
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

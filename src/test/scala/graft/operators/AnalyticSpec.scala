@@ -45,4 +45,42 @@ class AnalyticSpec extends SparkSpec {
         s"recount says $best")
     }
   }
+
+  test("str_collation: case variants merge under UTF8_LCASE — group " +
+      "count equals the distinct-lower count, variants counted binary") {
+    val rows = Analytic.strCollation(spark, sf).collect()
+    val nLower = Tables.part(spark, sf)
+      .select(countDistinct(lower(col("p_type")))).head.getLong(0)
+    assert(rows.length.toLong === nLower,
+      "one output group per case-folded type")
+    // every group key is already folded, and the mangle (lower() on
+    // even partkeys) must leave exactly 2 binary spellings in any group
+    // that contains both parities
+    for (r <- rows) {
+      assert(r.getString(0) === r.getString(0).toLowerCase)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 2)
+    }
+    // the collated startsWith("PROMO") hits ALL rows of the promo
+    // group regardless of spelling, and no rows elsewhere
+    val promo = rows.find(_.getString(0) == "promo").get
+    assert(promo.getLong(3) === promo.getLong(1))
+    assert(rows.filterNot(_.getString(0) == "promo")
+      .forall(_.getLong(3) === 0L))
+  }
+
+  test("url_funcs: parse_url round-trips the constructed URL — host " +
+      "splits, query key extracts, percent-encoding decodes") {
+    val rows = graft.operators.SemiStructured.urlFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(1) === "https")
+      assert(r.getString(2).endsWith(".example.com"))
+      assert(r.getString(3).startsWith("/d/") &&
+        r.getString(3).endsWith("/page"))
+      // the decode must undo %20 and %2F exactly
+      assert(r.getString(5) === "a b/c")
+      assert(r.getString(6).startsWith("s"))
+      assert(r.getString(7) === "example")
+    }
+  }
 }
