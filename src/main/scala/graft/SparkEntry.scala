@@ -172,6 +172,9 @@ object SparkEntry {
     "url_funcs"         -> (SemiStructured.urlFuncs _),
     "str_collation"     -> (Analytic.strCollation _),
     "join_null_aware"   -> (Relational.joinNullAware _),
+    "scan_text"         -> (graft.sources.FormatSources.scanText _),
+    "id_assign"         -> (TextAnalysis.idAssign _),
+    "write_partition_overwrite" -> (Layout.writePartitionOverwrite _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2196,6 +2199,33 @@ object SparkEntry {
         |   FROM customer
         |   WHERE c_mktsegment = 'BUILDING' OR c_custkey % 100 = 0)
         |ORDER BY variant""".stripMargin,
+
+    // the text round trip re-reads what it wrote; the oracle re-derives
+    // the escaped TSV payload from the documents table directly (DuckDB
+    // standard strings do no backslash processing — '\t' is 2 chars)
+    "scan_text" ->
+      """SELECT doc_id, lang,
+        |       replace(replace(text, chr(9), '\t'), chr(10), '\n')
+        |         AS text_esc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the two-level prefix sum must equal the flat global row_number
+    "id_assign" ->
+      """SELECT doc_id, lang,
+        |       row_number() OVER (ORDER BY lang, doc_id) AS global_id
+        |FROM documents
+        |ORDER BY global_id""".stripMargin,
+
+    // merged table after the click-partition revision: click rows carry
+    // the doubled value, every other partition the original
+    "write_partition_overwrite" ->
+      """SELECT event_id, event_type, user_id,
+        |       CASE WHEN event_type = 'click'
+        |            THEN round(round(value, 4) * 2, 4)
+        |            ELSE round(value, 4) END AS value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

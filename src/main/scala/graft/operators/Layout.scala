@@ -259,4 +259,43 @@ object Layout {
     spark.read.parquet(zorderPath(dir))
       .filter(col("l_suppkey") >= lit(sLo) && col("l_suppkey") < lit(sHi))
   }
+
+  // `write_partition_overwrite` — DYNAMIC partition overwrite (INSERT
+  // OVERWRITE ... PARTITION semantics): the incremental-rewrite
+  // primitive of every partitioned lakehouse table — the nightly job
+  // recomputes ONLY the partitions present in its incoming frame and
+  // replaces exactly those, leaving every other partition's files
+  // physically untouched. Static overwrite (the default) would drop
+  // the WHOLE table first — at 100 TB the difference between rewriting
+  // one day and rewriting three years. Here: the event log lands
+  // partitioned by event_type; a revision job doubles `value` for the
+  // `click` partition only and dynamic-overwrites it in place
+  // (`partitionOverwriteMode=dynamic` as a per-write option — no
+  // session-level conf mutation). SourcesSpec pins the file-level
+  // contract: untouched partitions keep byte-identical files, the
+  // overwritten one is replaced. The read-back result is the merged
+  // table the oracle recomputes from the base data.
+  private[graft] def dynpartBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        round(col("value"), 4).as("value"))
+
+  private[graft] def dynpartRevision(spark: SparkSession, dir: String): DataFrame =
+    dynpartBase(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("value", round(col("value") * 2, 4))
+
+  def writePartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.FormatSources.exportPath("dynpart", dir)
+    dynpartBase(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    dynpartRevision(spark, dir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+      .orderBy("event_id")
+  }
 }

@@ -816,4 +816,41 @@ object TextAnalysis {
         sha2(col("norm_text"), 256).as("norm_hash"),
         length(col("norm_text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
+
+  // `id_assign` — stable GLOBAL contiguous row numbering in a declared
+  // total order (lang, doc_id): the "assign every training example a
+  // stable integer id" step every corpus build runs before sharding.
+  // The naive formulation — row_number() over an un-partitioned window
+  // — funnels the entire corpus through ONE task (the classic global-
+  // sort bottleneck); monotonically_increasing_id is distributed but
+  // neither contiguous nor order-stable. The scalable shape is the
+  // packBins two-level prefix sum: per-(lang, shard) LOCAL row numbers
+  // (shard = doc_id DIV 1000 — monotone in the order key, so shard
+  // order IS global order), plus an exclusive running offset over the
+  // per-shard counts. Only the offsets frame (rows / shard_size
+  // entries) rides the single-partition window — at corpus sizes where
+  // even THAT frame is large, the same reduction applies recursively;
+  // the corpus itself is touched by one (lang, shard)-keyed exchange.
+  // global_id is 1-based, matching the oracle's row_number.
+  def idAssign(spark: SparkSession, dir: String): DataFrame = {
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("o_lang", "o_shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sharded = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("shard", expr("doc_id DIV 1000"))
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+    val offsets = sharded.groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"), col("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+    // null-safe lang match, same rationale as packBins
+    sharded.join(offsets,
+        col("lang") <=> col("o_lang") && col("shard") === col("o_shard"))
+      .select(col("doc_id"), col("lang"),
+        (col("off") + col("local_rn")).as("global_id"))
+      .orderBy("global_id")
+  }
 }

@@ -284,4 +284,34 @@ object FormatSources {
       .select("p_partkey", "p_name", "p_retailprice")
       .orderBy("p_partkey")
   }
+
+  // `scan_text` — line-oriented plain-text export/scan (spark.read.text),
+  // the rawest ingest surface: web-crawl WET dumps, log shipping, and
+  // every one-record-per-line corpus land as text before any schema
+  // exists. The contract is the full round trip: records serialize to
+  // TSV lines (tabs/newlines in the payload escaped FIRST — the escape
+  // is what makes "one record = one line" true), write as a text file,
+  // re-read as bare `value` lines, and re-parse with a bounded split
+  // (limit 3, so any stray tab that survived escaping stays in the
+  // payload field rather than shifting columns). Splittable by line at
+  // any scale; schema applies at parse time, not read time — exactly
+  // why 100 TB pipelines treat text as ingest-only and rewrite to
+  // parquet after the first pass. The oracle re-derives the escaped
+  // payload from the documents table directly.
+  def scanText(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("text", dir)
+    val escaped = regexp_replace(
+      regexp_replace(col("text"), "\t", "\\\\t"), "\n", "\\\\n")
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t",
+        col("doc_id").cast("string"), col("lang"), escaped).as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("text_esc"))
+      .orderBy("doc_id")
+  }
 }

@@ -115,5 +115,33 @@ class SourcesSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(root.resolve("_SUCCESS")))
   }
 
+  test("write_partition_overwrite: dynamic mode replaces ONLY the incoming " +
+      "partition — untouched partitions keep byte-identical files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def listing(p: java.nio.file.Path): Map[String, (Long, Long)] =
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (Files.size(f), Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    // first run writes the full table then dynamic-overwrites `click`
+    operators.Layout.writePartitionOverwrite(spark, sf).count()
+    val root = Paths.get(sources.FormatSources.exportPath("dynpart", sf))
+    val viewBefore = listing(root.resolve("event_type=view"))
+    val clickBefore = listing(root.resolve("event_type=click"))
+    assert(viewBefore.nonEmpty && clickBefore.nonEmpty)
+    // replay ONLY the revision half: the view partition's files must
+    // survive untouched, the click partition's must be replaced
+    val revised = operators.Layout.dynpartRevision(spark, sf)
+    revised.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(root.toString)
+    assert(listing(root.resolve("event_type=view")) === viewBefore,
+      "dynamic overwrite touched a partition absent from the frame")
+    assert(listing(root.resolve("event_type=click")) !== clickBefore,
+      "the incoming partition was not rewritten")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
