@@ -175,6 +175,9 @@ object SparkEntry {
     "scan_text"         -> (graft.sources.FormatSources.scanText _),
     "id_assign"         -> (TextAnalysis.idAssign _),
     "write_partition_overwrite" -> (Layout.writePartitionOverwrite _),
+    "agg_approx_percentile" -> (Analytic.aggApproxPercentile _),
+    "str_edit_distance" -> (TextAnalysis.strEditDistance _),
+    "anomaly_mad"       -> (EventAnalytics.anomalyMad _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2226,6 +2229,58 @@ object SparkEntry {
         |            ELSE round(value, 4) END AS value
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // exact in the uncompressed-sketch regime (group N < accuracy 1e5
+    // at every driver SF): GK returns the exact discrete order
+    // statistic, which quantile_disc replays — the agg_approx_topk
+    // provable-exactness argument applied to quantiles
+    "agg_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_disc(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_disc(o_totalprice, 0.5),  4) AS p50,
+        |       round(quantile_disc(o_totalprice, 0.9),  4) AS p90
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB's levenshtein is byte-identical to Spark's (probed incl.
+    // the empty-string edge); same blocking, orientation and cutoff
+    "str_edit_distance" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name,
+        |         split_part(p_name, ' ', 2) AS block
+        |  FROM part
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // medians replay via exact quantile_cont (= Spark percentile);
+    // the outlier comparison is unrounded with left-associated
+    // identical constants — bit-equal IEEE arithmetic in both engines
+    "anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type, any_value(m.med) AS med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type
+        |)
+        |SELECT e.event_type,
+        |       round(any_value(m.med), 4) AS med,
+        |       round(any_value(m.mad), 4) AS mad,
+        |       count(*) AS n,
+        |       count(*) FILTER (
+        |         WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad)
+        |         AS n_outliers
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

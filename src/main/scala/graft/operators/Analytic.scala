@@ -641,4 +641,30 @@ object Analytic {
         col("n_parts"), col("n_case_variants"), col("n_promo"))
       .orderBy("p_type_folded")
   }
+
+  // `agg_approx_percentile` — the GK (Greenwald–Khanna) quantile sketch
+  // as a first-class key, completing the mergeable-sketch family
+  // (HLL distinct / count-min top-k / GK percentile): a fixed-size
+  // per-partition summary with rank error ≤ N/accuracy, combined
+  // map-side — the ONLY way to get percentiles at 100 TB without
+  // sorting the corpus (exact `percentile` holds all values per
+  // group; GK holds O(accuracy·log N) summary tuples). ORACLE-ABLE by
+  // the agg_approx_topk argument: while a group's row count stays
+  // under `accuracy` (1e5 — true at every driver SF), the summary
+  // never compresses, so the sketch provably returns the EXACT
+  // discrete order statistic and DuckDB's quantile_disc replays it;
+  // beyond that the same query degrades gracefully to the bounded-
+  // error estimate (the sketch's entire point — AnalyticSpec pins the
+  // rank-error bound in the genuinely-approximate regime).
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 100000)")
+        .as("pcts"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("pcts"), 1), 4).as("p25"),
+        round(element_at(col("pcts"), 2), 4).as("p50"),
+        round(element_at(col("pcts"), 3), 4).as("p90"))
+      .orderBy("o_orderpriority")
 }

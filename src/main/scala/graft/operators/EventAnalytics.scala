@@ -389,4 +389,39 @@ object EventAnalytics {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
       .orderBy("user_id", "session_id")
   }
+
+  // `anomaly_mad` — MAD (median absolute deviation) robust outlier
+  // detection, the resistant sibling of anomaly_zscore: mean/stddev are
+  // themselves dragged by the outliers they're meant to flag (one
+  // 1000× spike inflates σ until nothing else trips 2.5σ); the
+  // median-of-|v − median| scale estimate has a 50% breakdown point,
+  // which is why robust quality gates (model-score filtering, sensor
+  // validation) standardize on it. Two grouped EXACT percentile passes
+  // (group domain = event_type, dimension-bounded, so exact is
+  // affordable; at unbounded group counts the GK sketch from
+  // agg_approx_percentile substitutes) with the tiny medians frame
+  // broadcast back for the deviation pass. The outlier threshold
+  // 3·1.4826·MAD (1.4826 = 1/Φ⁻¹(¾), the consistency constant that
+  // makes MAD estimate σ under normality) is compared UNROUNDED with
+  // left-associated identical arithmetic in both engines — bit-equal
+  // IEEE doubles, no rounding boundary to straddle.
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_out",
+        abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+      .groupBy("event_type")
+      .agg(round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("is_out"), 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
 }

@@ -68,6 +68,25 @@ class AnalyticSpec extends SparkSpec {
       .forall(_.getLong(3) === 0L))
   }
 
+  test("agg_approx_percentile: in the compressed regime the GK sketch " +
+      "honors its rank-error bound") {
+    import spark.implicits._
+    // 50k distinct values with accuracy=100 forces real compression
+    // (unlike the key's exact regime); for range data the true rank of
+    // a value IS the value, so the bound checks directly:
+    // |rank(est) - q*N| <= N/accuracy (+1 for the discrete pick)
+    val n = 50000L
+    val acc = 100
+    val est = spark.range(n).toDF("v")
+      .agg(expr(s"approx_percentile(v, array(0.1, 0.5, 0.99), $acc)"))
+      .head.getSeq[Long](0)
+    for ((q, e) <- Seq(0.1, 0.5, 0.99).zip(est)) {
+      val err = math.abs(e - q * n)
+      assert(err <= n / acc + 1,
+        s"q=$q est=$e err=$err exceeds rank bound ${n / acc}")
+    }
+  }
+
   test("url_funcs: parse_url round-trips the constructed URL — host " +
       "splits, query key extracts, percent-encoding decodes") {
     val rows = graft.operators.SemiStructured.urlFuncs(spark, sf).collect()
