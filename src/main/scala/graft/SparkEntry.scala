@@ -178,6 +178,9 @@ object SparkEntry {
     "agg_approx_percentile" -> (Analytic.aggApproxPercentile _),
     "str_edit_distance" -> (TextAnalysis.strEditDistance _),
     "anomaly_mad"       -> (EventAnalytics.anomalyMad _),
+    "win_islands"       -> (EventAnalytics.winIslands _),
+    "table_diff"        -> (EventAnalytics.tableDiff _),
+    "agg_incremental_merge" -> (EventAnalytics.aggIncrementalMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2281,6 +2284,67 @@ object SparkEntry {
         |FROM events e JOIN mad m USING (event_type)
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+
+    // the rn-difference island label is internal in both engines; the
+    // output keys on first_event
+    "win_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |         - row_number() OVER
+        |           (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |           AS island
+        |  FROM events WHERE user_id % 20 = 0
+        |)
+        |SELECT user_id, event_type,
+        |       min(event_id) AS first_event,
+        |       max(event_id) AS last_event,
+        |       count(*) AS run_len
+        |FROM e
+        |GROUP BY user_id, event_type, island
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, first_event""".stripMargin,
+
+    // v2 derives deterministically from the same base table; typed
+    // column comparison, no row-hash formatting
+    "table_diff" ->
+      """WITH v1 AS (
+        |  SELECT event_id, event_type, round(value, 4) AS value
+        |  FROM events
+        |), v2 AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN round(value * 2, 4)
+        |              ELSE value END AS value
+        |  FROM v1 WHERE event_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, event_type, value
+        |  FROM v1 WHERE event_id % 101 = 0
+        |)
+        |SELECT CASE WHEN v1.event_id IS NULL THEN 'added'
+        |            WHEN v2.event_id IS NULL THEN 'removed'
+        |            WHEN v1.event_type <> v2.event_type
+        |                 OR v1.value <> v2.value THEN 'changed'
+        |            ELSE 'same' END AS status,
+        |       count(*) AS n,
+        |       min(coalesce(v1.event_id, v2.event_id)) AS min_key,
+        |       max(coalesce(v1.event_id, v2.event_id)) AS max_key
+        |FROM v1 FULL OUTER JOIN v2 USING (event_id)
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
+    // the oracle recomputes the refreshed aggregate FLAT from raw
+    // events — merged partial states must equal the full recompute
+    // (integer milli-units make the equality exact)
+    "agg_incremental_merge" ->
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_milli,
+        |       round(sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0
+        |             / count(*), 4) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

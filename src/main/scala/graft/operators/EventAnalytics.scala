@@ -424,4 +424,111 @@ object EventAnalytics {
         count(when(col("is_out"), 1)).as("n_outliers"))
       .orderBy("event_type")
   }
+
+  // `win_islands` — gaps-and-islands: group CONSECUTIVE same-valued
+  // runs (streaks) in an ordered log, the classic rn-difference trick:
+  // within a user's timeline, (global row_number − per-type row_number)
+  // is constant exactly along a run of one event_type and jumps when
+  // the run breaks — turning "consecutive" (which SQL can't group by
+  // directly) into an ordinary GROUP BY label. Distinct from
+  // sessionize_batch: sessions break on time GAPS, islands break on
+  // VALUE CHANGE. Two window passes (one user-keyed sort shared by
+  // intent, one (user,type)-keyed) + one grouped agg; the island label
+  // is internal — output keys on first_event so the contract never
+  // depends on label arithmetic. The %20 slice keeps output
+  // scale-invariant; (ts, event_id) is the total tie-break order.
+  def winIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("island",
+        row_number().over(w) - row_number().over(wt))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("run_len"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .filter(col("run_len") >= 2)
+      .select(col("user_id"), col("event_type"), col("first_event"),
+        col("last_event"), col("run_len"))
+      .orderBy("user_id", "first_event")
+  }
+
+  // `table_diff` — dataset reconciliation (data-diff): classify every
+  // key of two table versions as added / removed / changed / same — the
+  // audit primitive behind pipeline regression tests, migration
+  // sign-off and CDC validation. ONE full-outer hash join on the key
+  // (each side shuffles once); per-class counts + key envelopes
+  // aggregate the classification, so the driver sees a summary row per
+  // class, never the diff body. v2 derives deterministically from the
+  // event log (drop %97 keys, double click values, add shifted %101
+  // keys) so both engines construct identical versions; the change
+  // predicate compares the typed columns directly — no row-hash
+  // formatting to keep cross-engine stable.
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+    val v2 = v1.filter(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_type") === "click", round(col("value") * 2, 4))
+          .otherwise(col("value")))
+      .unionByName(
+        v1.filter(col("event_id") % 101 === 0)
+          .select((col("event_id") + 1000000).as("event_id"),
+            col("event_type"), col("value")))
+    val a = v1.select(col("event_id"), col("event_type").as("t1"),
+      col("value").as("x1"))
+    val b = v2.select(col("event_id"), col("event_type").as("t2"),
+      col("value").as("x2"))
+    a.join(b, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2") || col("x1") =!= col("x2"), "changed")
+          .otherwise("same"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_key"),
+        max(col("event_id")).as("max_key"))
+      .orderBy("status")
+  }
+
+  // `agg_incremental_merge` — incremental aggregate maintenance (the
+  // materialized-view refresh shape): yesterday's MATERIALIZED partial
+  // states + today's raw delta = the refreshed aggregate, WITHOUT
+  // re-scanning the historical corpus — at 100 TB the difference
+  // between touching one day and touching three years, and the reason
+  // aggregate state must be kept DECOMPOSED (avg is NOT mergeable;
+  // (sum, n) is — the same partial-aggregation algebra Spark runs
+  // map-side, applied across time). States are per-(day, type) rows in
+  // integer MILLI-units (value is milli-exact in the fixture; integer
+  // sums are order-independent, so merged-vs-recomputed equality is
+  // exact, no summation-order ulp drift); the merge is a union of two
+  // partial frames + one dimension-bounded re-agg. The oracle
+  // recomputes the refreshed aggregate flat from raw events.
+  def aggIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16").cast("date")
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 1000).cast("long").as("v_milli"))
+    // the standing state: one partial row per (day, type), built once
+    // from history (here: days before the cutoff)
+    val state = ev.filter(col("day") < cutoff)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v_milli")).as("s_milli"))
+    // the delta partials from the new day(s)' raw rows
+    val delta = ev.filter(col("day") >= cutoff)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v_milli")).as("s_milli"))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("s_milli")).as("sum_milli"))
+      .select(col("event_type"), col("n"), col("sum_milli"),
+        round(col("sum_milli") / lit(1000.0) / col("n"), 4).as("avg_value"))
+      .orderBy("event_type")
+  }
 }

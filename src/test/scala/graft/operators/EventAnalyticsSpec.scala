@@ -226,4 +226,43 @@ class EventAnalyticsSpec extends SparkSpec {
       }.toMap
     assert(approx === exact)
   }
+
+  test("table_diff: each class recounts from the v2 construction rules") {
+    val diff = EventAnalytics.tableDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val removed = ev.filter(col("event_id") % 97 === 0).count()
+    val added = ev.filter(col("event_id") % 101 === 0).count()
+    val changed = ev.filter(col("event_id") % 97 =!= 0 &&
+      col("event_type") === "click").count()
+    assert(diff("removed") === removed)
+    assert(diff("added") === added)
+    assert(diff("changed") === changed)
+    assert(diff("same") === total - removed - changed)
+    assert(diff.values.sum === total + added)
+  }
+
+  test("win_islands: runs are maximal consecutive same-type stretches " +
+      "(recount via the lag-based change-flag formulation)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    // independent formulation: a run starts where the type differs from
+    // the previous event; run id = running count of starts
+    val runs = Tables.events(spark, sf)
+      .filter(col("user_id") % 20 === 0)
+      .withColumn("start",
+        when(lag(col("event_type"), 1).over(w) =!= col("event_type") ||
+          lag(col("event_type"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("run_id", sum(col("start")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id")
+      .agg(min(col("event_id")).as("first_event"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val islands = EventAnalytics.winIslands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(islands === runs)
+  }
 }
