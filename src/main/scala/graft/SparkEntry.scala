@@ -181,6 +181,9 @@ object SparkEntry {
     "win_islands"       -> (EventAnalytics.winIslands _),
     "table_diff"        -> (EventAnalytics.tableDiff _),
     "agg_incremental_merge" -> (EventAnalytics.aggIncrementalMerge _),
+    "ansi_try_funcs"    -> (Analytic.ansiTryFuncs _),
+    "sql_params"        -> (Relational.sqlParams _),
+    "table_transpose"   -> (Analytic.tableTranspose _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2345,6 +2348,71 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // each try_* NULL replayed with an explicit CASE guard — DuckDB's
+    // non-ANSI semantics made explicit
+    "ansi_try_funcs" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |            ELSE round(o_totalprice / (o_custkey % 7), 4) END
+        |         AS per_bucket,
+        |       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+        |            ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+        |         AS parsed,
+        |       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |            ELSE CAST(o_orderdate AS DATE) END AS parsed_date,
+        |       CASE WHEN o_custkey % 2 = 1 THEN NULL
+        |            ELSE 9223372036854775807 END AS near_max
+        |FROM orders
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle inlines the bound values as literals — a green hash
+    // proves parameter binding is semantically invisible
+    "sql_params" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(o_totalprice * 1.07, 4) AS taxed,
+        |       'hi' AS bucket
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_totalprice > 150000.0
+        |  AND o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the transposed summary replayed as conditional aggregation — one
+    // UNION ALL branch per metric row, one CASE column per priority
+    "table_transpose" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS p,
+        |         CAST(count(*) AS DOUBLE) AS n_orders,
+        |         round(sum(o_totalprice), 4) AS total_price,
+        |         round(avg(o_totalprice), 4) AS avg_price
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT 'avg_price' AS metric,
+        |       max(CASE WHEN p = '1-URGENT' THEN avg_price END) AS "1-URGENT",
+        |       max(CASE WHEN p = '2-HIGH' THEN avg_price END) AS "2-HIGH",
+        |       max(CASE WHEN p = '3-MEDIUM' THEN avg_price END) AS "3-MEDIUM",
+        |       max(CASE WHEN p = '4-NOT SPECIFIED' THEN avg_price END) AS "4-NOT SPECIFIED",
+        |       max(CASE WHEN p = '5-LOW' THEN avg_price END) AS "5-LOW"
+        |FROM m
+        |UNION ALL
+        |SELECT 'n_orders',
+        |       max(CASE WHEN p = '1-URGENT' THEN n_orders END),
+        |       max(CASE WHEN p = '2-HIGH' THEN n_orders END),
+        |       max(CASE WHEN p = '3-MEDIUM' THEN n_orders END),
+        |       max(CASE WHEN p = '4-NOT SPECIFIED' THEN n_orders END),
+        |       max(CASE WHEN p = '5-LOW' THEN n_orders END)
+        |FROM m
+        |UNION ALL
+        |SELECT 'total_price',
+        |       max(CASE WHEN p = '1-URGENT' THEN total_price END),
+        |       max(CASE WHEN p = '2-HIGH' THEN total_price END),
+        |       max(CASE WHEN p = '3-MEDIUM' THEN total_price END),
+        |       max(CASE WHEN p = '4-NOT SPECIFIED' THEN total_price END),
+        |       max(CASE WHEN p = '5-LOW' THEN total_price END)
+        |FROM m
+        |ORDER BY metric""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

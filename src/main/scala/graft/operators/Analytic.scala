@@ -656,6 +656,33 @@ object Analytic {
   // beyond that the same query degrades gracefully to the bounded-
   // error estimate (the sketch's entire point — AnalyticSpec pins the
   // rank-error bound in the genuinely-approximate regime).
+  // `ansi_try_funcs` — the try_* error-safe function family under
+  // ANSI mode (ON by default since Spark 4 — every graft session runs
+  // ANSI): plain `/`, `CAST`, `+` now THROW on division-by-zero /
+  // malformed input / overflow instead of silently returning
+  // NULL-or-wrong — correct for accounting, fatal for a 100 TB
+  // best-effort ingest where one malformed row of ten billion must
+  // not kill the job. try_divide / try_cast / try_to_date / try_add
+  // are the per-expression opt-outs: NULL on the failing ROW, errors
+  // everywhere else still surface (AnalyticSpec pins both halves —
+  // the non-try division really throws, the try_ forms really
+  // null). All map-side codegen; the oracle replays each NULL with
+  // explicit CASE guards (DuckDB's non-ANSI semantics made explicit).
+  def ansiTryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(
+        col("o_orderkey"),
+        round(expr("try_divide(o_totalprice, o_custkey % 7)"), 4)
+          .as("per_bucket"),
+        expr("try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'x' " +
+          "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)").as("parsed"),
+        expr("try_to_date(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date' " +
+          "ELSE date_format(o_orderdate, 'yyyy-MM-dd') END, 'yyyy-MM-dd')")
+          .as("parsed_date"),
+        expr("try_add(9223372036854775807, o_custkey % 2)").as("near_max"))
+      .orderBy("o_orderkey")
+
   def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
@@ -667,4 +694,29 @@ object Analytic {
         round(element_at(col("pcts"), 2), 4).as("p50"),
         round(element_at(col("pcts"), 3), 4).as("p90"))
       .orderBy("o_orderpriority")
+
+  // `table_transpose` — Dataset.transpose (Spark 4.0 API): rows ⇄
+  // columns over an AGGREGATED summary frame — the report-shaping last
+  // mile (metrics-as-rows × groups-as-columns, the layout every
+  // metrics dashboard and model-eval table wants). The contract is
+  // deliberately summary-scale: transpose must enumerate the index
+  // column's values to MINT THE OUTPUT SCHEMA (schema is fixed before
+  // execution — necessarily a driver-side enumeration, which is why no
+  // engine transposes a fact table; Spark caps it at 1000 index
+  // values). The 100 TB shape is therefore aggregate-first (5
+  // dimension-bounded rows here), transpose the summary — the heavy
+  // pass is the ordinary grouped agg, the pivot costs nothing. All
+  // value columns cast to a common double type (transpose requires a
+  // least-common type across the melted columns).
+  def tableTranspose(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy("o_orderpriority")
+      .transpose()
+      .withColumnRenamed("key", "metric")
+      .orderBy("metric")
 }

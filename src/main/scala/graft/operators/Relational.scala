@@ -535,6 +535,32 @@ object Relational {
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
   }
 
+  // `sql_params` — parameterized SQL with NAMED parameter markers
+  // (spark.sql(text, args) — the injection-safe templating surface,
+  // Spark 3.4+): `:name` markers bind TYPED literal values at parse
+  // time, so user input never concatenates into SQL text (the
+  // template-injection class disappears) and the PLAN is identical to
+  // the literal query — parameters fold as literals, filters still
+  // push to the scan, partition pruning still sees constants. The
+  // oracle inlines the same values as literals: a green hash proves
+  // binding is semantically invisible. Three parameter types bound in
+  // one query (string, double, int) across filter + projection
+  // positions.
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("prm_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(o_totalprice * :taxRate, 4) AS taxed,
+        |       :label AS bucket
+        |FROM prm_orders
+        |WHERE o_orderpriority = :prio
+        |  AND o_totalprice > :floorPrice
+        |  AND o_orderkey % :stride = 0
+        |ORDER BY o_orderkey""".stripMargin,
+      Map("prio" -> "1-URGENT", "floorPrice" -> 150000.0,
+        "stride" -> 10, "taxRate" -> 1.07, "label" -> "hi"))
+  }
+
   // `join_null_aware` — NOT IN (subquery) under SQL three-valued logic,
   // and the physical operator Spark plans for it. `x NOT IN (set)` is
   // FALSE when x matches, UNKNOWN (→ row dropped) when the set contains

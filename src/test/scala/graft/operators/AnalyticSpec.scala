@@ -87,6 +87,26 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("ansi_try_funcs: ANSI mode is ON — plain division by zero " +
+      "throws, the try_ form nulls exactly the failing rows") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    // the non-try form must FAIL the job (ANSI contract)
+    val thrown = intercept[Exception] {
+      spark.sql("SELECT 1 / 0").collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("divide"),
+      s"expected a divide-by-zero ANSI error, got: ${thrown.getMessage}")
+    // the try_ form nulls ONLY rows whose bucket divisor is 0
+    val rows = Analytic.ansiTryFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val expected = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(20)) === 0 &&
+        col("o_custkey") % 7 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls === expected)
+  }
+
   test("url_funcs: parse_url round-trips the constructed URL — host " +
       "splits, query key extracts, percent-encoding decodes") {
     val rows = graft.operators.SemiStructured.urlFuncs(spark, sf).collect()
