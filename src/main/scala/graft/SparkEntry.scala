@@ -184,6 +184,9 @@ object SparkEntry {
     "ansi_try_funcs"    -> (Analytic.ansiTryFuncs _),
     "sql_params"        -> (Relational.sqlParams _),
     "table_transpose"   -> (Analytic.tableTranspose _),
+    "ts_timezone"       -> (Analytic.tsTimezone _),
+    "agg_boolean"       -> (Analytic.aggBoolean _),
+    "write_rebalance"   -> (Layout.writeRebalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2413,6 +2416,43 @@ object SparkEntry {
         |       max(CASE WHEN p = '5-LOW' THEN total_price END)
         |FROM m
         |ORDER BY metric""".stripMargin,
+
+    // DuckDB's two-step AT TIME ZONE idiom over the same stored UTC
+    // micros; January fixture instants sit on fixed -5/+9 offsets
+    "ts_timezone" ->
+      """SELECT event_id,
+        |       CAST(ts AT TIME ZONE 'UTC'
+        |              AT TIME ZONE 'America/New_York' AS TIMESTAMP)
+        |         AS ny_local,
+        |       CAST(ts AT TIME ZONE 'UTC'
+        |              AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP)
+        |         AS tokyo_local,
+        |       CAST(hour(ts AT TIME ZONE 'UTC'
+        |              AT TIME ZONE 'America/New_York') AS BIGINT)
+        |         AS ny_hour,
+        |       CAST(ts AT TIME ZONE 'UTC'
+        |              AT TIME ZONE 'Asia/Tokyo' AS DATE) AS tokyo_date
+        |FROM events
+        |WHERE user_id % 50 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_boolean" ->
+      """SELECT c_mktsegment,
+        |       bool_and(c_acctbal > -500) AS all_above_floor,
+        |       bool_or(c_acctbal > 9000) AS any_premium,
+        |       count_if(c_acctbal < 0) AS n_negative,
+        |       upper(c_mktsegment) AS seg_upper,
+        |       count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // rebalancing is physical only — read-back equals the projection
+    "write_rebalance" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_returnflag, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

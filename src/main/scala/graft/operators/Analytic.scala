@@ -695,6 +695,56 @@ object Analytic {
         round(element_at(col("pcts"), 3), 4).as("p90"))
       .orderBy("o_orderpriority")
 
+  // `ts_timezone` — timezone-aware timestamp conversion
+  // (convert_timezone): the event log lands in UTC (the only sane
+  // 100 TB storage convention — one linear, comparable, DST-free
+  // timeline on disk) and every LOCAL question (peak-hour dashboards,
+  // "same local day" sessionization, regional SLA windows) converts at
+  // READ time per analysis, never at write time: a log stored in local
+  // wall time can't be re-localized after the fact (DST folds two UTC
+  // instants onto one wall time). Map-side codegen conversion to two
+  // zones + local-grain derivations (hour / date) off each; the
+  // session pins UTC (graft convention), so the stored micros ARE the
+  // UTC timeline. The oracle replays with DuckDB's two-step
+  // AT TIME ZONE idiom over the same stored micros (ICU zone rules in
+  // both engines; fixture instants avoid no DST edge — January has
+  // fixed offsets -5/+9, making zone-rule drift impossible).
+  def tsTimezone(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 50 === 0)
+      .select(
+        col("event_id"),
+        convert_timezone(lit("UTC"), lit("America/New_York"), col("ts"))
+          .as("ny_local"),
+        convert_timezone(lit("UTC"), lit("Asia/Tokyo"), col("ts"))
+          .as("tokyo_local"))
+      .select(col("event_id"), col("ny_local"), col("tokyo_local"),
+        hour(col("ny_local")).cast("long").as("ny_hour"),
+        to_date(col("tokyo_local")).as("tokyo_date"))
+      .orderBy("event_id")
+
+  // `agg_boolean` — boolean aggregate family (every / any / count_if /
+  // any_value): predicate rollups ("did ALL rows pass", "did ANY row
+  // trip", "how many tripped") as single-pass grouped aggregates — the
+  // data-quality assertion shape that otherwise gets written as three
+  // self-joined subqueries; every/any fold commutatively (one boolean
+  // per partial state, the cheapest aggregate after bit_*), count_if
+  // is the conditional counter, and any_value is used THE one way it's
+  // deterministic — over a per-group-CONSTANT expression (picking the
+  // constant without a spurious min() sort-semantic; the general
+  // any_value is engine-arbitrary and excluded from the contract).
+  def aggBoolean(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("every(c_acctbal > -500)").as("all_above_floor"),
+        expr("any(c_acctbal > 9000)").as("any_premium"),
+        expr("count_if(c_acctbal < 0)").as("n_negative"),
+        // per-group-constant expression: the deterministic any_value use
+        expr("any_value(upper(c_mktsegment))").as("seg_upper"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
   // `table_transpose` — Dataset.transpose (Spark 4.0 API): rows ⇄
   // columns over an AGGREGATED summary frame — the report-shaping last
   // mile (metrics-as-rows × groups-as-columns, the layout every

@@ -285,6 +285,64 @@ object Layout {
       .filter(col("event_type") === "click")
       .withColumn("value", round(col("value") * 2, 4))
 
+  // `write_rebalance` — AQE REBALANCE before write: the adaptive
+  // small-files/skewed-files killer. A frame partitioned by a skewed
+  // key (3 return-flag partitions here, one per flag value) writes
+  // lopsided files — at 100 TB that's a handful of multi-GB files next
+  // to thousands of KB ones, and both directions hurt (giant files
+  // serialize the next scan's split planning; tiny ones drown the
+  // namenode and per-file open cost). `.hint("rebalance")` plans an
+  // AQE-managed exchange (REBALANCE_PARTITIONS_BY_NONE) that splits
+  // oversized partitions AND coalesces undersized ones to the advisory
+  // target at RUNTIME, from observed map-output sizes — the
+  // statistics-free answer compact_files approximates statically with
+  // a literal coalesce(4). PlanSpec pins the plan AND that the hint
+  // SUPERSEDES the upstream skewed repartition (Catalyst collapses
+  // adjacent exchanges: one shuffle remains, the hand-set
+  // hashpartitioning is gone — rebalance-before-write makes manual
+  // write partitioning redundant, which is the operational point).
+  // The advisory size is scaled to the data around the write so the
+  // rebalancing is observable at bench scale (SourcesSpec asserts
+  // ≥ 3 output files within a 4× size band); production leaves the
+  // 64 MB default. Read-back proves no rows moved semantically —
+  // partitioning is physical only.
+  private[graft] def rebalFrame(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .select(cols.map(col): _*)
+      .repartition(col("l_returnflag"))
+      .hint("rebalance")
+  }
+
+  def writeRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.FormatSources.exportPath("rebal", dir)
+    // data-proportional advisory (~8 output files at any SF, the
+    // layout_sorted rows-per-file rule): a literal here would mean one
+    // file at small SFs and hundreds at large ones — the same fixed-k
+    // cliff the r9 decade rehearsal measured for literal partition
+    // counts. ~10 compressed shuffle bytes/row measured for the 6-col
+    // slice (the size AQE actually plans on). minPartitionSize must
+    // drop WITH the advisory: the rebalance coalescer refuses to emit
+    // partitions under it (1 MB default), which silently re-merges
+    // everything the splitter produced at bench scale (measured: one
+    // 64 KB file with the default, 4 near-even files with it scaled).
+    val rows = Tables.lineitem(spark, dir).count()
+    val advisory = math.max(8192L, rows * 10L / 8)
+    val keys = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> advisory / 2)
+    val prev = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach { case (k, v) => spark.conf.set(k, v.toString) }
+    try rebalFrame(spark, dir).write.mode("overwrite").parquet(path)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    spark.read.parquet(path)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  }
+
   def writePartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.FormatSources.exportPath("dynpart", dir)
     dynpartBase(spark, dir)

@@ -664,6 +664,24 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("write_rebalance: the hint plans an AQE-managed REBALANCE " +
+      "exchange over the skewed partitioning") {
+    // deliberately NOT under withoutAQE: REBALANCE is an AQE feature —
+    // the initial adaptive plan prints the rebalance exchange
+    val p = operators.Layout.rebalFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("REBALANCE_PARTITIONS_BY_NONE"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // ... and it SUPERSEDES the upstream skewed repartition entirely:
+    // Catalyst collapses adjacent exchanges, so exactly ONE exchange
+    // remains and the hand-set hashpartitioning(l_returnflag) is gone
+    // — the frame pays one shuffle, not two
+    assert(!p.contains("hashpartitioning(l_returnflag"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "Exchange") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

@@ -143,5 +143,22 @@ class SourcesSpec extends SparkSpec {
       "the incoming partition was not rewritten")
   }
 
+  test("write_rebalance: output files land near the advisory size — " +
+      "at least 3 files, sizes within a 4x band") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    operators.Layout.writeRebalance(spark, sf).count()
+    val root = Paths.get(sources.FormatSources.exportPath("rebal", sf))
+    val sizes = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size(_)).toSeq
+    assert(sizes.size >= 3,
+      s"expected the data-proportional advisory to split into >=3 files, " +
+        s"got $sizes")
+    val median = sizes.sorted.apply(sizes.size / 2)
+    assert(sizes.max <= 4 * median,
+      s"rebalanced files should be near-even, got $sizes")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
