@@ -187,6 +187,8 @@ object SparkEntry {
     "ts_timezone"       -> (Analytic.tsTimezone _),
     "agg_boolean"       -> (Analytic.aggBoolean _),
     "write_rebalance"   -> (Layout.writeRebalance _),
+    "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
+    "variant_explode"   -> (SemiStructured.variantExplode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2453,6 +2455,41 @@ object SparkEntry {
         |       l_returnflag, l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
+    // identical recursion in DuckDB (// is Spark's DIV); sums cast
+    // back from DuckDB's HUGEINT
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc(node, cur, d) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT)
+        |  FROM part WHERE p_partkey % 97 = 0
+        |  UNION ALL
+        |  SELECT node, cur // 2, d + 1 FROM anc WHERE cur > 0
+        |)
+        |SELECT node, CAST(max(d) AS BIGINT) AS depth,
+        |       CAST(sum(cur) AS BIGINT) AS path_sum
+        |FROM anc
+        |GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    // three rows per event reconstructed from the same base columns;
+    // the typed access nulls on the string element in both engines
+    "variant_explode" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         event_type
+        |  FROM events
+        |)
+        |SELECT event_id, pos, item_json, item_num FROM (
+        |  SELECT event_id, 0 AS pos,
+        |         CAST(k AS VARCHAR) AS item_json, k AS item_num
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_id, 1, CAST(k * 2 AS VARCHAR), k * 2 FROM base
+        |  UNION ALL
+        |  SELECT event_id, 2, '"' || event_type || '"', NULL FROM base
+        |)
+        |ORDER BY event_id, pos""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

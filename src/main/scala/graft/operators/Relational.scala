@@ -561,6 +561,36 @@ object Relational {
         "stride" -> 10, "taxRate" -> 1.07, "label" -> "hi"))
   }
 
+  // `sql_recursive_cte` — WITH RECURSIVE (Spark 4.0's headline SQL
+  // addition): iterative queries — hierarchy walks, transitive closure,
+  // graph reachability — expressed IN SQL and executed by the engine's
+  // own fixpoint loop, where pre-4.0 Spark forced either unrolled CTE
+  // chains (graph_pagerank's oracle) or driver-side iteration
+  // (graph_shortest_path's frontier loop). Each recursion step is a
+  // distributed join/filter over the previous step's output; the
+  // engine iterates to fixpoint with a safety cap (default 100 — a
+  // cycle in the edge relation otherwise never terminates; this walk
+  // provably halves to 0 in ≤ ⌈log2 maxkey⌉ ≈ 15 steps). The walk:
+  // every 97th part climbs its implicit binary-tree ancestry
+  // (parent = key DIV 2), emitting depth + ancestor-label sum —
+  // per-seed state stays one row per step, so the working set is
+  // |seeds| × steps, never the table. DuckDB runs the identical
+  // recursion (its // is Spark's DIV).
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("rc_part")
+    spark.sql(
+      """WITH RECURSIVE anc(node, cur, d) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT)
+        |  FROM rc_part WHERE p_partkey % 97 = 0
+        |  UNION ALL
+        |  SELECT node, cur DIV 2, d + 1 FROM anc WHERE cur > 0
+        |)
+        |SELECT node, max(d) AS depth, sum(cur) AS path_sum
+        |FROM anc
+        |GROUP BY node
+        |ORDER BY node""".stripMargin)
+  }
+
   // `join_null_aware` — NOT IN (subquery) under SQL three-valued logic,
   // and the physical operator Spark plans for it. `x NOT IN (set)` is
   // FALSE when x matches, UNKNOWN (→ row dropped) when the set contains

@@ -150,6 +150,35 @@ object SemiStructured {
   // apart with the real parser, including the registrable-domain slice
   // off HOST. Scale: map-only projection, no shuffle before the
   // contract sort; parse_url is codegen'd, one parse per field group.
+  // `variant_explode` — the VARIANT table function (Spark 4, the
+  // lateral sibling of Q140 json_variant's path access): unnest a
+  // variant ARRAY into (pos, value) rows where the element type is
+  // only known per-element at runtime — the semi-structured ingest
+  // reality (a props array mixing numbers and strings) that a typed
+  // array<T> column cannot hold at all. The fixture array [k, 2k,
+  // event_type] is deliberately HETEROGENEOUS; elements surface as
+  // variant values and each consumer casts its own way: to_json for
+  // the lossless render, try_cast-style typed access (`::BIGINT` via
+  // variant_get semantics) nulls on the string element — the same
+  // per-row error-tolerance story as ansi_try_funcs. One parse per
+  // row, explode ×3, map-only before the contract sort.
+  def variantExplode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("vex_events")
+    spark.sql(
+      """SELECT e.event_id, v.pos,
+        |       to_json(v.value) AS item_json,
+        |       try_variant_get(v.value, '$', 'bigint') AS item_num
+        |FROM (SELECT event_id,
+        |        parse_json(concat(
+        |          '[', get_json_object(props, '$.k'), ',',
+        |          CAST(CAST(get_json_object(props, '$.k') AS BIGINT) * 2
+        |               AS STRING),
+        |          ',"', event_type, '"]')) AS arr
+        |      FROM vex_events) e,
+        |LATERAL variant_explode(e.arr) v
+        |ORDER BY event_id, pos""".stripMargin)
+  }
+
   def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
     val url = concat(
