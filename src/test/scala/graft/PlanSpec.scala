@@ -682,6 +682,36 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("id_assign: the corpus-side window partitions by (lang, shard) — " +
+      "only the offsets frame rides a single-partition window") {
+    val p = plan(operators.TextAnalysis.idAssign(spark, sf))
+    // exactly two Window nodes: the sharded local row_number and the
+    // tiny offsets prefix sum
+    assert(count(p, "Window") === 2, p)
+    // the corpus window's spec leads with the (lang, shard) partition
+    assert(p.contains("windowspecdefinition(lang"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("str_edit_distance: the quadratic term runs over the broadcast " +
+      "distinct name domain, never the row corpus") {
+    val p = plan(operators.TextAnalysis.strEditDistance(spark, sf))
+    // the block self-join is a broadcast hash join of two distinct()
+    // frames (vocabulary-bounded), not a shuffled row-level join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("ts_timezone: map-only conversion — the only exchange is the " +
+      "contract sort's range partitioning") {
+    val p = plan(operators.Analytic.tsTimezone(spark, sf))
+    assert(count(p, "Exchange") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
