@@ -189,6 +189,9 @@ object SparkEntry {
     "write_rebalance"   -> (Layout.writeRebalance _),
     "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
     "variant_explode"   -> (SemiStructured.variantExplode _),
+    "map_hof"           -> (SemiStructured.mapHof _),
+    "scan_json_multiline" ->
+      (graft.sources.FormatSources.scanJsonMultiline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2490,6 +2493,35 @@ object SparkEntry {
         |  SELECT event_id, 2, '"' || event_type || '"', NULL FROM base
         |)
         |ORDER BY event_id, pos""".stripMargin,
+
+    // map renders replay as sorted-key JSON object strings (insertion
+    // order == sorted order on the Spark side by construction)
+    "map_hof" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT user_id,
+        |       '{' || string_agg('"' || event_type || '":' || n, ','
+        |              ORDER BY event_type) || '}' AS m_json,
+        |       '{' || string_agg('"' || event_type || '":' || (n * 2), ','
+        |              ORDER BY event_type) || '}' AS doubled_json,
+        |       '{' || coalesce(string_agg('"' || event_type || '":' || n,
+        |              ',' ORDER BY event_type)
+        |              FILTER (WHERE n >= 2), '') || '}' AS filtered_json,
+        |       '{' || string_agg('"' || event_type || '":' || (n * 3), ','
+        |              ORDER BY event_type) || '}' AS tripled_json,
+        |       count(*) AS n_keys
+        |FROM c
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // the re-read array equals the slice it was rendered from
+    "scan_json_multiline" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal
+        |FROM customer
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY c_custkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

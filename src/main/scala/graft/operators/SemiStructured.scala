@@ -89,6 +89,39 @@ object SemiStructured {
         size(col("m")).cast("long").as("n_types"))
       .orderBy("user_id")
 
+  // `map_hof` — map higher-order functions (transform_values /
+  // map_filter / map_zip_with), the in-place lambda surface over map
+  // columns: per-entry rescaling, entry-level filtering, and keyed
+  // two-map combination WITHOUT exploding to rows and re-aggregating —
+  // at 100 TB the explode→group round trip is a full extra shuffle per
+  // transformation, while the HOF runs inside codegen on the already-
+  // materialized map value. Maps build once from sorted entries
+  // (map_from_entries over sort_array — insertion order is render
+  // order, which makes to_json deterministic and DuckDB-replayable);
+  // every downstream HOF preserves that order. map_zip_with(m,
+  // doubled, sum) yields 3v per key — the keyed-combine shape feature
+  // stores run when merging two feature maps.
+  def mapHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        to_json(col("m")).as("m_json"),
+        to_json(expr("transform_values(m, (k, v) -> v * 2)"))
+          .as("doubled_json"),
+        to_json(expr("map_filter(m, (k, v) -> v >= 2)"))
+          .as("filtered_json"),
+        to_json(expr(
+          "map_zip_with(m, transform_values(m, (k, v) -> v * 2), " +
+            "(k, a, b) -> a + b)")).as("tripled_json"),
+        size(col("m")).cast("long").as("n_keys"))
+      .orderBy("user_id")
+
   // Q32 `json_funcs` — JSON path extraction from events.props, both the
   // path form (get_json_object) and the schema form (from_json).
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -298,6 +298,37 @@ object FormatSources {
   // why 100 TB pipelines treat text as ingest-only and rewrite to
   // parquet after the first pass. The oracle re-derives the escaped
   // payload from the documents table directly.
+  // `scan_json_multiline` — whole-file (multiLine) JSON array ingest:
+  // API exports and config dumps land as ONE pretty-printed JSON
+  // document, not JSON-lines — and `multiLine=true` is the only way to
+  // read them. The contract deliberately demonstrates the format's
+  // scale ceiling: a multiLine document is ONE record to the parser —
+  // unsplittable, parsed by a single task, the whole file in memory —
+  // so the 100 TB rule is "bounded documents only, parse once, rewrite
+  // to a splittable format" (scan_jsonl is the splittable sibling; the
+  // %50 slice keeps this fixture bounded by construction). Round trip:
+  // the slice renders to one bracketed array document (driver-bounded
+  // single-row concat — legal ONLY because the slice is
+  // dimension-small, same argument as table_transpose), writes as one
+  // text file, re-reads with multiLine schema inference.
+  def scanJsonMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("mljson", dir)
+    Tables.customer(spark, dir)
+      .filter(pmod(col("c_custkey"), lit(50)) === 0)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 4).as("bal"))
+      .agg(concat(lit("[\n"),
+        array_join(collect_list(
+          to_json(struct(col("c_custkey"), col("c_name"), col("bal")))),
+          ",\n"),
+        lit("\n]")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+    spark.read.option("multiLine", "true").json(path)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("bal"))
+      .orderBy("c_custkey")
+  }
+
   def scanText(spark: SparkSession, dir: String): DataFrame = {
     val path = exportPath("text", dir)
     val escaped = regexp_replace(
