@@ -192,6 +192,8 @@ object SparkEntry {
     "map_hof"           -> (SemiStructured.mapHof _),
     "scan_json_multiline" ->
       (graft.sources.FormatSources.scanJsonMultiline _),
+    "str_mask"          -> (TextAnalysis.strMask _),
+    "text_hashing_vec"  -> (TextAnalysis.textHashingVec _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2522,6 +2524,45 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // class-by-class replay with the OTHER class replaced first (the
+    // custom replacement chars collide with later classes otherwise)
+    "str_mask" ->
+      """SELECT c_custkey,
+        |       regexp_replace(regexp_replace(regexp_replace(c_name,
+        |         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |         AS masked_default,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         c_name, '[^A-Za-z0-9]', '-', 'g'),
+        |         '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '9', 'g')
+        |         AS masked_custom,
+        |       length(c_name) AS mask_len
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    // identical md5-derived bucket arithmetic; sparse render is a
+    // sorted bucket:count join bounded by D=64
+    "text_hashing_vec" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ')) AS term
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substring(md5(term), 1, 6) AS BIGINT)
+        |           % 64 AS b
+        |  FROM tok
+        |), c AS (
+        |  SELECT doc_id, b, count(*) AS n FROM b GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |       string_agg(b || ':' || n, ' ' ORDER BY b) AS svec,
+        |       count(*) AS nnz,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

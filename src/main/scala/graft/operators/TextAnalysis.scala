@@ -854,6 +854,56 @@ object TextAnalysis {
       .orderBy("global_id")
   }
 
+  // `str_mask` — format-preserving data masking (`mask()`): the
+  // PII-safe DISPLAY transform — upper→X lower→x digit→n keeps the
+  // SHAPE of the value (length, word boundaries, punctuation) so
+  // downstream parsing, debugging and format validation still work
+  // while the content is gone; the sibling of text_pii_scrub (which
+  // REMOVES entities — masking preserves structure, scrubbing
+  // preserves prose). Both the default alphabet and a custom one
+  // (#/*/9 with '-' for punctuation) run map-side in codegen; the
+  // custom variant's oracle replays class-by-class with the OTHER
+  // class replaced FIRST (the replacement chars collide with later
+  // classes otherwise — '#' is itself punctuation).
+  def strMask(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("masked_default"),
+        expr("mask(c_name, '#', '*', '9', '-')").as("masked_custom"),
+        length(expr("mask(c_name)")).cast("long").as("mask_len"))
+      .orderBy("c_custkey")
+
+  // `text_hashing_vec` — the feature-hashing (hashing-trick)
+  // vectorizer: token → bucket = hash(token) mod D, per-doc bucket
+  // counts — the FIXED-dimension text featurization that needs NO
+  // vocabulary pass and no broadcast dictionary (vs vocab_topk /
+  // text_tfidf which both pay a corpus-wide term aggregation): at
+  // 100 TB the vocabulary is unbounded but D stays 64, collisions are
+  // the accepted lossy compression (Weinberger et al. 2009). The
+  // bucket hash derives from md5 hex (the corpus_mix trick), NOT
+  // Spark's murmur3 `hash()` — deliberately, so the oracle replays
+  // the identical bucket assignment; per-(doc, bucket) counts collapse
+  // map-side (≤ D rows/doc reach the shuffle), the sparse render is a
+  // sorted "bucket:count" join bounded by D.
+  def textHashingVec(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long"), lit(64))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("b"), col("n")))),
+          e => concat(e.getField("b").cast("string"), lit(":"),
+            e.getField("n").cast("string"))), " ").as("svec"),
+        count(lit(1)).as("nnz"),
+        sum(col("n")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // `str_edit_distance` — blocked fuzzy entity matching (levenshtein),
   // the entity-resolution primitive: find name pairs within small edit
   // distance WITHOUT the all-pairs O(N²) comparison. Two levers make

@@ -59,7 +59,14 @@ class CodegenAuditSpec extends SparkSpec {
       "hatch for per-shard imperative bin packing"),
     "token_bpe" -> ("typed mapPartitions greedy merge fold over broadcast " +
       "ranks — declared escape hatch (SURVEY Q134); map-only, " +
-      "per-partition word cache, measured decade"))
+      "per-partition word cache, measured decade"),
+    "sql_recursive_cte" -> ("the engine's own WITH RECURSIVE fixpoint " +
+      "machinery plans interpreted per-step projections (Spark 4 " +
+      "recursion does not codegen); working set is |seeds| x ~15 steps, " +
+      "measured near-flat decade (SCALING.md)"),
+    "map_hof" -> ("transform_values/map_filter/map_zip_with lambdas ARE " +
+      "the declared operators (the map-HOF coverage key, the array_funcs " +
+      "argument); state is one <=5-entry map per user"))
 
   test("every key's plan stays in whole-stage codegen, or carries an approved exemption") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
