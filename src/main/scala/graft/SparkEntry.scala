@@ -194,6 +194,9 @@ object SparkEntry {
       (graft.sources.FormatSources.scanJsonMultiline _),
     "str_mask"          -> (TextAnalysis.strMask _),
     "text_hashing_vec"  -> (TextAnalysis.textHashingVec _),
+    "scan_corrupt_records" ->
+      (graft.sources.FormatSources.scanCorruptRecords _),
+    "set_union_evolving" -> (Analytic.setUnionEvolving _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2563,6 +2566,41 @@ object SparkEntry {
         |FROM c
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // PERMISSIVE semantics replayed from the corruption rules:
+    // truncated rows (k%140, precedence) null the missing field, type
+    // poison (k%60) nulls only the poisoned field; the raw line
+    // reconstructs engine-identically from integer cents
+    "scan_corrupt_records" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |)
+        |SELECT k,
+        |       CASE WHEN k % 60 = 0 AND k % 140 <> 0 THEN NULL
+        |            ELSE cents END AS cents,
+        |       CASE WHEN k % 140 = 0 THEN NULL
+        |            WHEN k % 60 = 0 THEN prio
+        |            ELSE prio END AS prio,
+        |       (k % 140 = 0 OR k % 60 = 0) AS is_corrupt,
+        |       CASE WHEN k % 140 = 0 THEN k || ',' || cents
+        |            WHEN k % 60 = 0 THEN k || ',X,' || prio
+        |            ELSE '' END AS raw_line
+        |FROM o
+        |ORDER BY k""".stripMargin,
+
+    // UNION ALL with the explicit NULL column — what unionByName
+    // (allowMissingColumns) aligns automatically
+    "set_union_evolving" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price,
+        |       '~missing~' AS prio
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 4), o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 2
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -656,6 +656,29 @@ object Analytic {
   // beyond that the same query degrades gracefully to the bounded-
   // error estimate (the sketch's entire point — AnalyticSpec pins the
   // rank-error bound in the genuinely-approximate regime).
+  // `set_union_evolving` — schema-drift union (unionByName with
+  // allowMissingColumns): the in-memory sibling of scan_evolving's
+  // mergeSchema read — batch N of a feed gains a column batch N-1
+  // never had, and the union must align BY NAME (positional union
+  // silently mis-binds columns — the classic drift bug) and
+  // null-fill the missing side in either direction. At 100 TB feeds
+  // evolve weekly; every long-lived union job needs this alignment.
+  // Map-only (union is a plan concatenation, no shuffle before the
+  // contract sort); the null-filled column coalesces to a sentinel
+  // for the deterministic output order.
+  def setUnionEvolving(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(7)) === 1)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(7)) === 2)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"),
+        col("o_orderpriority").as("prio"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("price"),
+        coalesce(col("prio"), lit("~missing~")).as("prio"))
+      .orderBy("o_orderkey")
+  }
+
   // `ansi_try_funcs` — the try_* error-safe function family under
   // ANSI mode (ON by default since Spark 4 — every graft session runs
   // ANSI): plain `/`, `CAST`, `+` now THROW on division-by-zero /

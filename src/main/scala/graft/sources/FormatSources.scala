@@ -329,6 +329,49 @@ object FormatSources {
       .orderBy("c_custkey")
   }
 
+  // `scan_corrupt_records` — PERMISSIVE bad-record handling, the
+  // ingest-reality contract scan_csv's clean fixture skips: real 100 TB
+  // feeds ALWAYS carry malformed rows (type poison, truncated lines),
+  // and FAILFAST (one bad row kills a 10-hour job) or DROPMALFORMED
+  // (rows vanish silently — unaccounted data loss) are both wrong at
+  // scale. PERMISSIVE + columnNameOfCorruptRecord is the production
+  // setting: parseable FIELDS survive (probed: a type-poisoned second
+  // field nulls alone, the rest of the row parses), the RAW LINE lands
+  // in the corrupt column for quarantine/replay, and nothing is
+  // dropped — count(_bad IS NOT NULL) is the data-quality metric the
+  // run reports (the pipeline_observe shape). Two corruption classes
+  // injected deterministically: type poison (k%60) and truncated row
+  // (k%140, precedence at overlap); integer cents keep the raw-line
+  // render engine-identical.
+  def scanCorruptRecords(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("corrupt", dir)
+    val k = col("o_orderkey")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val line = when(pmod(k, lit(140)) === 0,
+        concat(k.cast("string"), lit(","), cents.cast("string")))
+      .when(pmod(k, lit(60)) === 0,
+        concat(k.cast("string"), lit(",X,"), col("o_orderpriority")))
+      .otherwise(concat(k.cast("string"), lit(","), cents.cast("string"),
+        lit(","), col("o_orderpriority")))
+    Tables.orders(spark, dir)
+      .filter(pmod(k, lit(20)) === 0)
+      .select(line.as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("cents", LongType),
+      StructField("prio", StringType),
+      StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+      .select(col("k"), col("cents"), col("prio"),
+        col("_bad").isNotNull.as("is_corrupt"),
+        coalesce(col("_bad"), lit("")).as("raw_line"))
+      .orderBy("k")
+  }
+
   def scanText(spark: SparkSession, dir: String): DataFrame = {
     val path = exportPath("text", dir)
     val escaped = regexp_replace(
