@@ -197,6 +197,8 @@ object SparkEntry {
     "scan_corrupt_records" ->
       (graft.sources.FormatSources.scanCorruptRecords _),
     "set_union_evolving" -> (Analytic.setUnionEvolving _),
+    "agg_session_window" -> (EventAnalytics.aggSessionWindow _),
+    "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2601,6 +2603,55 @@ object SparkEntry {
         |SELECT o_orderkey, round(o_totalprice, 4), o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 2
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the native session window's END is last_event + gap by
+    // definition — replayed over the hand-built gap islands, so the
+    // green hash proves native == manual
+    "agg_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), f AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER
+        |             (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |           OR ts_us - lag(ts_us) OVER
+        |             (PARTITION BY user_id ORDER BY ts_us)
+        |             > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id,
+        |       min(ts_us) AS start_us,
+        |       max(ts_us) + 30 * 60 * 1000000 AS end_us,
+        |       count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // bounded correlated pick: the first order at/after the event,
+    // voided when beyond the 7-day horizon
+    "join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS uid,
+        |         ts - INTERVAL 26 YEARS AS t
+        |  FROM events
+        |), o AS (
+        |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey
+        |  FROM orders
+        |)
+        |SELECT e.event_id,
+        |       coalesce((
+        |         SELECT o.o_orderkey FROM o
+        |         WHERE o.uid = e.uid AND o.t >= e.t
+        |           AND epoch_us(o.t) - epoch_us(e.t)
+        |               <= CAST(7 AS BIGINT) * 86400 * 1000000
+        |         ORDER BY o.t, o.o_orderkey LIMIT 1), -1) AS next_order
+        |FROM e
+        |ORDER BY e.event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -390,6 +390,30 @@ object EventAnalytics {
       .orderBy("user_id", "session_id")
   }
 
+  // `agg_session_window` — NATIVE session-window aggregation in batch
+  // (session_window(ts, gap)): the engine's own gap-sessionizer, vs
+  // sessionize_batch which builds the identical semantics by hand
+  // (lag + cumulative-flag islands). The native form is ONE grouping
+  // expression — no window pass before the aggregation: Spark plans a
+  // session-aware aggregate that merges adjacent [start, last+gap)
+  // intervals during the (user)-keyed shuffle, and the SAME expression
+  // runs unchanged over a stream (Q37 stream_session) — the
+  // batch/stream unification being the API's point. Session end is
+  // DEFINED as last_event + gap (the window covers the whole timeout,
+  // not just observed events) — the oracle replays that definition
+  // over the hand-built islands, so the green hash proves native ==
+  // manual.
+  def aggSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   // `anomaly_mad` — MAD (median absolute deviation) robust outlier
   // detection, the resistant sibling of anomaly_zscore: mean/stddev are
   // themselves dragged by the outliers they're meant to flag (one

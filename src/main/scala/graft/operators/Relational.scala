@@ -561,6 +561,51 @@ object Relational {
         "stride" -> 10, "taxRate" -> 1.07, "label" -> "hi"))
   }
 
+  // `join_asof_tolerance` — FORWARD as-of join with a tolerance bound
+  // (the pandas merge_asof(direction='forward', tolerance=...) surface,
+  // and the LABELING join of every event-outcome pipeline: "did an
+  // order follow this event within 7 days" — the target-attachment
+  // step before any conversion model trains). Same join-free
+  // union-timeline formulation as join_asof, mirrored: one (uid)-keyed
+  // sort, a FOLLOWING-frame first(ignoreNulls) picks the next order at
+  // or after each event (events sort before same-instant orders, so
+  // same-day matches count), and the tolerance check voids matches
+  // beyond the horizon — crucially AFTER the pick, so "no match within
+  // 7 days" and "match exists but later" both land on the sentinel
+  // exactly like the oracle's bounded-subquery reading. Never a
+  // non-equi range join (O(N·M) worst case): one exchange, one sort,
+  // linear scan per user timeline.
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 7L * 86400L * 1000000L
+    val o = Tables.orders(spark, dir).select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").as("uid"),
+      col("o_orderdate").as("t"),
+      col("o_orderkey").as("o_key"),
+      lit(1).as("kind"))
+    val e = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").as("uid"),
+      (col("ts") - expr("INTERVAL 26 YEARS")).as("t"),
+      lit(null).cast("long").as("o_key"),
+      lit(0).as("kind"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t"), col("kind"), col("o_key"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("next_key", first(col("o_key"), ignoreNulls = true).over(w))
+      .withColumn("next_t_us",
+        first(when(col("kind") === 1, unix_micros(col("t"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"),
+        coalesce(
+          when(col("next_t_us") - unix_micros(col("t")) <= tolUs,
+            col("next_key")),
+          lit(-1L)).as("next_order"))
+      .orderBy("event_id")
+  }
+
   // `sql_recursive_cte` — WITH RECURSIVE (Spark 4.0's headline SQL
   // addition): iterative queries — hierarchy walks, transitive closure,
   // graph reachability — expressed IN SQL and executed by the engine's
