@@ -199,6 +199,7 @@ object SparkEntry {
     "set_union_evolving" -> (Analytic.setUnionEvolving _),
     "agg_session_window" -> (EventAnalytics.aggSessionWindow _),
     "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
+    "win_median_smooth" -> (Analytic.winMedianSmooth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2652,6 +2653,22 @@ object SparkEntry {
         |         ORDER BY o.t, o.o_orderkey LIMIT 1), -1) AS next_order
         |FROM e
         |ORDER BY e.event_id""".stripMargin,
+
+    // DuckDB's windowed quantile_disc floor-interpolation equals the
+    // lower-median pick at every frame parity
+    "win_median_smooth" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, value,
+        |         quantile_disc(value, 0.5) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS med_raw
+        |  FROM events WHERE user_id % 20 = 0
+        |)
+        |SELECT event_id, user_id,
+        |       round(med_raw, 4) AS smoothed,
+        |       value > med_raw * 3 AS spike
+        |FROM m
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -768,6 +768,34 @@ object Analytic {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  // `win_median_smooth` — rolling MEDIAN smoothing (the robust
+  // moving-average: win_moving_avg's mean is dragged by the very
+  // spikes a smoother exists to suppress — one 1000× reading pollutes
+  // the whole window; the rolling median rejects it outright, the
+  // anomaly_mad argument applied to smoothing). Spark has no median
+  // window aggregate, so the engine formulation is collect_list over
+  // the ROWS frame + sort_array + the lower-median pick — legal
+  // because the frame is 9 rows by CONTRACT (per-row state is the
+  // frame, never the partition; a RANGE/unbounded variant would need
+  // the Q148 sketch instead — that boundary is the documented
+  // contract). One user-keyed sort shared with the lag that computes
+  // the spike flag; DuckDB replays with its native windowed
+  // quantile_disc, whose floor-interpolation equals the lower-median
+  // pick at every frame parity.
+  def winMedianSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-8, 0)
+    val arr = sort_array(collect_list(col("value")).over(w))
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        element_at(arr, ((size(arr) + 1) / 2).cast("int")).as("med_raw"))
+      .select(col("event_id"), col("user_id"),
+        round(col("med_raw"), 4).as("smoothed"),
+        (col("value") > col("med_raw") * 3).as("spike"))
+      .orderBy("event_id")
+  }
+
   // `table_transpose` — Dataset.transpose (Spark 4.0 API): rows ⇄
   // columns over an AGGREGATED summary frame — the report-shaping last
   // mile (metrics-as-rows × groups-as-columns, the layout every
