@@ -200,6 +200,9 @@ object SparkEntry {
     "agg_session_window" -> (EventAnalytics.aggSessionWindow _),
     "join_asof_tolerance" -> (Relational.joinAsofTolerance _),
     "win_median_smooth" -> (Analytic.winMedianSmooth _),
+    "corpus_split" -> (TextAnalysis.corpusSplit _),
+    "text_ngram_colloc" -> (TextAnalysis.textNgramColloc _),
+    "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2669,6 +2672,79 @@ object SparkEntry {
         |       value > med_raw * 3 AS spike
         |FROM m
         |ORDER BY event_id""".stripMargin,
+
+    // same md5-uniform draw as corpus_mix; share is an IEEE-exact
+    // long/long division on both sides
+    "corpus_split" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |                        AS INT) / 16777216.0 < 0.9 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |                        AS INT) / 16777216.0 < 0.95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |       round(count(*) * 1.0 /
+        |             sum(count(*)) OVER (PARTITION BY lang), 4) AS share
+        |FROM tagged
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
+    // ranking replays the exact-integer ratio, ln only renders pmi;
+    // parallel unnests zip positionally in DuckDB, giving the same
+    // shift-zip bigrams as the slice/arrays_zip form
+    "text_ngram_colloc" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c_w FROM (
+        |    SELECT unnest(ws) AS w FROM toks
+        |  ) WHERE w <> '' GROUP BY w
+        |), bi AS (
+        |  SELECT a, b, count(*) AS n_ab FROM (
+        |    SELECT unnest(ws[1:len(ws)-1]) AS a,
+        |           unnest(ws[2:len(ws)]) AS b
+        |    FROM toks
+        |  ) WHERE a <> '' AND b <> '' GROUP BY a, b
+        |), tot AS (
+        |  SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi
+        |)
+        |SELECT a, b, n_ab,
+        |       round(ln(CAST(n_ab * n_bi AS DOUBLE) /
+        |                CAST(c_a * c_b AS DOUBLE)), 4) AS pmi
+        |FROM (
+        |  SELECT bi.a, bi.b, bi.n_ab, ua.c_w AS c_a, ub.c_w AS c_b, tot.n_bi
+        |  FROM bi
+        |  JOIN uni ua ON ua.w = bi.a
+        |  JOIN uni ub ON ub.w = bi.b
+        |  CROSS JOIN tot
+        |  WHERE bi.n_ab >= 5
+        |)
+        |ORDER BY CAST(n_ab * n_bi AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) DESC,
+        |         a, b
+        |LIMIT 40""".stripMargin,
+
+    // the oracle is the PLAIN theta join — a green hash proves the
+    // grid-bucketed equi formulation finds exactly the overlap set
+    "join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+        |         epoch_us(ts) + 600000000 AS a_e
+        |  FROM events WHERE user_id % 20 = 0
+        |), b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+        |         epoch_us(ts) + 900000000 AS b_e
+        |  FROM events WHERE user_id % 31 = 0
+        |)
+        |SELECT a_id, b_id,
+        |       least(a_e, b_e) - greatest(a_s, b_s) AS ovl_us
+        |FROM a JOIN b ON a_s < b_e AND b_s < a_e
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

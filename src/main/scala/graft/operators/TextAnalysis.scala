@@ -931,4 +931,86 @@ object TextAnalysis {
       .filter(col("dist") <= 4)
       .orderBy("name_a", "name_b")
   }
+
+  // `corpus_split` — deterministic train/val/test partitioning, the
+  // step every training run performs before anything else. The split
+  // key is the md5-uniform draw on doc_id (the corpus_mix trick), NOT
+  // a row_number/rand() assignment, because hash assignment is the
+  // only formulation with the two properties that matter at 100 TB:
+  // (1) GROWTH-STABLE — appending tomorrow's crawl never moves an
+  // already-assigned doc between splits (rank-based splits reshuffle
+  // everything on every append, silently leaking yesterday's val set
+  // into today's train set); (2) COORDINATION-FREE — the assignment is
+  // a map-side expression, no global sort/count pass. 90/5/5 on the
+  // uniform u; the output is the stratification audit (per split×lang:
+  // doc count, char mass, id range, share of the language), which is
+  // what a pipeline actually gates on — per-doc assignments stay
+  // distributed. share = n_docs over the per-lang window: the audit
+  // that every language is represented in every split at the global
+  // rate (hash splits stratify for free at volume; the audit catches
+  // the small-language exception). One agg shuffle on the bounded
+  // (split, lang) domain + a window over it — dimension-small state.
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val split = when(u < 0.9, "train").when(u < 0.95, "val")
+      .otherwise("test")
+    val perLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split.as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .withColumn("share",
+        round(col("n_docs") / sum("n_docs").over(perLang), 4))
+      .orderBy("split", "lang")
+  }
+
+  // `text_ngram_colloc` — bigram collocation mining by pointwise
+  // mutual information (Church & Hanks 1990), the phrase-discovery
+  // pass behind tokenizer-vocab candidates and multi-word-expression
+  // lists. PMI = ln(c_ab·N / (c_a·c_b)) over corpus-global unigram and
+  // bigram counts. Shapes that make it scale: bigrams come from the
+  // zip-shift of the SAME whitespace token array every dedup/text key
+  // shares (slice k..n-1 zipped with slice k+1..n — array builtins in
+  // codegen, no lambda HOF, no per-token shuffle until the count agg);
+  // both count aggs collapse map-side onto vocabulary-bounded keys;
+  // the min-count filter (n_ab ≥ 5) prunes the hapax tail BEFORE the
+  // two unigram joins, so the joined frame is the interesting-bigram
+  // set, not the corpus. Ranking determinism across engines: the sort
+  // key is the raw ratio c_ab·N/(c_a·c_b) computed as one
+  // exact-integer product pair divided once — IEEE division of
+  // exactly-representable integers is identical in the JVM and C, so
+  // the top-40 cutoff cannot flap; ln() only renders the displayed
+  // pmi (rounded), it never orders. At 100 TB the integer products
+  // stay < 2^53 as long as c_ab·N < 9e15 — beyond that, rank on
+  // log-space sums instead (documented boundary, same contract).
+  def textNgramColloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(Dedup.tokens(col("text")).as("ws"))
+    val uni = docs.select(explode(col("ws")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bi = docs
+      .select(slice(col("ws"), lit(1), size(col("ws")) - 1).as("h"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("t"))
+      .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
+      .select(col("bg.h").as("a"), col("bg.t").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val nTot = bi.agg(sum("n_ab").as("n_bi"))
+    val ua = uni.select(col("w").as("a"), col("c_w").as("c_a"))
+    val ub = uni.select(col("w").as("b"), col("c_w").as("c_b"))
+    bi.filter(col("n_ab") >= 5)
+      .join(ua, "a").join(ub, "b")
+      .crossJoin(nTot)
+      .withColumn("rat",
+        (col("n_ab") * col("n_bi")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+      .withColumn("pmi", round(log(col("rat")), 4))
+      .orderBy(desc("rat"), col("a"), col("b"))
+      .limit(40)
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"))
+  }
 }
