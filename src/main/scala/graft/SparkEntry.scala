@@ -203,6 +203,9 @@ object SparkEntry {
     "corpus_split" -> (TextAnalysis.corpusSplit _),
     "text_ngram_colloc" -> (TextAnalysis.textNgramColloc _),
     "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
+    "ts_ewma" -> (EventAnalytics.tsEwma _),
+    "text_html_strip" -> (TextAnalysis.textHtmlStrip _),
+    "scan_parquet_bloom" -> (graft.sources.FormatSources.scanParquetBloom _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2745,6 +2748,73 @@ object SparkEntry {
         |       least(a_e, b_e) - greatest(a_s, b_s) AS ovl_us
         |FROM a JOIN b ON a_s < b_e AND b_s < a_e
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // α = 1/2: every weight an exact power of two, addition order
+    // written identically — bitwise-deterministic cross-engine
+    "ts_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE user_id % 20 = 0
+        |), l AS (
+        |  SELECT event_id, user_id, value,
+        |         lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+        |         lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+        |         lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
+        |         lag(value, 7) OVER w AS v7
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |       round((value * 1.0 + coalesce(v1, 0) * 0.5
+        |              + coalesce(v2, 0) * 0.25 + coalesce(v3, 0) * 0.125
+        |              + coalesce(v4, 0) * 0.0625 + coalesce(v5, 0) * 0.03125
+        |              + coalesce(v6, 0) * 0.015625
+        |              + coalesce(v7, 0) * 0.0078125)
+        |             /
+        |             (1.0 + CASE WHEN v1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |              + CASE WHEN v2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |              + CASE WHEN v3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |              + CASE WHEN v4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |              + CASE WHEN v5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |              + CASE WHEN v6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |              + CASE WHEN v7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
+        |             4) AS ewma
+        |FROM l
+        |ORDER BY event_id""".stripMargin,
+
+    // tags strip FIRST, entities unescape SECOND — &lt;nav&gt; stays
+    // literal content, never re-parsed as a tag
+    "text_html_strip" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         '<html><body><h1>Doc ' || doc_id || '</h1><p class="body">' ||
+        |         text ||
+        |         '</p><div>&amp; footer &lt;nav&gt; &quot;menu&quot;</div></body></html>'
+        |           AS t
+        |  FROM documents
+        |), cleaned AS (
+        |  SELECT doc_id, t,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(
+        |             regexp_replace(t, '<[^>]+>', ' ', 'g'),
+        |             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '\s+', ' ', 'g')) AS clean
+        |  FROM aug
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |       CAST(len(clean) AS BIGINT) AS n_chars_clean,
+        |       md5(clean) AS clean_md5
+        |FROM cleaned
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the IN-lookup on the ORIGINAL table: a green hash
+    // proves the bloom-written copy round-trips and prunes losslessly
+    "scan_parquet_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey IN (7, 23, 48, 97, 120)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -555,4 +555,42 @@ object EventAnalytics {
         round(col("sum_milli") / lit(1000.0) / col("n"), 4).as("avg_value"))
       .orderBy("event_type")
   }
+
+  // `ts_ewma` — truncated exponentially-weighted moving average, the
+  // third smoother in the family (mean win_moving_avg, median
+  // win_median_smooth, now exponential decay — the one monitoring
+  // stacks actually chart). The textbook recursion y_t = α·x_t +
+  // (1−α)·y_{t−1} is inherently sequential and CANNOT be a window
+  // aggregate; the factored closed form Σ x_i·α^(t−i) needs α^t /
+  // α^(−i) rebasing that overflows doubles past ~1000 rows. The
+  // scalable formulation truncates the tail: with α = 1/2 the weight
+  // 8 steps back is 1/256 (< round-to-4 visibility), so an 8-term
+  // lag chain over ONE user-keyed window sort IS the EWMA to output
+  // precision — fixed per-row state, map-side after the sort, no
+  // recursion. α = 1/2 is deliberate: every weight 0.5^j is an exact
+  // power of two, each product is an exact halving chain, and the
+  // fixed left-to-right addition order is written identically in both
+  // engines — bitwise-deterministic cross-engine, not just
+  // approximately equal. Leading rows renormalize over the weights
+  // actually present (null lags contribute 0 to numerator and drop
+  // their weight from the denominator) so the series starts unbiased
+  // instead of damped toward zero.
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val lags = (0 until 8).map { j =>
+      val v = if (j == 0) col("value") else lag(col("value"), j).over(w)
+      val wt = lit(math.pow(0.5, j))
+      (coalesce(v, lit(0.0)) * wt,
+        when(v.isNotNull, wt).otherwise(lit(0.0)))
+    }
+    val num = lags.map(_._1).reduce(_ + _)
+    val den = lags.map(_._2).reduce(_ + _)
+    Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(20)) === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round((num / den), 4).as("ewma"))
+      .orderBy("event_id")
+  }
 }

@@ -1013,4 +1013,39 @@ object TextAnalysis {
       .limit(40)
       .select(col("a"), col("b"), col("n_ab"), col("pmi"))
   }
+
+  // `text_html_strip` — HTML/boilerplate removal, the extraction step
+  // between a web crawl and every text operator above (a WARC-derived
+  // corpus is markup until this runs). The synthetic corpus carries no
+  // natural markup, so — the pii_scrub pattern — both engines first
+  // wrap each doc in the same deterministic HTML shell (heading, body
+  // paragraph, entity-bearing footer), then the strip runs real
+  // patterns against real markup: count tags, strip them to spaces,
+  // unescape the core entities, collapse whitespace, and fingerprint
+  // the cleaned text (md5 — exact content compare without hauling full
+  // texts). Order is load-bearing and documented: tags strip FIRST,
+  // entities unescape SECOND, so text that merely MENTIONS markup
+  // (&lt;nav&gt; → literal "<nav>") survives as content instead of
+  // being re-parsed as a tag — the classic double-decode bug inverted.
+  // Map-only codegen'd regex projection; scales as a pure scan, the
+  // same shape as str_mask/pii_scrub.
+  private val HtmlTagRe = "<[^>]+>"
+  def textHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(lit("<html><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p class=\"body\">"), col("text"),
+      lit("</p><div>&amp; footer &lt;nav&gt; &quot;menu&quot;</div></body></html>"))
+    val stripped = regexp_replace(col("t"), HtmlTagRe, " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"),
+      "&gt;", ">"), "&quot;", "\"")
+    val clean = trim(regexp_replace(unescaped, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(HtmlTagRe), lit(0)))
+          .cast("long").as("n_tags"),
+        length(clean).cast("long").as("n_chars_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -388,4 +388,40 @@ object FormatSources {
         element_at(col("f"), 3).as("text_esc"))
       .orderBy("doc_id")
   }
+
+  // `scan_parquet_bloom` — parquet bloom-filter row-group skipping,
+  // the point-lookup path min/max zone maps can't serve. Zone-map
+  // pruning (what every other scan key leans on) only works when the
+  // filtered column correlates with file order; a needle-in-haystack
+  // lookup on an UNSORTED high-cardinality column (o_custkey here —
+  // orders are laid out by order, not customer) reads every row group
+  // because every [min,max] straddles the probe. Writing split-block
+  // bloom filters into the footers (parquet.bloom.filter.enabled#col)
+  // gives the reader a per-row-group membership test: at 100 TB a
+  // customer-history lookup touches only the row groups whose bloom
+  // admits the key — thousands of groups skipped per false-positive
+  // rate ~1%, no sort, no secondary index, no layout change.
+  // SourcesSpec pins the footer actually carries the bloom (the
+  // option silently no-ops on typos — the failure mode this guards);
+  // the oracle replays the IN-lookup against the ORIGINAL table, so a
+  // green hash proves the bloom-written copy round-trips and the
+  // pruned read misses nothing (blooms have no false negatives).
+  def scanParquetBloom(spark: SparkSession, dir: String): DataFrame = {
+    val path = exportPath("bloom", dir)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      // parquet-mr omits the bloom when a chunk stays fully
+      // dictionary-encoded (the dictionary already IS an exact
+      // membership filter at fixture scale); a real 100 TB key column
+      // overflows the dictionary immediately, so force the realistic
+      // encoding and with it the bloom the spec pins
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_custkey").isin(7L, 23L, 48L, 97L, 120L))
+      .orderBy("o_orderkey")
+  }
 }

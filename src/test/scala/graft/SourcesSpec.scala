@@ -160,5 +160,38 @@ class SourcesSpec extends SparkSpec {
       s"rebalanced files should be near-even, got $sizes")
   }
 
+  test("scan_parquet_bloom: footer carries a bloom filter on o_custkey " +
+      "(the enable option silently no-ops on typos — this pins it took)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    sources.FormatSources.scanParquetBloom(spark, sf).count()
+    val root = Paths.get(sources.FormatSources.exportPath("bloom", sf))
+    val part = Files.list(root).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail(s"no parquet part under $root"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.toUri), new Configuration()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val custkey = block.getColumns.asScala
+        .find(_.getPath.toDotString == "o_custkey")
+        .getOrElse(fail("o_custkey column chunk missing"))
+      assert(custkey.getBloomFilterOffset > 0,
+        "o_custkey chunk has no bloom filter offset — the write option " +
+          "did not take")
+      assert(reader.readBloomFilter(custkey) != null,
+        "bloom filter offset present but filter unreadable")
+      // and the non-enabled sibling column has none — the option is
+      // per-column, not file-global
+      val orderkey = block.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      assert(orderkey.getBloomFilterOffset <= 0,
+        "o_orderkey unexpectedly grew a bloom filter")
+    } finally reader.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
