@@ -712,6 +712,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("join_interval_overlap: the grid join is an EQUI join on cell — " +
+      "never a broadcast nested loop / cartesian theta plan") {
+    val p = plan(operators.Relational.joinIntervalOverlap(spark, sf))
+    // the manufactured cell key must carry the join; a nested-loop or
+    // cartesian plan means the grid didn't take and the operator
+    // degenerates to the quadratic theta join it exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("cell"), p)
+    assert(p.contains("Generate"), p) // the bounded cell explode
+  }
+
+  test("text_html_strip: map-only regex projection — the only exchange " +
+      "is the contract sort") {
+    val p = plan(operators.TextAnalysis.textHtmlStrip(spark, sf))
+    assert(count(p, "Exchange") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("ts_ewma: one user-keyed window sort feeds the whole lag chain — " +
+      "a single hash exchange, eight lags, no self-joins") {
+    val p = plan(operators.EventAnalytics.tsEwma(spark, sf))
+    // 2 exchanges total: the window's hashpartitioning(user_id) and
+    // the contract sort's range partitioning; any Join in the plan
+    // means the lag chain decomposed into self-joins
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
