@@ -206,6 +206,7 @@ object SparkEntry {
     "ts_ewma" -> (EventAnalytics.tsEwma _),
     "text_html_strip" -> (TextAnalysis.textHtmlStrip _),
     "scan_parquet_bloom" -> (graft.sources.FormatSources.scanParquetBloom _),
+    "agg_quantile_bucket" -> (Analytic.aggQuantileBucket _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2815,6 +2816,31 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey IN (7, 23, 48, 97, 120)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // edges from the SAME deterministic md5 sample, rounded to 4dp
+    // BEFORE bucketing (removes the last-ulp interpolation hazard);
+    // per-bucket sums in exact integer cents
+    "agg_quantile_bucket" ->
+      """WITH e AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS e1,
+        |         round(quantile_cont(o_totalprice, 0.5), 4) AS e2,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS e3
+        |  FROM orders
+        |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+        |             AS INT) / 16777216.0 < 0.02
+        |)
+        |SELECT o_orderpriority,
+        |       CAST(1 + CAST(o_totalprice > e1 AS INT)
+        |              + CAST(o_totalprice > e2 AS INT)
+        |              + CAST(o_totalprice > e3 AS INT) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       round(min(o_totalprice), 4) AS min_price,
+        |       round(max(o_totalprice), 4) AS max_price
+        |FROM orders, e
+        |GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -275,6 +275,56 @@ object Analytic {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderpriority")
 
+  // `agg_quantile_bucket` — equal-frequency binning (quartile
+  // bucketize), the feature-engineering partner of agg_hist's
+  // equal-WIDTH bins: edges adapt to the distribution so every bucket
+  // carries ~25% of the mass, which is what score normalization and
+  // monotonic-feature binning actually want. Two passes, both
+  // distributed: (1) edges come from an exact percentile over a
+  // DETERMINISTIC md5-hash sample of orders (the corpus_mix draw on
+  // o_orderkey, rate 1/50) — exact `percentile` buffers every
+  // distinct value of its group, so running it over the FULL table in
+  // one global group is the textbook scale cliff (measured: OOM at
+  // ScaleGen mult 100, 15M orders — the decade protocol caught it);
+  // the sampled edge estimate carries ~1/√m quantile error (m ≈
+  // n/50), which is noise against the 25% bucket widths, keeps the
+  // percentile buffer 50× smaller, and — unlike approx_percentile's
+  // engine-specific sketch — replays EXACTLY in the oracle (same md5
+  // filter, same quantile); at true 100 TB the rate is the knob that
+  // keeps the sample bounded. (2) the 1-row edge frame broadcasts and
+  // bucket assignment is a map-side comparison chain, then one
+  // bounded (priority × 4) group agg. Cross-engine determinism: edges
+  // round to 4 decimals BEFORE bucketing (the agg_percentile key
+  // proves percentile ↔ quantile_cont agree to 4dp; comparing against
+  // the ROUNDED edge removes the last-ulp interpolation hazard at the
+  // boundary), and the per-bucket sum uses exact integer cents — a
+  // ~37k-row double sum carries ~1e-2 associativity error at this
+  // magnitude, which round(4) cannot hide (the r8 join_skew_aqe
+  // lesson).
+  def aggQuantileBucket(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val sampled = o.filter(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("double") / lit(16777216.0) < 0.02)
+    val edges = sampled.agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("e1"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("e2"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("e3"))
+    o.crossJoin(edges)
+      .withColumn("bucket",
+        (lit(1)
+          + when(col("o_totalprice") > col("e1"), 1).otherwise(0)
+          + when(col("o_totalprice") > col("e2"), 1).otherwise(0)
+          + when(col("o_totalprice") > col("e3"), 1).otherwise(0))
+          .cast("long"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
   // `agg_argmax` — the argmax family: max_by/min_by pick the orderkey
   // at the extreme price per group in ONE pass (no self-join-back, no
   // window): a (value, key) struct-max merged map-side. Prices are
