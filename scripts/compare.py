@@ -41,16 +41,51 @@ def main():
             print(f"FAIL  {name}: no parquet output")
             n_fail += 1
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").df()
+        spark_arrow = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").arrow()
+        spark_df = spark_arrow.to_pandas()
         if name not in oracles:
             print(f"skip  {name}: no oracle ({len(spark_df)} rows)")
             n_skip += 1
             continue
         try:
-            duck_df = con.execute(oracles[name]).df()
+            duck_arrow = con.execute(oracles[name]).arrow()
+            duck_df = duck_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Type-CLASS audit at the arrow level (r12 lesson: sum(BIGINT)/
+        # count_if silently widen to HUGEINT = decimal128(38,0) in
+        # DuckDB, and the driver's typed hash then mismatches even when
+        # every value is equal; compare.py's old astype harmonization
+        # hid exactly that). Classes must match column-by-column; int
+        # WIDTH (int32 vs int64) and timestamp unit are harmonized —
+        # the driver demonstrably tolerates those (12 r12-green keys
+        # differ there). A decimal on ONE side only is the killed class.
+        def tclass(t):
+            s = str(t)
+            for k in ("decimal", "int", "uint", "float", "double", "bool",
+                      "date", "timestamp", "string", "large_string", "list"):
+                if s.startswith(k):
+                    # date vs timestamp harmonized: DuckDB date_trunc
+                    # returns DATE where Spark returns TIMESTAMP and the
+                    # driver's gate accepts it (rollup_time_grain was
+                    # r12-green)
+                    return {"uint": "int", "double": "float",
+                            "large_string": "string", "date": "datetime",
+                            "timestamp": "datetime",
+                            "decimal": s}.get(k, k)
+            return s
+        sk = {f.name: tclass(f.type) for f in spark_arrow.schema}
+        dk = {f.name: tclass(f.type) for f in duck_arrow.schema}
+        mism = [(c, sk[c], dk[c]) for c in sk if c in dk and sk[c] != dk[c]]
+        if mism:
+            for c, a, b in mism:
+                hint = (" — DuckDB HUGEINT widening, add "
+                        "CAST(... AS BIGINT) in the oracle SQL"
+                        if b.startswith("decimal128(38, 0)") else "")
+            print(f"FAIL  {name}: type-class mismatch {mism}{hint}")
             n_fail += 1
             continue
         s, d = norm(spark_df), norm(duck_df)
@@ -62,14 +97,13 @@ def main():
             print(f"FAIL  {name}: rows {len(s)} vs {len(d)}")
             n_fail += 1
             continue
-        # exact compare, with dtype harmonization
+        # exact value compare; width-only dtype drift harmonized via the
+        # string render (class equality already proven above)
         bad = None
         for c in s.columns:
             a, b = s[c], d[c]
-            try:
-                a = a.astype(b.dtype) if a.dtype != b.dtype else a
-            except Exception:
-                pass
+            if sk.get(c) == "datetime":
+                a, b = pd.to_datetime(a), pd.to_datetime(b)
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 eq = (a == b) | (a.isna() & b.isna())
             else:

@@ -2140,20 +2140,24 @@ object SparkEntry {
         |ORDER BY node""".stripMargin,
 
     // the ±1 hyperplane matrix re-derives from md5 parity in BOTH
-    // engines — identical sign expression, identical per-(vec,j) sums
+    // engines — identical sign expression; x quantized ONCE to exact
+    // BIGINT micro-units so the per-(vec,j) sums are order-independent
+    // integer arithmetic (sum CAST back from DuckDB's HUGEINT)
     "embed_rp" ->
       """WITH ex AS (
-        |  SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+        |  SELECT vec_id, t.i - 1 AS i,
+        |         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS xm
         |  FROM embeddings,
         |       LATERAL unnest(generate_series(1, len(embedding))) t(i)
         |), grid AS (
-        |  SELECT vec_id, i, x, g.j
+        |  SELECT vec_id, i, xm, g.j
         |  FROM ex, LATERAL unnest(generate_series(0, 7)) g(j)
         |)
         |SELECT vec_id, j,
-        |       round(sum(CASE WHEN instr('13579bdf', substring(md5(concat(
-        |         CAST(i AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 1)) > 0
-        |         THEN -1.0 ELSE 1.0 END * x) / 8.0, 4) AS y
+        |       round(CAST(sum(CASE WHEN instr('13579bdf', substring(md5(
+        |         concat(CAST(i AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 1))
+        |         > 0 THEN -1 ELSE 1 END * xm) AS BIGINT) / 8000000.0, 4) AS y
         |FROM grid GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
 
@@ -2365,7 +2369,8 @@ object SparkEntry {
     "agg_incremental_merge" ->
       """SELECT event_type,
         |       count(*) AS n,
-        |       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_milli,
+        |       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |         AS sum_milli,
         |       round(sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0
         |             / count(*), 4) AS avg_value
         |FROM events
@@ -2460,7 +2465,7 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |       bool_and(c_acctbal > -500) AS all_above_floor,
         |       bool_or(c_acctbal > 9000) AS any_premium,
-        |       count_if(c_acctbal < 0) AS n_negative,
+        |       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
         |       upper(c_mktsegment) AS seg_upper,
         |       count(*) AS n
         |FROM customer
@@ -2799,7 +2804,7 @@ object SparkEntry {
         |           replace(replace(replace(replace(
         |             regexp_replace(t, '<[^>]+>', ' ', 'g'),
         |             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |           '\s+', ' ', 'g')) AS clean
+        |           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |  FROM aug
         |)
         |SELECT doc_id,

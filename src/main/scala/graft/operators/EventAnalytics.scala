@@ -578,11 +578,19 @@ object EventAnalytics {
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
+    // j = 0 is UNCONDITIONAL (bare value·1.0, constant 1.0 weight) to
+    // mirror the oracle exactly: a NULL current value propagates to a
+    // NULL ewma in both engines instead of silently renormalizing on
+    // one side only (ADVICE r12 — latent with the non-null fixture,
+    // divergent on any future nullable value column).
     val lags = (0 until 8).map { j =>
-      val v = if (j == 0) col("value") else lag(col("value"), j).over(w)
-      val wt = lit(math.pow(0.5, j))
-      (coalesce(v, lit(0.0)) * wt,
-        when(v.isNotNull, wt).otherwise(lit(0.0)))
+      if (j == 0) (col("value") * lit(1.0), lit(1.0))
+      else {
+        val v = lag(col("value"), j).over(w)
+        val wt = lit(math.pow(0.5, j))
+        (coalesce(v, lit(0.0)) * wt,
+          when(v.isNotNull, wt).otherwise(lit(0.0)))
+      }
     }
     val num = lags.map(_._1).reduce(_ + _)
     val den = lags.map(_._2).reduce(_ + _)

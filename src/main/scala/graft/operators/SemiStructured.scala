@@ -197,17 +197,21 @@ object SemiStructured {
   // row, explode ×3, map-only before the contract sort.
   def variantExplode(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("vex_events")
+    // props is parsed ONCE (inner k projection) — r12 verdict measured
+    // the double get_json_object + literal re-parse at 3.9 s; VARIANT's
+    // whole point is parse-once, so the JSON text is touched exactly
+    // once per row before the variant machinery.
     spark.sql(
       """SELECT e.event_id, v.pos,
         |       to_json(v.value) AS item_json,
         |       try_variant_get(v.value, '$', 'bigint') AS item_num
         |FROM (SELECT event_id,
         |        parse_json(concat(
-        |          '[', get_json_object(props, '$.k'), ',',
-        |          CAST(CAST(get_json_object(props, '$.k') AS BIGINT) * 2
-        |               AS STRING),
+        |          '[', k, ',', CAST(CAST(k AS BIGINT) * 2 AS STRING),
         |          ',"', event_type, '"]')) AS arr
-        |      FROM vex_events) e,
+        |      FROM (SELECT event_id, event_type,
+        |              get_json_object(props, '$.k') AS k
+        |            FROM vex_events)) e,
         |LATERAL variant_explode(e.arr) v
         |ORDER BY event_id, pos""".stripMargin)
   }

@@ -13,9 +13,11 @@ import graft.Tables
   * Two regimes:
   *  - `simTopk` — brute-force cosine top-k: the exact baseline, and the
   *    formulation the DuckDB oracle replays (SURVEY.md §2B Q39);
-  *  - `simAnn`  — random-hyperplane LSH bucketed top-k: the 100 TB scale
-  *    path. Sign-bit signatures put near-identical vectors in the same
-  *    bucket; only bucket collisions are scored.
+  *  - `simAnn`  — IVF (inverted-file) ANN top-k: the 100 TB scale path.
+  *    A sampled k-means fit learns coarse centroids; vectors are routed
+  *    to their nearest-centroid list and probes score only their
+  *    nprobe closest lists (the FAISS IVF-Flat shape — see the block
+  *    comment at `simAnn` for the full argument).
   *
   * Scale notes (100 TB design intent):
   *  - the probe set is small and BROADCAST — the candidate side never
@@ -332,21 +334,27 @@ object Similarity {
   // shuffle. Long output format (vec_id, j, y) keeps the oracle a
   // plain GROUP BY replay.
   //
-  // Determinism: the per-(vec, j) sum adds 64 float32-sourced doubles
-  // (~1-magnitude), so engine summation-order drift is ~1e-15 —
-  // 11 orders below the round(·,4) grid.
+  // Determinism: each x is quantized ONCE to exact integer micro-units
+  // (round(x·1e6) as BIGINT) before summation, so the per-(vec, j) sum
+  // is exact integer arithmetic — partition count / summation order
+  // cannot move the result by even one ulp. The single double division
+  // (/ 8e6) and round(·,4) happen once at render, on identical exact
+  // inputs in both engines. (r12 lesson: the float-sum variant flipped
+  // a last-ulp round boundary under the driver's 32-thread layout.)
   def embedRp(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"),
+      .select(col("vec_id"), col("i"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xm"),
         explode(sequence(lit(0L), lit(7L))).as("j"))
       // s(i,j): -1 iff the first hex digit of md5("i:j") is odd —
       // written as SQL so the oracle replays the identical expression
       .withColumn("sign", expr(
         "CASE WHEN instr('13579bdf', substring(md5(concat(" +
           "cast(i AS string), ':', cast(j AS string))), 1, 1)) > 0 " +
-        "THEN -1.0 ELSE 1.0 END"))
+        "THEN -1L ELSE 1L END"))
       .groupBy("vec_id", "j")
-      .agg(round(sum(col("sign") * col("x")) / 8.0, 4).as("y"))
+      .agg(round(sum(col("sign") * col("xm")).cast("double") / 8000000.0, 4)
+        .as("y"))
       .orderBy("vec_id", "j")
 }

@@ -124,16 +124,20 @@ object TextAnalysis {
             ids ++= cache.getOrElseUpdate(w,
               bpeEncodeWord(w, rk).map(bpeSymbolId(_, sy)))
           }
-          (id, nWords, ids.length.toLong, norm.length.toLong, ids.toSeq)
+          // ids render as a space-joined string, not array<bigint>:
+          // scalar columns keep the driver-side result surface hashable
+          // (pandas cannot lexsort ndarray cells — r12 harness lesson)
+          (id, nWords, ids.length.toLong, norm.length.toLong,
+            ids.mkString(" "))
         }
       }
-      .toDF("doc_id", "n_words", "n_tokens", "n_chars_norm", "token_ids")
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars_norm", "token_ids_str")
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         col("n_chars_norm"),
         when(col("n_tokens") > 0,
           round(col("n_chars_norm").cast("double") / col("n_tokens"), 4))
           .as("chars_per_token"),
-        col("token_ids"))
+        col("token_ids_str"))
       .orderBy("doc_id")
   }
 
@@ -1038,7 +1042,11 @@ object TextAnalysis {
     val unescaped = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"),
       "&gt;", ">"), "&quot;", "\"")
-    val clean = trim(regexp_replace(unescaped, "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java's \s includes U+000B but
+    // RE2's (DuckDB) does not — the class below is spelled identically
+    // in both engines' patterns, so the md5 fingerprint cannot diverge
+    // on a vertical-tab document (ADVICE r12)
+    val clean = trim(regexp_replace(unescaped, "[ \\t\\n\\x0B\\f\\r]+", " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"), aug.as("t"))
       .select(col("doc_id"),

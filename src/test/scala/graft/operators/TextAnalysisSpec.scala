@@ -136,8 +136,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ranks.nonEmpty && ranks.size <= 256)
     val idToSym: Map[Long, String] = symIds.map(_.swap)
     val out = TextAnalysis.tokenBpe(spark, sf)
-      .select("doc_id", "n_tokens", "token_ids").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      .select("doc_id", "n_tokens", "token_ids_str").collect()
+      .map { r =>
+        val ids = r.getString(2) match {
+          case "" => Seq.empty[Long]
+          case s  => s.split(' ').toSeq.map(_.toLong)
+        }
+        r.getLong(0) -> ((r.getLong(1), ids))
+      }.toMap
     val norm = docs.select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .as[(Long, String)].collect().toMap
     // decode: char ids back to codepoints, merge ids via the symbol
