@@ -116,6 +116,15 @@ object Bench {
       p
     }
     def measure(name: String): (String, Seq[Double]) = {
+      // Per-key storage isolation (r13: BENCH_r12 read pipeline_corpus
+      // at 9.5 s while the isolated number was 3.9 s — the other 176
+      // keys' warmup-built persisted frames and checkpoint blocks had
+      // filled executor storage ahead of it). Releasing before each
+      // key bounds storage to ONE key's working set: pass 1 rebuilds
+      // the key's own caches, passes 2+ run warm, and best-of-N still
+      // reports the warm number — but now it is the KEY's number, not
+      // its suite position's.
+      graft.operators.Caches.releaseAll()
       val base = override_.getOrElse(if (streamingFixed(name)) 2 else 3)
       val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
       // Adaptive top-up for ANY noisy batch key (r7 verdict: the cap on

@@ -197,23 +197,36 @@ object SemiStructured {
   // row, explode ×3, map-only before the contract sort.
   def variantExplode(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("vex_events")
-    // props is parsed ONCE (inner k projection) — r12 verdict measured
-    // the double get_json_object + literal re-parse at 3.9 s; VARIANT's
-    // whole point is parse-once, so the JSON text is touched exactly
-    // once per row before the variant machinery.
+    // Two r12-verdict fixes, both measured (sf0.1, 32 threads,
+    // best-of-3):
+    //  - props parses ONCE (hoisted k projection) — VARIANT's whole
+    //    point is parse-once;
+    //  - the expensive interpreted consumers (to_json,
+    //    try_variant_get — no codegen for variant eval yet) are
+    //    computed ABOVE the global sort, not below it: orderBy's
+    //    range-partitioner SAMPLES the child plan, so any projection
+    //    under the sort executes twice. Consumers-below-sort measured
+    //    3.7 s; this shape 1.6 s. The decomposition: scan+parse+explode
+    //    0.5 s, variant consumers +1.2 s (the interpreted-eval price of
+    //    the feature over 3M output rows — recorded in SCALING.md).
+    // A Project above Sort preserves ordering (no exchange between
+    // them — plan shape pinned in PlanSpec).
     spark.sql(
-      """SELECT e.event_id, v.pos,
-        |       to_json(v.value) AS item_json,
-        |       try_variant_get(v.value, '$', 'bigint') AS item_num
-        |FROM (SELECT event_id,
-        |        parse_json(concat(
-        |          '[', k, ',', CAST(CAST(k AS BIGINT) * 2 AS STRING),
-        |          ',"', event_type, '"]')) AS arr
-        |      FROM (SELECT event_id, event_type,
-        |              get_json_object(props, '$.k') AS k
-        |            FROM vex_events)) e,
-        |LATERAL variant_explode(e.arr) v
-        |ORDER BY event_id, pos""".stripMargin)
+      """SELECT event_id, pos,
+        |       to_json(item) AS item_json,
+        |       try_variant_get(item, '$', 'bigint') AS item_num
+        |FROM (
+        |  SELECT e.event_id, v.pos, v.value AS item
+        |  FROM (SELECT event_id,
+        |          parse_json(concat(
+        |            '[', k, ',', CAST(CAST(k AS BIGINT) * 2 AS STRING),
+        |            ',"', event_type, '"]')) AS arr
+        |        FROM (SELECT event_id, event_type,
+        |                get_json_object(props, '$.k') AS k
+        |              FROM vex_events)) e,
+        |  LATERAL variant_explode(e.arr) v
+        |  ORDER BY event_id, pos
+        |)""".stripMargin)
   }
 
   def urlFuncs(spark: SparkSession, dir: String): DataFrame = {

@@ -629,6 +629,27 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("variant_explode: interpreted variant consumers sit ABOVE the " +
+      "global sort (range-sampling must not execute them twice)") {
+    val p = plan(operators.SemiStructured.variantExplode(spark, sf))
+    // to_json / try_variant_get have no codegen — orderBy's range
+    // partitioner samples its child plan, so placing them under the
+    // sort runs them twice (measured 3.7 s vs 1.6 s at sf0.1). The
+    // projection must come after Sort, with no exchange between.
+    val lines = p.linesIterator.toSeq
+    val consumerIdx = lines.indexWhere(_.contains("try_variant_get"))
+    val sortIdx = lines.indexWhere(l =>
+      l.contains("Sort [event_id") && l.contains("true"))
+    assert(consumerIdx >= 0 && sortIdx >= 0, p)
+    assert(consumerIdx < sortIdx,
+      s"variant consumers (line $consumerIdx) must be above the global " +
+        s"sort (line $sortIdx):\n$p")
+    // order-preserving: nothing between the consumer Project and Sort
+    assert(!lines.slice(consumerIdx + 1, sortIdx)
+      .exists(_.contains("Exchange")),
+      s"exchange between consumer Project and Sort breaks ordering:\n$p")
+  }
+
   test("whole-stage codegen fuses the q6 pipeline into one span") {
     // `*(n)` markers are codegen span ids: filter, project and partial
     // aggregate must share span 1 — the generated analogue of the
