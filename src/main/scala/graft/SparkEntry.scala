@@ -207,6 +207,8 @@ object SparkEntry {
     "text_html_strip" -> (TextAnalysis.textHtmlStrip _),
     "scan_parquet_bloom" -> (graft.sources.FormatSources.scanParquetBloom _),
     "agg_quantile_bucket" -> (Analytic.aggQuantileBucket _),
+    "merge_into" -> (Layout.mergeInto _),
+    "agg_decimal" -> (Analytic.aggDecimal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2846,6 +2848,60 @@ object SparkEntry {
         |FROM orders, e
         |GROUP BY o_orderpriority, bucket
         |ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    // flat replay of the merged state: base rows minus deletes, updates
+    // applied (changelog carries the doubled cents), inserts appended —
+    // a green hash certifies the partitioned rewrite produced EXACTLY
+    // the ANSI MERGE result
+    "merge_into" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 3 <> 0
+        |), chg AS (
+        |  SELECT event_id, event_type, user_id,
+        |         CASE WHEN event_id % 6 = 1
+        |              THEN CAST(round(value * 100) AS BIGINT) * 2
+        |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+        |         CASE WHEN event_id % 3 = 0 THEN 'I'
+        |              WHEN event_id % 6 = 1 THEN 'U'
+        |              WHEN event_id % 6 = 4 THEN 'D' END AS op
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND (event_id % 3 = 0 OR event_id % 6 = 1 OR event_id % 6 = 4)
+        |)
+        |SELECT * FROM (
+        |  SELECT b.event_id, b.event_type, b.user_id,
+        |         CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |  FROM base b LEFT JOIN chg c ON b.event_id = c.event_id
+        |  WHERE c.op IS NULL OR c.op = 'U'
+        |  UNION ALL
+        |  SELECT event_id, event_type, user_id, cents
+        |  FROM chg WHERE op = 'I'
+        |)
+        |ORDER BY event_id""".stripMargin,
+
+    // every output precision/scale pinned to Spark's widening results:
+    // sum(12,2) → (22,2), (12,2)×(3,2) → (16,4), its sum → (26,4);
+    // DuckDB's own widths (38,·) CAST down so the typed compare sees
+    // identical decimal types. Decimal arithmetic is exact on both
+    // sides — no rounding anywhere except the one double avg.
+    "agg_decimal" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(22,2)) AS sum_price,
+        |       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        |       max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1.07 AS DECIMAL(3,2)))
+        |            AS DECIMAL(26,4)) AS sum_taxed,
+        |       count(*) AS n,
+        |       round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |                       AS DECIMAL(22,2)) AS DOUBLE)
+        |             / count(*), 4) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -870,4 +870,37 @@ object Analytic {
       .transpose()
       .withColumnRenamed("key", "metric")
       .orderBy("metric")
+
+  // `agg_decimal` — exact DECIMAL money aggregation end-to-end (r12
+  // verdict missing item 4: the §1.3 type-surface gap). The suite's
+  // float keys dodge summation-order drift with integer-cents tricks;
+  // this key exercises the type system's OWN answer: DecimalType
+  // arithmetic is exact base-10 — sums are order-independent, scale 2
+  // money never drifts, and Spark's unscaled-Long fast path keeps
+  // precision ≤ 18 decimals codegen-cheap. Every output precision/
+  // scale is PINNED identically in both engines (Spark's sum/multiply
+  // widening rules vs DuckDB's differ, so the oracle CASTs to Spark's
+  // result types: sum(12,2) → (22,2), (12,2)×(3,2) → (16,4), summed →
+  // (26,4)); the one double column (avg) converts the exact decimal
+  // sum once, identically on both sides. Scale shape: plain partial
+  // aggregation on a 3-value key — decimal sums are map-side
+  // combinable exactly like longs, the whole point of using them for
+  // money at 100 TB.
+  def aggDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val rate = lit("1.07").cast("decimal(3,2)")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), price.as("price"),
+        (price * rate).as("taxed")) // decimal(16,4), exact
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("price")).as("sum_price"),   // decimal(22,2)
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        sum(col("taxed")).as("sum_taxed"),   // decimal(26,4)
+        count(lit(1)).as("n"))
+      .withColumn("avg_price",
+        round(col("sum_price").cast("double") / col("n"), 4))
+      .orderBy("l_returnflag")
+  }
 }

@@ -115,6 +115,51 @@ class SourcesSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(root.resolve("_SUCCESS")))
   }
 
+  test("merge_into: the merge rewrites ONLY changelog-touched partitions; " +
+      "untouched partitions keep byte-identical files and are pruned " +
+      "from the target scan") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def listing(p: java.nio.file.Path): Map[String, (Long, Long)] =
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (Files.size(f), Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    val root = Paths.get(sources.FormatSources.exportPath("mergeinto", sf))
+    operators.Layout.mergeBase(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(root.toString)
+    // the changelog touches click/view; purchase/error/signup must
+    // survive the merge with byte-identical files (names, sizes AND
+    // mtimes — a rewrite that reproduced equal bytes would still bump
+    // the timestamp)
+    val untouchedBefore = Seq("purchase", "error", "signup")
+      .map(t => t -> listing(root.resolve(s"event_type=$t"))).toMap
+    val clickBefore = listing(root.resolve("event_type=click"))
+    assert(clickBefore.nonEmpty && untouchedBefore.forall(_._2.nonEmpty))
+    // read-side half of the touched-only contract: the target scan's
+    // PartitionFilters must carry the changelog's partition set (both
+    // the join-inferred static IN and the DPP subquery) — untouched
+    // partitions are never READ either
+    val chg = operators.Layout.mergeChangelog(spark, sf)
+    val targetPlan = spark.read.parquet(root.toString)
+      .join(org.apache.spark.sql.functions.broadcast(
+        chg.select("event_type").distinct()), Seq("event_type"))
+      .queryExecution.executedPlan.toString
+    assert(targetPlan.contains("PartitionFilters: [event_type") &&
+      targetPlan.contains("IN (click,view)"), targetPlan)
+    assert(targetPlan.contains("dynamicpruning"), targetPlan)
+    operators.Layout.mergeApply(spark, root.toString,
+      operators.Layout.mergeChangelog(spark, sf))
+    untouchedBefore.foreach { case (t, before) =>
+      assert(listing(root.resolve(s"event_type=$t")) === before,
+        s"merge touched partition event_type=$t absent from the changelog")
+    }
+    assert(listing(root.resolve("event_type=click")) !== clickBefore,
+      "a changelog-touched partition was not rewritten")
+  }
+
   test("write_partition_overwrite: dynamic mode replaces ONLY the incoming " +
       "partition — untouched partitions keep byte-identical files") {
     import java.nio.file.{Files, Paths}
