@@ -11,8 +11,16 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER: master-URL override for the multi-process
+    // shuffle rehearsal (VERDICT r12 item 6) — e.g.
+    // `local-cluster[2,2,2048]` runs 2 separate executor JVMs so
+    // broadcasts, accumulators and shuffle blocks cross REAL process
+    // boundaries (serialization the single-JVM local[n] mode never
+    // exercises). Executors need the compiled classes on their own
+    // classpath: pass -Dspark.executor.extraClassPath via
+    // SPARK_GRAFT_JAVA_OPTS and set SPARK_HOME (see VERIFY_cluster.md).
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
