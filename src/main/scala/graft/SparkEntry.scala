@@ -209,6 +209,12 @@ object SparkEntry {
     "agg_quantile_bucket" -> (Analytic.aggQuantileBucket _),
     "merge_into" -> (Layout.mergeInto _),
     "agg_decimal" -> (Analytic.aggDecimal _),
+    "tpch_q3" -> (Relational.tpchQ3 _),
+    "tpch_q18" -> (Relational.tpchQ18 _),
+    "dedup_containment" -> (Dedup.dedupContainment _),
+    "seq_pattern" -> (EventAnalytics.seqPattern _),
+    "table_snapshot" -> (Layout.tableSnapshot _),
+    "dedup_url" -> (Dedup.dedupUrl _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2902,6 +2908,142 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // TPC-H Q3 shape (shipping priority): revenue summed in exact
+    // integer micro-units, rendered once — identical BIGINT sums on
+    // both engines, so the top-10 cut is tie-broken deterministically
+    // by l_orderkey.
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+        |                      AS BIGINT)) / 1e6, 4) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // TPC-H Q18 shape (large-volume customer): quantity is integral in
+    // TPC-H → BIGINT-exact HAVING; totalprice rendered from exact cents.
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(CAST(round(o_totalprice * 100) AS BIGINT) / 1e2, 2)
+        |         AS o_totalprice,
+        |       sq.sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 200) sq
+        |  ON o_orderkey = sq.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // Asymmetric containment C = |A∩B| / min(|A|,|B|) over the same
+    // 5-gram shingle sets as dedupPairsOracle; Jaccard carried
+    // alongside. Exact string-shingle replay of the hashed-shingle
+    // inverted index.
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+        |  WHERE len(w) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(c * 1.0 / least(na.n, nb.n), 4) AS containment,
+        |       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt na ON doc_a = na.doc_id
+        |JOIN cnt nb ON doc_b = nb.doc_id
+        |WHERE c * 1.0 / least(na.n, nb.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Per-user event-type sequence string (total order ts, event_id —
+    // identical tie-break on both engines) + regex funnel match.
+    "seq_pattern" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+        |       regexp_matches(string_agg(event_type, ' ' ORDER BY ts, event_id),
+        |                      'view.*click.*purchase') AS matched,
+        |       len(string_split(string_agg(event_type, ' ' ORDER BY ts, event_id),
+        |                        'purchase')) - 1 AS n_purchase
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Flat replay of both committed versions: v0 is exactly the base
+    // state (snapshot isolation — the v1 write didn't leak into it),
+    // v1 is exactly the copy-on-write update (click cents doubled).
+    "table_snapshot" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, cents, event_type,
+        |       CAST(0 AS BIGINT) AS version FROM base
+        |UNION ALL
+        |SELECT event_id, user_id,
+        |       CASE WHEN event_type = 'click' THEN cents * 2
+        |            ELSE cents END AS cents,
+        |       event_type, CAST(1 AS BIGINT) AS version FROM base
+        |ORDER BY version, event_id""".stripMargin,
+
+    // Identical raw-URL synthesis + the same canonicalization regexp
+    // chain ('g' flag: Spark's regexp_replace is replace-all).
+    "dedup_url" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |         'https://'
+        |         || CASE WHEN event_id % 2 = 0 THEN 'CDN.Example.COM'
+        |                 ELSE 'cdn.example.com' END
+        |         || CASE WHEN event_id % 3 = 0 THEN ':443' ELSE '' END
+        |         || '/Page/' || CAST(event_id % 200 AS VARCHAR)
+        |         || CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END
+        |         || '?id='
+        |         || CAST(COALESCE(CAST(json_extract_string(props, '$.k')
+        |                               AS BIGINT), 0) % 100 AS VARCHAR)
+        |         || CASE WHEN event_id % 4 = 1
+        |                 THEN '&utm_source=feed&utm_campaign=x'
+        |                 ELSE '' END
+        |         || CASE WHEN event_id % 7 = 2
+        |                 THEN '#sec' || CAST(event_id % 5 AS VARCHAR)
+        |                 ELSE '' END AS raw
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, raw,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(raw, '#.*$', '', 'g'),
+        |               '&utm_[a-z]+=[^&]*', '', 'g'),
+        |             ':443/', '/', 'g'),
+        |           '/\?', '?', 'g') AS c4
+        |  FROM r
+        |)
+        |SELECT lower(regexp_extract(c4, '^(https?://[^/]+)', 1))
+        |       || regexp_extract(c4, '^https?://[^/]+(.*)$', 1) AS url,
+        |       count(*) AS n_raw,
+        |       count(DISTINCT raw) AS n_variants,
+        |       min(event_id) AS first_id
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY url""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -193,6 +193,86 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // `dedup_url` — URL canonicalization dedup, the zeroth dedup pass of
+  // every web-corpus pipeline: the same page arrives under host-case,
+  // default-port, trailing-slash, tracking-param and fragment variants,
+  // and content-level dedup should never have to pay for re-fetching or
+  // re-hashing them. Raw variants are synthesized deterministically
+  // from events (the corpus has no URL column), then canonicalized by a
+  // regexp chain — drop fragment, strip utm_* params, strip :443,
+  // collapse trailing slash, lowercase scheme+host ONLY (paths are
+  // case-sensitive per RFC 3986; the host regexp-extract keeps the
+  // fold surgical). Scale: pure map-side string work, then one shuffle
+  // on the canonical key — only (canon, id) pairs move, the standard
+  // exact-dedup shape. Every regexp is Java/RE2-identical (no
+  // backrefs, no lookaround) so DuckDB replays it verbatim.
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val raw = concat(
+      lit("https://"),
+      when(pmod(id, lit(2)) === 0, lit("CDN.Example.COM"))
+        .otherwise(lit("cdn.example.com")),
+      when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/Page/"), pmod(id, lit(200)).cast("string"),
+      when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), pmod(coalesce(k, lit(0L)), lit(100)).cast("string"),
+      when(pmod(id, lit(4)) === 1,
+        lit("&utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+      when(pmod(id, lit(7)) === 2,
+        concat(lit("#sec"), pmod(id, lit(5)).cast("string")))
+        .otherwise(lit("")))
+    val c1 = regexp_replace(raw, "#.*$", "")
+    val c2 = regexp_replace(c1, "&utm_[a-z]+=[^&]*", "")
+    val c3 = regexp_replace(c2, ":443/", "/")
+    val c4 = regexp_replace(c3, "/\\?", "?")
+    val canon = concat(
+      lower(regexp_extract(c4, "^(https?://[^/]+)", 1)),
+      regexp_extract(c4, "^https?://[^/]+(.*)$", 1))
+    Tables.events(spark, dir)
+      .select(id, raw.as("raw"), canon.as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw")).as("n_variants"),
+        min(id).as("first_id"))
+      .orderBy("url")
+  }
+
+  // `dedup_containment` — asymmetric shingle CONTAINMENT, the metric
+  // Jaccard structurally misses: when a short document is embedded in
+  // a much longer one (quotation, boilerplate wrapping, page-in-site
+  // scrape), |A∩B|/|A∪B| stays low because the union is dominated by
+  // the long doc, while C = |A∩B| / min(|A|,|B|) → 1. Broder's
+  // containment measure is the standard web-dedup complement to
+  // resemblance (the same shingle machinery serves both — one
+  // inverted-index self-join, no extra pass over the text). Output:
+  // pairs with C ≥ 0.9, carrying Jaccard alongside so the spec can pin
+  // that containment catches pairs the J ≥ 0.8 keys cannot. Scale:
+  // identical shape to dedup_ngram (shared-shingle equi-join only,
+  // never all-pairs); at 100 TB the candidate set would come from the
+  // banded-MinHash stage instead — the verify tail is unchanged.
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+
+  /** Containment pairs over any (doc_id, text) frame — factored out so
+    * DedupSpec can plant a subset-doc pair that Jaccard misses. */
+  private[operators] def containmentPairs(docs: DataFrame,
+      minC: Double = 0.9): DataFrame = {
+    val sh  = hashedShingles(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val c   = col("c").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    val j   = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    pairIntersections(sh)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(c >= minC)
+      .select(col("doc_a"), col("doc_b"),
+        round(c, 4).as("containment"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // Q38 `dedup_near` — MinHash-LSH near-dup detection (the scale path):
   // banded MinHash candidate generation + exact Jaccard verification on
   // candidates only. Output = exactly the J ≥ 0.8 pairs (same contract

@@ -57,6 +57,37 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `seq_pattern` — MATCH_RECOGNIZE-shaped sequence detection: the
+  // per-user event-type sequence (totally ordered by ts, event_id) is
+  // materialized as one string and matched against a regex funnel
+  // pattern (view …* click …* purchase). Complements funnel_conversion
+  // (staged min-ts joins — counts stages) with the general tool: ANY
+  // ordered pattern with gaps/alternation/repetition is one regex away,
+  // which is exactly the MATCH_RECOGNIZE niche. Scale: one shuffle on
+  // user_id; the sequence is built by sort_array over collect_list of
+  // (ts, event_id, type) structs — per-group data, never a global sort,
+  // and a user's event history is bounded (the same per-key-bounded
+  // contract every window key in the suite declares). collect_list's
+  // arrival order is nondeterministic; sort_array canonicalizes it, so
+  // the emitted string is partition-layout-independent.
+  def seqPattern(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "view.*click.*purchase"
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), " ").as("seq"))
+      .select(col("user_id"), col("n_events"), col("seq"),
+        col("seq").rlike(pat).as("matched"),
+        (size(split(col("seq"), "purchase")) - 1).cast("long")
+          .as("n_purchase"))
+      .orderBy("user_id")
+  }
+
   // `retention_cohort` — classic cohort retention triangle: users
   // cohort by their first active DAY; a cohort's day-N retention is
   // the count of its users active N days later. Two (user)-keyed aggs

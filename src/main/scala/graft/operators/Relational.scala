@@ -717,4 +717,58 @@ object Relational {
       .distinct()
       .orderBy("a_id", "b_id")
   }
+
+  // `tpch_q3` — TPC-H Q3 (shipping priority), the canonical composed
+  // select-join-aggregate-topk: customer(segment filter) ⋈ orders(date
+  // filter) ⋈ lineitem(date filter) → per-order revenue → top 10 by
+  // revenue. Complements the reference's Q6 (its only query) with the
+  // next classic shape up: two equi-joins feeding a grouped aggregate
+  // feeding TakeOrderedAndProject. Scale: both filters push into the
+  // scans; customer is broadcast at bench sf (AQE decides at real
+  // scale); the aggregate is map-side partial on l_orderkey, and the
+  // top-10 never sorts the full group output. Money in exact integer
+  // micro-units — sums are order-independent BIGINTs, one render at
+  // the end (the suite's established pattern). o_orderpriority stands
+  // in for o_shippriority (fixture has no shippriority column).
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(micro).as("rev_micro"))
+      .select(col("l_orderkey"),
+        round(col("rev_micro") / 1e6, 4).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // `tpch_q18` — TPC-H Q18 (large-volume customer): a HAVING-filtered
+  // aggregate over the fact table driving a semi-join back through
+  // orders ⋈ customer. The interesting scale property: the heavy
+  // side (lineitem) is aggregated FIRST — only (orderkey, sum_qty)
+  // survivors shuffle into the join, so the join input is orders-sized,
+  // not lineitem-sized. Quantity is integral in TPC-H → BIGINT-exact
+  // sums; totalprice rendered from exact cents.
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    Tables.orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(expr("CAST(round(o_totalprice * 100) AS BIGINT)") / 1e2, 2)
+          .as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
 }

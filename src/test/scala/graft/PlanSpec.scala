@@ -765,6 +765,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("tpch_q3: segment+date filters pushed to the scans, customer " +
+      "broadcasts, top-10 is TakeOrderedAndProject — no global sort") {
+    val p = plan(operators.Relational.tpchQ3(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("tpch_q18: lineitem aggregates BEFORE the join — the HashAggregate " +
+      "sits under the orders join, so only survivors shuffle") {
+    val p = plan(operators.Relational.tpchQ18(spark, sf))
+    // the qty aggregate must appear below the first join in the plan
+    // tree: the first Join line comes AFTER (deeper than) an aggregate
+    // on l_orderkey when printed top-down — assert order of appearance
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"agg@$aggIdx join@$joinIdx\n$p")
+  }
+
+  test("seq_pattern: one hash exchange on user_id builds the sequence — " +
+      "no window sort, no join") {
+    val p = plan(operators.EventAnalytics.seqPattern(spark, sf))
+    // 2 exchanges: hashpartitioning(user_id) for the agg + the
+    // terminal ORDER BY's range partitioning
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_url: map-side canonicalization, one partial-agg shuffle " +
+      "on the canonical key — no join, no window") {
+    val p = plan(operators.Dedup.dedupUrl(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // partial aggregation before the exchange (map-side combine)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 3L)) < 1.0)     // a real edit lowers Jaccard
   }
 
+  test("containmentPairs flags a short doc embedded in a long one that " +
+      "Jaccard structurally misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, short),                       // the quoted fragment
+      (1L, filler + " " + short),        // long doc containing it verbatim
+      (2L, "one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // containment sees the embedding...
+    assert(c.keySet === Set((0L, 1L)))
+    assert(c((0L, 1L))._1 === 1.0)          // every short-doc shingle is in the long doc
+    assert(c((0L, 1L))._2 < 0.8)            // ...at a Jaccard the J ≥ 0.8 keys reject
+    // ...and the Jaccard pipeline indeed misses the pair entirely.
+    assert(Dedup.ngramPairs(docs).collect().isEmpty)
+  }
+
   test("dedup_incremental: exact and near flags fire on cross-set dups; " +
       "batch-internal dups do NOT flag") {
     import spark.implicits._

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Pins the physical properties `table_snapshot`'s oracle can't see:
+  * copy-on-write file sharing between versions, immutability of
+  * superseded files, and snapshot isolation of the v0 read. */
+class SnapshotSpec extends SparkSpec {
+
+  test("table_snapshot: v1 shares every untouched partition file with " +
+      "v0 (copy-on-write), superseded click files stay on disk, and " +
+      "the v0 read after the v1 commit is still exactly the base state") {
+    val path = Layout.snapshotBuild(spark, sf)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val v0 = Layout.readManifest(fs, new Path(root, "_graft_log/v0.txt"))
+    val v1 = Layout.readManifest(fs, new Path(root, "_graft_log/v1.txt"))
+    val (v0Click, v0Rest) = v0.partition(_.startsWith("event_type=click/"))
+    val (v1Click, v1Rest) = v1.partition(_.startsWith("event_type=click/"))
+
+    // COW cheapness: every untouched-partition file is SHARED, not
+    // copied — the two manifests reference the same physical files.
+    assert(v0Rest.toSet === v1Rest.toSet,
+      "untouched partition files must be shared between versions")
+    // The rewritten partition got fresh files...
+    assert(v0Click.nonEmpty && v1Click.nonEmpty &&
+      v0Click.toSet.intersect(v1Click.toSet).isEmpty,
+      "v1 must replace, not reuse, the rewritten partition's files")
+    // ...and the superseded v0 files were never deleted (time travel
+    // depends on it).
+    v0Click.foreach(f =>
+      assert(fs.exists(new Path(root, f)), s"superseded file $f deleted"))
+
+    // Snapshot isolation: v0 read AFTER the v1 commit == base state.
+    val base = graft.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents", "event_type")
+      .orderBy("event_id").collect()
+    val snap0 = Layout.readSnapshot(spark, path, 0)
+      .selectExpr("event_id", "user_id", "cents", "event_type")
+      .orderBy("event_id").collect()
+    assert(snap0.toSeq === base.toSeq)
+
+    // v1 = the update: click cents doubled, everything else untouched.
+    val snap1 = Layout.readSnapshot(spark, path, 1)
+      .selectExpr("event_id", "user_id", "cents", "event_type")
+      .orderBy("event_id").collect()
+    assert(snap1.length === base.length)
+    base.zip(snap1).foreach { case (b, s) =>
+      val factor = if (b.getString(3) == "click") 2L else 1L
+      assert(s.getLong(2) === b.getLong(2) * factor)
+    }
+  }
+}
