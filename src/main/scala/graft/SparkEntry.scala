@@ -215,6 +215,8 @@ object SparkEntry {
     "seq_pattern" -> (EventAnalytics.seqPattern _),
     "table_snapshot" -> (Layout.tableSnapshot _),
     "dedup_url" -> (Dedup.dedupUrl _),
+    "snapshot_expire" -> (Layout.snapshotExpire _),
+    "join_grid_2d" -> (Relational.joinGrid2d _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3044,6 +3046,38 @@ object SparkEntry {
         |FROM c
         |GROUP BY 1
         |ORDER BY url""".stripMargin,
+
+    // Post-vacuum read = exactly the v1 state: the expire deleted only
+    // v0-only files, never live bytes.
+    "snapshot_expire" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN event_type = 'click'
+        |            THEN CAST(round(value * 100) AS BIGINT) * 2
+        |            ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+        |       event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // Brute-force A×B radius scan — deliberately NOT the grid
+    // algorithm, so a green hash certifies the grid join's
+    // completeness, not a replay.
+    "join_grid_2d" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id,
+        |         (event_id * 7919) % 10000 AS a_x,
+        |         (event_id * 104729) % 10000 AS a_y
+        |  FROM events WHERE event_id % 17 = 0
+        |), b AS (
+        |  SELECT event_id AS b_id,
+        |         (event_id * 3571) % 10000 AS b_x,
+        |         (event_id * 9973) % 10000 AS b_y
+        |  FROM events WHERE event_id % 13 = 0
+        |)
+        |SELECT a_id, b_id,
+        |       (a_x-b_x)*(a_x-b_x) + (a_y-b_y)*(a_y-b_y) AS dist_sq
+        |FROM a, b
+        |WHERE (a_x-b_x)*(a_x-b_x) + (a_y-b_y)*(a_y-b_y) <= 22500
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

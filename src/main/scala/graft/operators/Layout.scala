@@ -547,4 +547,46 @@ object Layout {
         .selectExpr(cols: _*).withColumn("version", lit(1L)))
       .orderBy("version", "event_id")
   }
+
+  // `snapshot_expire` — VACUUM, the maintenance third of the lakehouse
+  // triple (merge_into writes, table_snapshot reads, this one reclaims):
+  // expire every version below the retention floor, then delete the
+  // files no surviving manifest references. Correctness property worth
+  // a declared key: vacuum must be a pure METADATA decision — the set
+  // difference of manifest file lists — never a content rewrite, so
+  // the live table bytes are untouched and the post-vacuum read is
+  // still byte-exactly v1. At 100 TB this is what bounds storage
+  // growth under daily COW churn; the delete set is computed from
+  // manifests alone (no directory scan of the data tree), which is
+  // why it stays O(versions × files-per-manifest) however big the
+  // table gets. Output = the post-vacuum v1 read; the oracle certifies
+  // the surviving data is untouched by the delete, and SnapshotSpec
+  // pins the file arithmetic (reclaimed = exactly the v0-only files;
+  // file COUNTS are task-layout-dependent, so they belong to the spec,
+  // not the oracle surface).
+  def snapshotExpire(spark: SparkSession, dir: String): DataFrame = {
+    val path = snapshotBuild(spark, dir)
+    vacuumBelow(spark, path, keep = 1)
+    readSnapshot(spark, path, 1)
+      .selectExpr("event_id", "user_id", "cents", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Expire every version below `keep`: delete files referenced only
+    * by expired manifests (a pure manifest set-difference — no data
+    * read), then the manifests themselves. Returns the deleted
+    * relative paths. */
+  private[graft] def vacuumBelow(spark: SparkSession, path: String,
+      keep: Int): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expired = (0 until keep)
+      .map(v => readManifest(fs, manifestPath(root, v)))
+    val live = readManifest(fs, manifestPath(root, keep)).toSet
+    val doomed = expired.flatten.toSet -- live
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    (0 until keep).foreach(v => fs.delete(manifestPath(root, v), false))
+    doomed.toSeq.sorted
+  }
 }

@@ -749,6 +749,43 @@ object Relational {
       .limit(10)
   }
 
+  // `join_grid_2d` — 2-D spatial radius join via grid bucketing: the
+  // 2-D generalization of join_interval_overlap's manufacture-an-equi-
+  // key move. Points land in r-sized grid cells; the probe side
+  // explodes to its own cell plus the 8 neighbors, the equi-join on
+  // (cx, cy) produces only nearby candidates, and the exact integer
+  // distance predicate keeps true hits. Never all-pairs: candidate
+  // volume is |A|·9·(avg cell occupancy of B), so it scales with
+  // density × area, not |A|·|B| — the standard geospatial/collision
+  // pattern (uniform grid spatial hashing). All coordinates and the
+  // squared distance are exact integers, so the oracle can BRUTE-FORCE
+  // the same radius predicate over A×B — it independently certifies
+  // the grid join's COMPLETENESS (no near pair escapes its 3×3
+  // neighborhood), not just a replay of the same algorithm.
+  def joinGrid2d(spark: SparkSession, dir: String): DataFrame = {
+    val r = 150L
+    def pts(mod: Int, mx: Long, my: Long, p: String) =
+      Tables.events(spark, dir)
+        .filter(pmod(col("event_id"), lit(mod)) === 0)
+        .select(col("event_id").as(s"${p}_id"),
+          pmod(col("event_id") * mx, lit(10000L)).as(s"${p}_x"),
+          pmod(col("event_id") * my, lit(10000L)).as(s"${p}_y"))
+    val a = pts(17, 7919L, 104729L, "a")
+      .withColumn("gx", expr(s"a_x div $r"))
+      .withColumn("gy", expr(s"a_y div $r"))
+      .withColumn("cx", explode(array(col("gx") - 1, col("gx"), col("gx") + 1)))
+      .withColumn("cy", explode(array(col("gy") - 1, col("gy"), col("gy") + 1)))
+    val b = pts(13, 3571L, 9973L, "b")
+      .withColumn("cx", expr(s"b_x div $r"))
+      .withColumn("cy", expr(s"b_y div $r"))
+    val d2 = (col("a_x") - col("b_x")) * (col("a_x") - col("b_x")) +
+      (col("a_y") - col("b_y")) * (col("a_y") - col("b_y"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(d2 <= lit(r * r))
+      .select(col("a_id"), col("b_id"), d2.as("dist_sq"))
+      .orderBy("a_id", "b_id")
+  }
+
   // `tpch_q18` — TPC-H Q18 (large-volume customer): a HAVING-filtered
   // aggregate over the fact table driving a semi-join back through
   // orders ⋈ customer. The interesting scale property: the heavy

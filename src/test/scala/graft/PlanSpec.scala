@@ -807,6 +807,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, p)
   }
 
+  test("join_grid_2d: the radius join is an equi hash join on grid " +
+      "cells — no BroadcastNestedLoop, no CartesianProduct") {
+    val p = plan(operators.Relational.joinGrid2d(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("HashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

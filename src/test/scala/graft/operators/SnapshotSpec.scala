@@ -53,4 +53,30 @@ class SnapshotSpec extends SparkSpec {
       assert(s.getLong(2) === b.getLong(2) * factor)
     }
   }
+
+  test("snapshot_expire: vacuum deletes exactly the v0-only files (a " +
+      "pure manifest set-difference), never live bytes; the v1 read " +
+      "survives unchanged") {
+    val path = Layout.snapshotBuild(spark, sf)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = Layout.readManifest(fs, new Path(root, "_graft_log/v0.txt"))
+    val v1 = Layout.readManifest(fs, new Path(root, "_graft_log/v1.txt"))
+    val before = Layout.readSnapshot(spark, path, 1)
+      .orderBy("event_id").collect()
+
+    val deleted = Layout.vacuumBelow(spark, path, keep = 1)
+
+    // exactly the superseded set, nothing else
+    assert(deleted.toSet === v0.toSet -- v1.toSet)
+    deleted.foreach(f =>
+      assert(!fs.exists(new Path(root, f)), s"live-looking file $f kept?"))
+    v1.foreach(f =>
+      assert(fs.exists(new Path(root, f)), s"live file $f deleted"))
+    assert(!fs.exists(new Path(root, "_graft_log/v0.txt")))
+    // the surviving version reads byte-identically after the vacuum
+    val after = Layout.readSnapshot(spark, path, 1)
+      .orderBy("event_id").collect()
+    assert(after.toSeq === before.toSeq)
+  }
 }
