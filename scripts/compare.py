@@ -34,6 +34,11 @@ def main():
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # optional 3rd arg: comma-separated key filter (mirrors Verify's)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        names = [n for n in names if n in only]
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = n_skip = 0
     # an oracled key whose Verify output is missing entirely (the query
     # threw) must FAIL, not silently drop out of the listing

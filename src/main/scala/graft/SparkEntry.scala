@@ -3096,7 +3096,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
       |  FROM documents
-      |), sh AS (
+      |), sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
       |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
       |  WHERE len(w) >= 5
@@ -3111,10 +3111,10 @@ object SparkEntry {
       |  JOIN cnt na ON doc_a = na.doc_id
       |  JOIN cnt nb ON doc_b = nb.doc_id
       |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
-      |), deg AS (
+      |), deg AS MATERIALIZED (
       |  SELECT u, count(*) AS deg FROM edges GROUP BY 1
       |), nn AS (
       |  SELECT count(*) AS n FROM deg
