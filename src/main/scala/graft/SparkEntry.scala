@@ -217,6 +217,8 @@ object SparkEntry {
     "dedup_url" -> (Dedup.dedupUrl _),
     "snapshot_expire" -> (Layout.snapshotExpire _),
     "join_grid_2d" -> (Relational.joinGrid2d _),
+    "agg_retract" -> (EventAnalytics.aggRetract _),
+    "quality_logit" -> (TextAnalysis.qualityLogit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2165,9 +2167,9 @@ object SparkEntry {
         |  FROM ex, LATERAL unnest(generate_series(0, 7)) g(j)
         |)
         |SELECT vec_id, j,
-        |       round(CAST(sum(CASE WHEN instr('13579bdf', substring(md5(
+        |       CAST(sum(CASE WHEN instr('13579bdf', substring(md5(
         |         concat(CAST(i AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 1))
-        |         > 0 THEN -1 ELSE 1 END * xm) AS BIGINT) / 8000000.0, 4) AS y
+        |         > 0 THEN -1 ELSE 1 END * xm) AS BIGINT) AS y_micro8
         |FROM grid GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
 
@@ -3078,6 +3080,66 @@ object SparkEntry {
         |FROM a, b
         |WHERE (a_x-b_x)*(a_x-b_x) + (a_y-b_y)*(a_y-b_y) <= 22500
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Recompute-equals-maintain: the oracle aggregates a FULL replay of
+    // the post-merge state; green certifies the signed-delta
+    // maintenance (insert/delete/update retractions) reaches the same
+    // aggregate without rescanning the table.
+    "agg_retract" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 3 <> 0
+        |), chg AS (
+        |  SELECT event_id, event_type, user_id,
+        |         CASE WHEN event_id % 6 = 1
+        |              THEN CAST(round(value * 100) AS BIGINT) * 2
+        |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+        |         CASE WHEN event_id % 3 = 0 THEN 'I'
+        |              WHEN event_id % 6 = 1 THEN 'U'
+        |              WHEN event_id % 6 = 4 THEN 'D' END AS op
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND (event_id % 3 = 0 OR event_id % 6 = 1 OR event_id % 6 = 4)
+        |), final AS (
+        |  SELECT b.event_type,
+        |         CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |  FROM base b LEFT JOIN chg c ON b.event_id = c.event_id
+        |  WHERE c.op IS NULL OR c.op = 'U'
+        |  UNION ALL
+        |  SELECT event_type, cents FROM chg WHERE op = 'I'
+        |)
+        |SELECT event_type,
+        |       CAST(sum(cents) AS BIGINT) AS cents_total,
+        |       count(*) AS n_live
+        |FROM final
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Same md5 bucket fold as text_hashing_vec; integer weights and
+    // counts make the logit exact, so the keep cutoff cannot flap.
+    "quality_logit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ')) AS term
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substring(md5(term), 1, 6) AS BIGINT)
+        |           % 64 AS b
+        |  FROM tok
+        |), c AS (
+        |  SELECT doc_id, b, count(*) AS n FROM b GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(n * ((b * 2654435761) % 1001 - 500)) AS BIGINT)
+        |         AS logit,
+        |       CAST(sum(n * ((b * 2654435761) % 1001 - 500)) AS BIGINT) > 0
+        |         AS keep
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

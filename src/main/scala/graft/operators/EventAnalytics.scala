@@ -57,6 +57,44 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `agg_retract` — RETRACTABLE incremental aggregate maintenance, the
+  // materialized-view story agg_incremental_merge (append-only partial
+  // merge) cannot tell: when the changelog carries updates and DELETES,
+  // the maintained aggregate must subtract. Each changelog row becomes
+  // a signed delta against the standing per-type aggregate — insert
+  // (+new, +1), delete (−old, −1), update (new−old, ±0) — and
+  // base ⊕ deltas must equal a full recompute of the post-merge state,
+  // which is exactly what the oracle computes (recompute-equals-
+  // maintain, the correctness contract of every incremental matview
+  // engine). Scale: the whole maintenance pass is changelog-sized —
+  // one join of the changelog against the base on the merge key to
+  // fetch old values, one bounded (type-keyed) delta aggregation —
+  // never a rescan of the table; exact integer cents throughout so
+  // subtraction is lossless. Reuses merge_into's base/changelog
+  // builders: this key is the AGGREGATE view over the same merge the
+  // lakehouse keys apply row-wise.
+  def aggRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Layout.mergeBase(spark, dir)
+    val chg  = graft.operators.Layout.mergeChangelog(spark, dir)
+    val baseAgg = base.groupBy("event_type")
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val old = base.select(col("event_id"), col("cents").as("old_cents"))
+    val delta = chg.join(old, Seq("event_id"), "left_outer")
+      .select(col("event_type"),
+        when(col("op") === "I", col("cents"))
+          .when(col("op") === "D", -col("old_cents"))
+          .otherwise(col("cents") - col("old_cents")).as("dc"),
+        when(col("op") === "I", lit(1L))
+          .when(col("op") === "D", lit(-1L)).otherwise(lit(0L)).as("dn"))
+      .groupBy("event_type")
+      .agg(sum(col("dc")).as("ds"), sum(col("dn")).as("dnn"))
+    baseAgg.join(delta, Seq("event_type"), "left_outer")
+      .select(col("event_type"),
+        (col("s") + coalesce(col("ds"), lit(0L))).as("cents_total"),
+        (col("n") + coalesce(col("dnn"), lit(0L))).as("n_live"))
+      .orderBy("event_type")
+  }
+
   // `seq_pattern` — MATCH_RECOGNIZE-shaped sequence detection: the
   // per-user event-type sequence (totally ordered by ts, event_id) is
   // materialized as one string and matched against a regex funnel

@@ -354,7 +354,13 @@ object Similarity {
           "cast(i AS string), ':', cast(j AS string))), 1, 1)) > 0 " +
         "THEN -1L ELSE 1L END"))
       .groupBy("vec_id", "j")
-      .agg(round(sum(col("sign") * col("xm")).cast("double") / 8000000.0, 4)
-        .as("y"))
+      // exact integer micro-unit sum, NO division at render: /8e6 (not
+      // a power of ten) lands sums on .xxxx5 half-way boundaries where
+      // Java's BigDecimal.valueOf round and C's binary-expansion round
+      // disagree on the SAME double (caught by the r13 sf0.1 sweep:
+      // -1087600/8e6 = -0.13595 → Spark -0.136, DuckDB -0.1359). An
+      // integer output surface has no boundary to disagree on; the
+      // /8·10⁶ normalization is a display concern for the consumer.
+      .agg(sum(col("sign") * col("xm")).cast("long").as("y_micro8"))
       .orderBy("vec_id", "j")
 }

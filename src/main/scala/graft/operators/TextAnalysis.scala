@@ -908,6 +908,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `quality_logit` — model-based quality filtering, the linear-
+  // classifier complement of text_perplexity's LM gate (the fastText-
+  // style filter every production corpus pipeline runs): score each
+  // doc with a linear model over hashed unigram features and keep
+  // docs above threshold. The model is APPLIED, not trained — weights
+  // are a broadcast-sized constant (here a deterministic integer
+  // function of the bucket id, standing in for learned weights; a real
+  // pipeline would broadcast-join a 64-row weight table, which the
+  // perplexity key already demonstrates). Everything integer: bucket
+  // counts × integer weights sum exactly, so the score — unlike a
+  // float dot product — is invariant to partitioning and summation
+  // order, and the keep cutoff can never flap across engines (the
+  // text_ngram_colloc exact-ratio lesson applied to model scoring).
+  // Scale: explode → one (doc, bucket) partial agg → one doc agg;
+  // map-side combine both times, no joins.
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long"), lit(64))
+    val w = pmod(col("b") * lit(2654435761L), lit(1001L)) - lit(500L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), (col("n") * w).as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("logit"))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // `str_edit_distance` — blocked fuzzy entity matching (levenshtein),
   // the entity-resolution primitive: find name pairs within small edit
   // distance WITHOUT the all-pairs O(N²) comparison. Two levers make

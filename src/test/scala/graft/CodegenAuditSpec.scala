@@ -40,6 +40,8 @@ class CodegenAuditSpec extends SparkSpec {
     "dedup_near" -> ("MinHash shingle/signature HOFs over the shared cached " +
       "shingle frame; runtime tracks pair count sub-linearly (LshStress)"),
     "dedup_ngram" -> "shingle-construction HOF (shares the cached shingle frame)",
+    "dedup_containment" -> ("shingle-construction HOF (same shared cached " +
+      "shingle frame as dedup_ngram; the containment tail itself is codegen)"),
     "dedup_incremental" -> ("shingle-construction HOF on both sides of the " +
       "cross-set probe (same machinery as dedup_ngram)"),
     "dedup_simhash" -> "64-vote fingerprint agg over HOF-built shingle hashes",
