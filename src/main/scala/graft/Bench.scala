@@ -30,7 +30,7 @@ object Bench {
     Set("stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_sink_files",
       "stream_transform_state", "stream_update_mode", "stream_state_ttl",
-      "stream_foreachbatch")
+      "stream_foreachbatch", "stream_merge_cdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -219,6 +219,7 @@ object SparkEntry {
     "join_grid_2d" -> (Relational.joinGrid2d _),
     "agg_retract" -> (EventAnalytics.aggRetract _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
+    "stream_merge_cdc" -> (graft.streaming.Streams.streamMergeCdc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2863,33 +2864,13 @@ object SparkEntry {
     // applied (changelog carries the doubled cents), inserts appended —
     // a green hash certifies the partitioned rewrite produced EXACTLY
     // the ANSI MERGE result
-    "merge_into" ->
-      """WITH base AS (
-        |  SELECT event_id, event_type, user_id,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_id % 3 <> 0
-        |), chg AS (
-        |  SELECT event_id, event_type, user_id,
-        |         CASE WHEN event_id % 6 = 1
-        |              THEN CAST(round(value * 100) AS BIGINT) * 2
-        |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
-        |         CASE WHEN event_id % 3 = 0 THEN 'I'
-        |              WHEN event_id % 6 = 1 THEN 'U'
-        |              WHEN event_id % 6 = 4 THEN 'D' END AS op
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND (event_id % 3 = 0 OR event_id % 6 = 1 OR event_id % 6 = 4)
-        |)
-        |SELECT * FROM (
-        |  SELECT b.event_id, b.event_type, b.user_id,
-        |         CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
-        |  FROM base b LEFT JOIN chg c ON b.event_id = c.event_id
-        |  WHERE c.op IS NULL OR c.op = 'U'
-        |  UNION ALL
-        |  SELECT event_id, event_type, user_id, cents
-        |  FROM chg WHERE op = 'I'
-        |)
-        |ORDER BY event_id""".stripMargin,
+    "merge_into" -> mergedStateOracle,
+
+    // The STREAMING merge reaches the identical final state (batch
+    // order cannot matter: changelog keys are disjoint across ops), so
+    // it shares the batch key's oracle — a full correctness gate on a
+    // streaming key, not a spec-only check.
+    "stream_merge_cdc" -> mergedStateOracle,
 
     // every output precision/scale pinned to Spark's widening results:
     // sum(12,2) → (22,2), (12,2)×(3,2) → (16,4), its sum → (26,4);
@@ -3187,6 +3168,36 @@ object SparkEntry {
       |SELECT node AS doc_id, round(pr, 6) AS pagerank
       |FROM pr5 ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared by merge_into (batch) and stream_merge_cdc (streaming):
+    * both contract exactly the flat replay of the merged state. */
+  private def mergedStateOracle: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, user_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 3 <> 0
+      |), chg AS (
+      |  SELECT event_id, event_type, user_id,
+      |         CASE WHEN event_id % 6 = 1
+      |              THEN CAST(round(value * 100) AS BIGINT) * 2
+      |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+      |         CASE WHEN event_id % 3 = 0 THEN 'I'
+      |              WHEN event_id % 6 = 1 THEN 'U'
+      |              WHEN event_id % 6 = 4 THEN 'D' END AS op
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view')
+      |    AND (event_id % 3 = 0 OR event_id % 6 = 1 OR event_id % 6 = 4)
+      |)
+      |SELECT * FROM (
+      |  SELECT b.event_id, b.event_type, b.user_id,
+      |         CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+      |  FROM base b LEFT JOIN chg c ON b.event_id = c.event_id
+      |  WHERE c.op IS NULL OR c.op = 'U'
+      |  UNION ALL
+      |  SELECT event_id, event_type, user_id, cents
+      |  FROM chg WHERE op = 'I'
+      |)
+      |ORDER BY event_id""".stripMargin
 
   /** Shared by dedup_near and dedup_ngram: both contract exactly the
     * J ≥ 0.8 five-gram-shingle Jaccard pairs. */

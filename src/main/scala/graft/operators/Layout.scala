@@ -418,14 +418,21 @@ object Layout {
     val merged = target.as("t")
       .join(chg.as("c"), col("t.event_id") === col("c.event_id"),
         "full_outer")
-      // exact MERGE clause semantics; anything else is a no-op row drop
+      // exact MERGE clause semantics; anything else is a no-op row
+      // drop. Matched-'I' KEEPS the target row (ANSI whenNotMatched
+      // never fires on a match) — this is what makes a re-delivered
+      // insert batch a no-op, i.e. the whole apply IDEMPOTENT, which
+      // the streaming CDC sink (stream_merge_cdc) depends on and
+      // StreamMergeSpec pins.
       .where(col("c.op").isNull ||
-        (col("t.event_id").isNotNull && col("c.op") === "U") ||
+        (col("t.event_id").isNotNull && col("c.op").isin("U", "I")) ||
         (col("t.event_id").isNull && col("c.op") === "I"))
       .select(
         coalesce(col("t.event_id"), col("c.event_id")).as("event_id"),
         coalesce(col("t.user_id"), col("c.user_id")).as("user_id"),
-        when(col("c.op").isin("U", "I"), col("c.cents"))
+        when(col("c.op") === "U", col("c.cents"))
+          .when(col("c.op") === "I" && col("t.event_id").isNull,
+            col("c.cents"))
           .otherwise(col("t.cents")).as("cents"),
         coalesce(col("t.event_type"), col("c.event_type"))
           .as("event_type"))

@@ -906,6 +906,58 @@ object Streams {
   // idempotent-skip by replaying a poisoned frame under an
   // already-written batch id after the query stops — if the skip ever
   // broke, the poison rows would surface in the pinned output.
+  // `stream_merge_cdc` — the streaming half of the lakehouse MERGE:
+  // a CDC changelog arrives as a stream and every micro-batch MERGEs
+  // into the partitioned parquet target via foreachBatch — exactly the
+  // Delta/Iceberg streaming-upsert sink shape (readStream → foreachBatch
+  // { MERGE }). The apply is Layout.mergeApply, the same code path the
+  // batch merge_into key certifies, made IDEMPOTENT (matched-'I' keeps
+  // the target row, ANSI whenNotMatched semantics) so an at-least-once
+  // redelivery of any batch is a no-op — StreamMergeSpec pins both the
+  // redelivery drill and streaming-equals-batch equivalence. The final
+  // table state is deterministic (changelog keys are disjoint across
+  // ops, so batch order cannot matter), which is why this STREAMING key
+  // can carry a full DuckDB oracle — the flat replay of the merged
+  // state — instead of the spec-only verification most streaming keys
+  // settle for. Scale: each micro-batch pays changelog-slice-sized
+  // work (DPP-pruned target read + one full-outer merge + dynamic
+  // overwrite of touched partitions), the same bounded increment the
+  // batch key argues.
+  def streamMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val s = demoSession(spark)
+    val path = graft.sources.FormatSources.exportPath("smergetgt", dir)
+    graft.operators.Layout.mergeBase(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    // changelog staged one file per op → three deterministic
+    // micro-batches under maxFilesPerTrigger=1
+    val chgPath = java.nio.file.Paths.get(
+      graft.sources.FormatSources.exportPath("smergechg", dir))
+    deleteRecursively(chgPath)
+    val chg = graft.operators.Layout.mergeChangelog(spark, dir)
+    Seq("I", "U", "D").foreach { op =>
+      chg.filter(col("op") === op).coalesce(1)
+        .write.mode("append").parquet(chgPath.toString)
+    }
+    val ckpt = ckptDir("graft_smerge_ckpt_")
+    val q = s.readStream.schema(chg.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(chgPath.toString)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          graft.operators.Layout.mergeApply(b.sparkSession, path, b)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); deleteRecursively(ckpt) }
+    spark.read.parquet(path)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("cents"))
+      .orderBy("event_id")
+  }
+
   def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
     val s = demoSession(spark)
     import s.implicits._
