@@ -220,6 +220,7 @@ object SparkEntry {
     "agg_retract" -> (EventAnalytics.aggRetract _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
     "stream_merge_cdc" -> (graft.streaming.Streams.streamMergeCdc _),
+    "join_asof_nearest" -> (Relational.joinAsofNearest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3121,6 +3122,49 @@ object SparkEntry {
         |FROM c
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Identical union-timeline + two window passes; IGNORE NULLS
+    // last/first; null-coalesced sort keys (Spark NULLS FIRST vs
+    // DuckDB NULLS LAST); exact integer-µs distances.
+    "join_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, o_custkey AS uid,
+        |         o_orderdate AS t, o_orderkey AS o_key,
+        |         epoch_us(o_orderdate) AS ot_us, 0 AS kind
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts - INTERVAL 26 YEARS,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 1
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, kind, epoch_us(t) AS pt_us,
+        |         last_value(o_key IGNORE NULLS) OVER wb AS bk,
+        |         last_value(ot_us IGNORE NULLS) OVER wb AS bt,
+        |         first_value(o_key IGNORE NULLS) OVER wf AS fk,
+        |         first_value(ot_us IGNORE NULLS) OVER wf AS ft
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY uid
+        |           ORDER BY t, kind, COALESCE(o_key, -1),
+        |                    COALESCE(event_id, -1)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY uid
+        |           ORDER BY t, kind, COALESCE(o_key, -1),
+        |                    COALESCE(event_id, -1)
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id,
+        |       COALESCE(CASE WHEN bk IS NULL THEN fk
+        |                     WHEN fk IS NULL THEN bk
+        |                     WHEN ft - pt_us < pt_us - bt THEN fk
+        |                     ELSE bk END, -1) AS matched_order,
+        |       COALESCE(CASE WHEN bk IS NULL THEN ft - pt_us
+        |                     WHEN fk IS NULL THEN pt_us - bt
+        |                     ELSE least(pt_us - bt, ft - pt_us) END, -1)
+        |         AS dist_us
+        |FROM w
+        |WHERE kind = 1
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -197,6 +197,62 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // `join_asof_nearest` — the bidirectional completion of the as-of
+  // family (join_asof = backward, join_asof_tolerance = forward with a
+  // bound): each probe matches the CLOSEST order event in either
+  // direction, ties broken backward — the sensor-fusion/market-data
+  // "nearest quote" semantics. Same union-timeline formulation as
+  // join_asof (never a row-pair join): ONE window sort per direction
+  // over the merged stream — last non-null before, first non-null
+  // after — then an integer-µs distance compare picks the side. Sort
+  // keys are null-coalesced BECAUSE the two engines disagree on NULL
+  // order (Spark NULLS FIRST, DuckDB NULLS LAST — the suite's standing
+  // rule); all time arithmetic in exact integer microseconds.
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      lit(null).cast("long").as("event_id"),
+      col("o_custkey").as("uid"),
+      col("o_orderdate").as("t"),
+      col("o_orderkey").as("o_key"),
+      // o_orderdate scans as TIMESTAMP_NTZ; the UTC session cast is
+      // micro-identical to DuckDB's epoch_us on the naive value
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ot_us"),
+      lit(0).as("kind"))
+    val e = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").as("uid"),
+      (col("ts") - expr("INTERVAL 26 YEARS")).as("t"),
+      lit(null).cast("long").as("o_key"),
+      lit(null).cast("long").as("ot_us"),
+      lit(1).as("kind"))
+    val ord = Seq(col("t"), col("kind"),
+      coalesce(col("o_key"), lit(-1L)), coalesce(col("event_id"), lit(-1L)))
+    val wB = Window.partitionBy("uid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("uid").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val distB = unix_micros(col("t")) - col("bt")
+    val distF = col("ft") - unix_micros(col("t"))
+    o.unionByName(e)
+      .withColumn("bk", last(col("o_key"), ignoreNulls = true).over(wB))
+      .withColumn("bt", last(col("ot_us"), ignoreNulls = true).over(wB))
+      .withColumn("fk", first(col("o_key"), ignoreNulls = true).over(wF))
+      .withColumn("ft", first(col("ot_us"), ignoreNulls = true).over(wF))
+      .filter(col("kind") === 1)
+      .select(col("event_id"),
+        coalesce(
+          when(col("bk").isNull, col("fk"))
+            .when(col("fk").isNull, col("bk"))
+            .when(distF < distB, col("fk")).otherwise(col("bk")),
+          lit(-1L)).as("matched_order"),
+        coalesce(
+          when(col("bk").isNull, distF)
+            .when(col("fk").isNull, distB)
+            .otherwise(least(distB, distF)),
+          lit(-1L)).as("dist_us"))
+      .orderBy("event_id")
+  }
+
   // `join_salted` — the skew-mitigation join pattern: the probe side
   // spreads each hot key across SALT sub-keys via a deterministic row
   // hash; the build side replicates every row SALT times. The join key
