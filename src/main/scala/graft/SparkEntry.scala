@@ -221,6 +221,8 @@ object SparkEntry {
     "quality_logit" -> (TextAnalysis.qualityLogit _),
     "stream_merge_cdc" -> (graft.streaming.Streams.streamMergeCdc _),
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
+    "cbo_reorder" -> (Relational.cboReorder _),
+    "sql_variables" -> (Relational.sqlVariables _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3165,6 +3167,32 @@ object SparkEntry {
         |FROM w
         |WHERE kind = 1
         |ORDER BY event_id""".stripMargin,
+
+    // The join order is the optimizer's business — the oracle writes
+    // the natural chain; a green hash certifies the reordered plan
+    // computes the same relation.
+    "cbo_reorder" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // The variable's value is a particular row's exact 2-decimal
+    // double, replayed as an inline scalar subquery.
+    "sql_variables" ->
+      """WITH cut AS (
+        |  SELECT o_totalprice AS c FROM orders WHERE o_orderkey = 1234
+        |)
+        |SELECT o_orderpriority, count(*) AS n_top,
+        |       CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents
+        |FROM orders, cut
+        |WHERE o_totalprice > cut.c
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

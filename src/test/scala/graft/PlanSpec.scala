@@ -815,6 +815,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("cbo_reorder: the optimizer recovers the join chain from the " +
+      "worst syntactic order (no cartesian), and ANALYZE actually fed " +
+      "it (rowCount statistics present on the managed tables)") {
+    val (cust, ord, nat) = operators.Relational.cboTables(spark, sf)
+    operators.Relational.withCboConf(spark) {
+      val df = operators.Relational.cboReorderPlan(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+      // stats reached the optimizer: every managed table reports the
+      // ANALYZE row count (not a size-only estimate)
+      Seq(cust, ord, nat).foreach { t =>
+        val stats = spark.table(t).queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.isDefined, s"$t has no rowCount stats")
+      }
+    }
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
