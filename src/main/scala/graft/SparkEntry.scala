@@ -223,6 +223,8 @@ object SparkEntry {
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "cbo_reorder" -> (Relational.cboReorder _),
     "sql_variables" -> (Relational.sqlVariables _),
+    "set_multiset" -> (Analytic.setMultiset _),
+    "win_top_per_group" -> (Analytic.winTopPerGroup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3193,6 +3195,37 @@ object SparkEntry {
         |WHERE o_totalprice > cut.c
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Bag semantics replayed with DuckDB's own EXCEPT ALL /
+    // INTERSECT ALL; per-value multiplicities aggregated identically.
+    "set_multiset" ->
+      """WITH l AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |), r AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        |)
+        |SELECT 'except_all' AS tag, custkey, count(*) AS n
+        |FROM (SELECT custkey FROM l EXCEPT ALL SELECT custkey FROM r)
+        |GROUP BY custkey
+        |UNION ALL
+        |SELECT 'intersect_all', custkey, count(*)
+        |FROM (SELECT custkey FROM l INTERSECT ALL SELECT custkey FROM r)
+        |GROUP BY custkey
+        |ORDER BY tag, custkey""".stripMargin,
+
+    // Per-nation top-3 by balance, rank filter replayed; tie-break on
+    // custkey makes the cut deterministic.
+    "win_top_per_group" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, rn
+        |FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         CAST(row_number() OVER (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer
+        |)
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -195,6 +195,50 @@ object Analytic {
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     setLeft(spark, dir).except(setRight(spark, dir)).orderBy("custkey")
 
+  // `set_multiset` — the ALL (bag-semantics) half of the set-op
+  // family Q23–Q26 leaves open: EXCEPT ALL (multiplicity difference)
+  // and INTERSECT ALL (multiplicity minimum) over the same duplicated
+  // custkey streams. The distinct-semantics siblings erase HOW MANY
+  // times a key survives — for workloads where the count is the
+  // signal (order streams, event logs), the ALL variants are the
+  // correct algebra. Output aggregated to (tag, custkey, n): the
+  // per-value multiplicity IS the multiset, rendered deterministically.
+  // Scale: Spark plans both as a single hash aggregation on the key
+  // computing per-side counts then a map-side multiplicity expression —
+  // one shuffle each, no join.
+  def setMultiset(spark: SparkSession, dir: String): DataFrame = {
+    val ex = setLeft(spark, dir).exceptAll(setRight(spark, dir))
+      .groupBy("custkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+    val in = setLeft(spark, dir).intersectAll(setRight(spark, dir))
+      .groupBy("custkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("tag"), col("custkey"), col("n"))
+      .orderBy("tag", "custkey")
+  }
+
+  // `win_top_per_group` — per-group top-N via a rank filter, the shape
+  // Spark optimizes with WindowGroupLimit: because the downstream
+  // filter is `rn <= 3`, each map task keeps only its local top-3 PER
+  // GROUP BEFORE the window shuffle (a partial group-limit below the
+  // exchange, then a final one above) — so the exchange carries
+  // O(groups × N), not the full table. At 100 TB this is the
+  // difference between shuffling every customer and shuffling 3 per
+  // nation; PlanSpec pins BOTH WindowGroupLimit operators (partial +
+  // final) in the plan. Tie-break on custkey keeps the cut
+  // deterministic cross-engine.
+  def winTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
   // Q27 `str_funcs` — string expression suite over part.
   def strFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)

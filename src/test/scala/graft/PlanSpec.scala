@@ -832,6 +832,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("win_top_per_group: the rank filter plans as WindowGroupLimit — " +
+      "a partial group-limit below the exchange and a final one above, " +
+      "so the shuffle carries O(groups x N), not the table") {
+    val p = plan(operators.Analytic.winTopPerGroup(spark, sf))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      p.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
