@@ -225,6 +225,8 @@ object SparkEntry {
     "sql_variables" -> (Relational.sqlVariables _),
     "set_multiset" -> (Analytic.setMultiset _),
     "win_top_per_group" -> (Analytic.winTopPerGroup _),
+    "tpch_q1" -> (Relational.tpchQ1 _),
+    "agg_regression" -> (Analytic.aggRegression _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3226,6 +3228,51 @@ object SparkEntry {
         |)
         |WHERE rn <= 3
         |ORDER BY c_nationkey, rn""".stripMargin,
+
+    // TPC-H Q1 pricing summary: all money summed in exact integer
+    // units (cents / micro-units — price·(1−disc)·(1+tax) has ≤ 6 dp,
+    // so round(·×1e6) is an exact integer), every average rendered
+    // once from the exact sums; sums CAST AS BIGINT against DuckDB's
+    // HUGEINT widening.
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2, 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e6) AS BIGINT))
+        |                  AS BIGINT) / 1e6, 4) AS sum_disc_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * (1 + l_tax) * 1e6) AS BIGINT))
+        |                  AS BIGINT) / 1e6, 4) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |             / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2 / count(*), 4) AS avg_price,
+        |       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2 / count(*), 4) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // SQL-standard regr_* family exists in both engines with the same
+    // (y, x) argument order and single-pass stable moment algebra;
+    // model outputs rounded to 4dp, count pinned BIGINT.
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |         AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+        |         AS n_pairs,
+        |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        |       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

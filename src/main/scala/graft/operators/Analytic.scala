@@ -305,6 +305,38 @@ object Analytic {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // `agg_regression` — per-group ordinary-least-squares fit via the
+  // SQL-standard regr_* aggregate family (slope, intercept, R²,
+  // count, mean-x, mean-y): the one-pass linear-model primitive —
+  // trend estimation, sensitivity analysis, drift detection — that
+  // completes the statistical family agg_stats opens (stddev/corr/
+  // covar). Like those, every regr_* aggregate streams as a
+  // single-pass numerically-stable central-moment sketch with
+  // map-side partial merge (Welford-style): fixed O(1) state per
+  // (group, agg), only moment tuples cross the shuffle — the right
+  // regression at 100 TB, never a two-pass mean-then-residual scan.
+  // Cross-engine determinism as agg_stats: round(·,4) on the model
+  // outputs (both engines use stable single-pass moment algebra; the
+  // 3-row output space keeps last-ulp boundary risk negligible, and
+  // AnalyticSpec pins slope ≡ covar_pop/var_pop and the intercept
+  // identity against independently-computed moments).
+  def aggRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"),
+        expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)")
+          .as("n_pairs"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4)
+          .as("avg_x"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4)
+          .as("avg_y"))
+      .orderBy("l_returnflag")
+
   // `agg_percentile` — exact interpolated percentiles (the
   // quantile_cont definition both engines share). The approximate
   // sketch variant (approx_percentile) is asserted against this exact

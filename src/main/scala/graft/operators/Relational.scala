@@ -967,4 +967,46 @@ object Relational {
         col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
+
+  // `tpch_q1` — TPC-H Q1 (pricing summary report), the canonical
+  // wide-aggregate scan: one pass over lineitem computing eight
+  // aggregates across four expression families (qty, base price,
+  // discounted price, discounted+taxed charge) per (returnflag,
+  // linestatus). The scale story is the purest in TPC-H: a single
+  // map-side-partial hash aggregate onto a ~6-row key space — the
+  // shuffle carries 6 rows of partial state per task regardless of
+  // input size, so the query is scan-bound at any scale. Money in
+  // exact integer units (cents for 2dp terms, micro-units for the
+  // 4dp and 6dp products — price·(1−disc)·(1+tax) has at most 6
+  // decimal places, so round(·×1e6) is exact): BIGINT sums are
+  // order-independent, every average renders once from exact sums,
+  // no summation-order drift. Filter pushes to the parquet scan.
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val priceCents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val discMicro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val chargeMicro = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(priceCents).as("price_cents"),
+        sum(discMicro).as("disc_micro"),
+        sum(chargeMicro).as("charge_micro"),
+        sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("dpct_cents"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        round(col("price_cents") / 1e2, 2).as("sum_base_price"),
+        round(col("disc_micro") / 1e6, 4).as("sum_disc_price"),
+        round(col("charge_micro") / 1e6, 4).as("sum_charge"),
+        round(col("sum_qty") / col("count_order").cast("double"), 4)
+          .as("avg_qty"),
+        round(col("price_cents") / 1e2 / col("count_order"), 4)
+          .as("avg_price"),
+        round(col("dpct_cents") / 1e2 / col("count_order"), 4).as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -840,6 +840,26 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
   }
 
+  test("tpch_q1: shipdate filter pushed to the scan, one partial+final " +
+      "hash aggregate pair — the shuffle carries ~6 rows of partial " +
+      "state per task, then only the contract sort exchanges") {
+    val p = plan(operators.Relational.tpchQ1(spark, sf))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(count(p, "HashAggregate") === 2, p)
+    assert(count(p, "Exchange") === 2, // agg hash + contract sort range
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("agg_regression: the regr_* family plans as one partial+final " +
+      "hash aggregate on moment state — no join, no second pass") {
+    val p = plan(operators.Analytic.aggRegression(spark, sf))
+    assert(count(p, "HashAggregate") === 2, p)
+    assert(count(p, "Exchange") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

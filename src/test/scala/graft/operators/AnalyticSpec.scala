@@ -46,6 +46,34 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("agg_regression: regr_slope/intercept match the closed-form " +
+      "moment identities (slope = covar_pop/var_pop, the fitted line " +
+      "passes through the mean point), r2 bounded") {
+    val rows = Analytic.aggRegression(spark, sf).collect()
+    val m = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        covar_pop(col("l_extendedprice"), col("l_quantity")).as("cv"),
+        var_pop(col("l_quantity")).as("vx"),
+        avg(col("l_quantity")).as("ax"),
+        avg(col("l_extendedprice")).as("ay"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (cv, vx, ax, ay) = m(r.getString(0))
+      val slope = cv / vx
+      val icpt = ay - slope * ax
+      assert(math.abs(r.getDouble(1) - slope) < 1e-3,
+        s"slope identity: ${r.getDouble(1)} vs $slope")
+      assert(math.abs(r.getDouble(2) - icpt) < 1e-3,
+        s"intercept identity: ${r.getDouble(2)} vs $icpt")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "r2 in [0,1]")
+      assert(r.getLong(4) > 0L, "regr_count counts pairs")
+    }
+  }
+
   test("str_collation: case variants merge under UTF8_LCASE — group " +
       "count equals the distinct-lower count, variants counted binary") {
     val rows = Analytic.strCollation(spark, sf).collect()
