@@ -227,6 +227,9 @@ object SparkEntry {
     "win_top_per_group" -> (Analytic.winTopPerGroup _),
     "tpch_q1" -> (Relational.tpchQ1 _),
     "agg_regression" -> (Analytic.aggRegression _),
+    "agg_multi_distinct" -> (Analytic.aggMultiDistinct _),
+    "sql_pipe" -> (Relational.sqlPipe _),
+    "scan_file_metadata" -> (sources.FormatSources.scanFileMetadata _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3273,6 +3276,49 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Multiple exact COUNT(DISTINCT) + plain aggregates in one pass;
+    // all counts pinned BIGINT (DuckDB count already is), qty sum
+    // CAST against HUGEINT widening.
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // The pipe chain is parser sugar over exactly this classic form —
+    // the oracle replays it in ANSI syntax; exact-cents money, the
+    // revenue rendered once from the BIGINT sum.
+    "sql_pipe" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2, 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // The _metadata.row_index contract stated engine-independently:
+    // a dense 0..n-1 enumeration per file (min 0, max n-1, n distinct
+    // ordinals), n computed by the oracle from the same table; the
+    // fixture is the single file documents.parquet. Per-row restart/
+    // attribution semantics over a multi-file dataset are pinned in
+    // SourcesSpec (no portable SQL exists for another engine's hidden
+    // metadata columns).
+    "scan_file_metadata" ->
+      """SELECT 'documents.parquet' AS file_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS min_idx,
+        |       CAST(count(*) - 1 AS BIGINT) AS max_idx,
+        |       CAST(count(*) AS BIGINT) AS nd_idx,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc
+        |FROM documents""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

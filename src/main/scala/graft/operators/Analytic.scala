@@ -337,6 +337,32 @@ object Analytic {
           .as("avg_y"))
       .orderBy("l_returnflag")
 
+  // `agg_multi_distinct` — several exact COUNT(DISTINCT ·) over
+  // DIFFERENT columns in one aggregate, mixed with plain aggregates:
+  // the cardinality-profiling query every dataset audit starts with
+  // (how many parts / suppliers / orders per flag, in one pass). The
+  // planner surface is the point: a single distinct column folds into
+  // a two-phase aggregate, but multiple distinct columns are
+  // irreconcilable in one hash table — Catalyst rewrites through
+  // EXPAND (RewriteDistinctAggregates): each input row replicates
+  // once per distinct group with a grouping id, partial DEDUP runs
+  // map-side on (group, gid, value), and only the deduplicated
+  // expansion crosses the shuffle. At 100 TB the ×k expansion is
+  // priced map-side (distinct values per partition, not rows);
+  // the alternative — k self-joined single-distinct aggregates —
+  // scans the table k times. PlanSpec pins the Expand + no join;
+  // approx sibling: agg_approx_distinct (HLL, one pass, no Expand).
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // `agg_percentile` — exact interpolated percentiles (the
   // quantile_cont definition both engines share). The approximate
   // sketch variant (approx_percentile) is asserted against this exact

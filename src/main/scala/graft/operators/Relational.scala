@@ -451,6 +451,34 @@ object Relational {
         |USING sv_cut""".stripMargin)
   }
 
+  // `sql_pipe` — Spark 4's SQL pipe syntax (SQL-standard-track `|>`,
+  // the "SQL Has Problems" linear composition form): the same
+  // relational algebra written as an ordered pipeline — FROM … |>
+  // WHERE … |> EXTEND … |> AGGREGATE … GROUP BY … |> SELECT … |>
+  // ORDER BY — the readability surface long analytics pipelines
+  // (exactly this engine's audience) adopt first. The contract worth
+  // declaring: pipe syntax is PARSER sugar, not a new executor — the
+  // chain lowers to the identical Catalyst plan as the classic
+  // nested-subquery formulation (PlanSpec pins the same pushed
+  // filter / partial+final agg / no-join shape; RelationalSpec pins
+  // row-level parity with the classic form), so every optimizer
+  // right (pushdown through EXTEND, pruning) and every scale
+  // property is inherited, never re-earned. Money in exact cents,
+  // rendered once (the tpch_q1 rule).
+  def sqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("pipe_orders")
+    spark.sql(
+      """FROM pipe_orders
+        ||> WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        ||> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        ||> AGGREGATE count(*) AS n_orders,
+        |            CAST(sum(price_cents) AS BIGINT) AS cents
+        |   GROUP BY o_orderpriority
+        ||> SELECT o_orderpriority, n_orders,
+        |          round(cents / 1e2, 2) AS revenue
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // Q106 `join_skew_aqe` — the AUTOMATIC counterpart of `join_salted`:
   // the same hot-key workload (90% of lineitem funnels into orderkey 0)
   // joined WITHOUT salting, handled by AQE's skew-join split

@@ -424,4 +424,37 @@ object FormatSources {
       .filter(col("o_custkey").isin(7L, 23L, 48L, 97L, 120L))
       .orderBy("o_orderkey")
   }
+
+  // `scan_file_metadata` — the hidden `_metadata` provenance struct
+  // (file_name, row_index, …) every file-based scan carries: the
+  // row-level lineage surface a 100 TB pipeline leans on constantly
+  // ("which input file produced this bad row?", stable per-file
+  // ordinals for resumable processing, file-granular quarantine —
+  // the machinery scan_corrupt_records motivates, generalized to any
+  // row). Zero-cost by design: the columns materialize from the
+  // reader's own file/position state, no extra scan, no shuffle
+  // beyond the bounded per-file rollup; pruning still applies to the
+  // data columns (PlanSpec pins a doc_id-only ReadSchema — the blob
+  // columns never load just because provenance is requested).
+  // Declared output is the per-file provenance SUMMARY — (file,
+  // n_rows, idx range, idx density, key cardinality) — because the
+  // oracle can state the row_index CONTRACT engine-independently:
+  // a dense 0..n−1 enumeration per file (min 0, max n−1, n distinct)
+  // with the oracle computing n from the same table. Per-row
+  // semantics the summary can't see (restart at 0 in EVERY file of a
+  // multi-file dataset, file_name attribution) are pinned in
+  // SourcesSpec over a self-written 4-file dataset.
+  def scanFileMetadata(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_idx"),
+        col("doc_id"))
+      .groupBy("file_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("row_idx")).as("min_idx"),
+        max(col("row_idx")).as("max_idx"),
+        countDistinct(col("row_idx")).as("nd_idx"),
+        countDistinct(col("doc_id")).as("nd_doc"))
+      .orderBy("file_name")
 }

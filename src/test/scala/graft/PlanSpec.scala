@@ -860,6 +860,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("agg_multi_distinct: multiple distinct columns rewrite through " +
+      "Expand with map-side partial dedup — one table scan, no " +
+      "self-join of k single-distinct aggregates") {
+    val p = plan(operators.Analytic.aggMultiDistinct(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Scan parquet") === 1,
+      p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+  }
+
+  test("sql_pipe: the pipe chain lowers to the classic plan — filter " +
+      "pushed to the scan, partial+final hash aggregate, no join") {
+    val p = plan(operators.Relational.sqlPipe(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), p)
+    assert(count(p, "HashAggregate") === 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("scan_file_metadata: provenance columns come from reader state — " +
+      "the data read schema stays pruned to doc_id, no extra pass") {
+    val p = plan(sources.FormatSources.scanFileMetadata(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:"), p)
+    assert(!p.contains("text") && !p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing

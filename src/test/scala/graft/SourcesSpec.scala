@@ -238,5 +238,39 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("scan_file_metadata: _metadata.row_index restarts at 0 in EVERY " +
+      "file of a multi-file dataset and file_name attributes each row " +
+      "to a real part file (the per-row semantics the oracled per-file " +
+      "summary can't see)") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit,
+      max, min}
+    import scala.jdk.CollectionConverters._
+    val path = tmp("meta")
+    docs.repartition(4).write.parquet(path)
+    val back = spark.read.parquet(path)
+      .select(col("_metadata.file_name").as("fn"),
+        col("_metadata.row_index").as("idx"),
+        col("doc_id"))
+    val perFile = back.groupBy("fn")
+      .agg(count(lit(1)).as("n"), min(col("idx")).as("mn"),
+        max(col("idx")).as("mx"), countDistinct(col("idx")).as("nd"))
+      .collect()
+    assert(perFile.length === 4, "expected 4 part files")
+    for (r <- perFile) {
+      val (n, mn, mx, nd) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn === 0L, s"${r.getString(0)}: row_index does not restart")
+      assert(mx === n - 1 && nd === n,
+        s"${r.getString(0)}: row_index not a dense 0..n-1 enumeration")
+    }
+    // attribution: the claimed file names are exactly the part files
+    // on disk, and no row was lost or duplicated in the provenance view
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(perFile.map(_.getString(0)).toSet === onDisk)
+    assert(back.count() === docs.count())
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
