@@ -230,6 +230,8 @@ object SparkEntry {
     "agg_multi_distinct" -> (Analytic.aggMultiDistinct _),
     "sql_pipe" -> (Relational.sqlPipe _),
     "scan_file_metadata" -> (sources.FormatSources.scanFileMetadata _),
+    "agg_weighted" -> (Analytic.aggWeighted _),
+    "join_band_bnlj" -> (Relational.joinBandBnlj _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3319,6 +3321,47 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS nd_idx,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc
         |FROM documents""".stripMargin,
+
+    // Weighted mean + Kish n_eff from three exact BIGINT moment sums;
+    // every division sequence written identically to the Spark render
+    // (single IEEE ops over exactly-representable ints), sums CAST
+    // against HUGEINT widening.
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_w,
+        |       round(CAST(sum(CAST(l_quantity AS BIGINT) *
+        |                      CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2
+        |             / CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT), 4)
+        |         AS wavg_price,
+        |       round(CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) *
+        |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |                  AS DOUBLE)
+        |             / CAST(CAST(sum(CAST(l_quantity AS BIGINT) *
+        |                             CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |                    AS DOUBLE), 4) AS n_eff
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // The same 5-band [lo, hi) dimension inlined as VALUES; exact
+    // 2-dec boundaries vs exact 2-dec prices — the band cut cannot
+    // flip cross-engine; exact cents.
+    "join_band_bnlj" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('B1_micro', 0.0, 50000.0),
+        |  ('B2_small', 50000.0, 100000.0),
+        |  ('B3_mid', 100000.0, 200000.0),
+        |  ('B4_large', 200000.0, 300000.0),
+        |  ('B5_jumbo', 300000.0, 1.0e18))
+        |SELECT band,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  AS BIGINT) / 1e2, 2) AS revenue
+        |FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

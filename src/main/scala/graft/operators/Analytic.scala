@@ -363,6 +363,36 @@ object Analytic {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // `agg_weighted` — weighted aggregation (weight = quantity, value =
+  // price): the survey-statistics / importance-sampling primitive —
+  // weighted mean plus the Kish effective sample size n_eff =
+  // (Σw)²/Σw², the number every weighted-sampling pipeline (corpus
+  // temperature mixing, deduped-with-multiplicity corpora) reports to
+  // know how much statistical power the weights left behind. Shape:
+  // three plain BIGINT sums (Σw, Σw·x_cents, Σw²) in ONE partial+
+  // final hash aggregate — weighted stats need no special machinery,
+  // just moment sums, so map-side combine and O(1) per-group state
+  // hold at any scale. All sums exact integers (quantity is integral
+  // in TPC-H, price in cents): order-independent, each double render
+  // computed once from exact sums with the division sequence written
+  // identically in both engines (single IEEE ops over exactly-
+  // representable ints — deterministic cross-engine).
+  def aggWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w  = col("l_quantity").cast("long")
+    val xc = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(w).as("sum_w"),
+        sum(w * xc).as("wx_cents"),
+        sum(w * w).as("sum_w2"))
+      .select(col("l_returnflag"), col("sum_w"),
+        round(col("wx_cents") / 1e2 / col("sum_w"), 4).as("wavg_price"),
+        round((col("sum_w") * col("sum_w")).cast("double") /
+          col("sum_w2").cast("double"), 4).as("n_eff"))
+      .orderBy("l_returnflag")
+  }
+
   // `agg_percentile` — exact interpolated percentiles (the
   // quantile_cont definition both engines share). The approximate
   // sketch variant (approx_percentile) is asserted against this exact

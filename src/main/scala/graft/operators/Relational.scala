@@ -479,6 +479,43 @@ object Relational {
         ||> ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // `join_band_bnlj` — banded classification via a PURE non-equi join
+  // against a bounded dimension: every order lands in exactly one
+  // price band ([lo, hi) intervals partitioning the domain). With no
+  // equi component at all, a hash/sort-merge join is impossible — the
+  // plan IS BroadcastNestedLoopJoin, and the declared point is that
+  // here BNLJ is the RIGHT plan, not a failure: the build side is
+  // O(1) rows (5 bands) broadcast once, the probe side STREAMS with
+  // zero shuffle, and each row tests ≤5 predicates — O(N·k) with
+  // k constant is a map-only pass at 100 TB. Contrast the suite's
+  // other non-equi joins where BOTH sides are large and BNLJ would be
+  // Ω(N·M): join_range_theta (equi component carries the hash),
+  // join_interval_overlap / join_grid_2d (a manufactured grid key),
+  // sim_topk (bounded probe side). The rule this key encodes:
+  // bounded side ⇒ broadcast BNLJ; unbounded both sides ⇒ make a key.
+  // PlanSpec pins BroadcastNestedLoopJoin + zero pre-agg exchanges;
+  // band edges are exact 2-dec doubles vs exact 2-dec prices, so the
+  // [lo, hi) boundary can never flip cross-engine; exact cents.
+  def joinBandBnlj(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("B1_micro", 0.0, 50000.0),
+      ("B2_small", 50000.0, 100000.0),
+      ("B3_mid", 100000.0, 200000.0),
+      ("B4_large", 200000.0, 300000.0),
+      ("B5_jumbo", 300000.0, 1.0e18)))
+      .toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .select(col("band"), col("n_orders"),
+        round(col("cents") / 1e2, 2).as("revenue"))
+      .orderBy("band")
+  }
+
   // Q106 `join_skew_aqe` — the AUTOMATIC counterpart of `join_salted`:
   // the same hot-key workload (90% of lineitem funnels into orderkey 0)
   // joined WITHOUT salting, handled by AQE's skew-join split

@@ -879,6 +879,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("agg_weighted: weighted stats are plain moment sums — one " +
+      "partial+final hash aggregate, no special machinery, no join") {
+    val p = plan(operators.Analytic.aggWeighted(spark, sf))
+    assert(count(p, "HashAggregate") === 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("join_band_bnlj: the pure non-equi band join IS " +
+      "BroadcastNestedLoopJoin with the bounded side built — probe " +
+      "streams with zero pre-aggregate exchanges") {
+    val p = plan(operators.Relational.joinBandBnlj(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // one BroadcastExchange (the 5-row dim) and the only SHUFFLES are
+    // the aggregate hash + terminal sort range — the probe side
+    // reaches the join without shuffling
+    assert(count(p, "BroadcastExchange") === 1, p)
+    assert(count(p, "Exchange hashpartitioning") +
+        count(p, "Exchange rangepartitioning") === 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("scan_file_metadata: provenance columns come from reader state — " +
       "the data read schema stays pruned to doc_id, no extra pass") {
     val p = plan(sources.FormatSources.scanFileMetadata(spark, sf))
