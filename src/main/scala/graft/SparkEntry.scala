@@ -232,6 +232,9 @@ object SparkEntry {
     "scan_file_metadata" -> (sources.FormatSources.scanFileMetadata _),
     "agg_weighted" -> (Analytic.aggWeighted _),
     "join_band_bnlj" -> (Relational.joinBandBnlj _),
+    "tpch_q5" -> (Relational.tpchQ5 _),
+    "skyline_2d" -> (Relational.skyline2d _),
+    "rank_bm25" -> (TextAnalysis.rankBm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3073,6 +3076,75 @@ object SparkEntry {
         |FROM a, b
         |WHERE (a_x-b_x)*(a_x-b_x) + (a_y-b_y)*(a_y-b_y) <= 22500
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Classic TPC-H Q5 formulation (ANSI join chain + region/date
+    // filters); money summed in exact integer micro-units, CAST
+    // against DuckDB's HUGEINT widening, one render at the end.
+    "tpch_q5" ->
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e6) AS BIGINT)) AS BIGINT)
+        |             / 1e6, 4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // Brute-force dominance NOT EXISTS over all pairs — deliberately
+    // NOT the sort-scan algorithm, so a green hash certifies the
+    // frontier's completeness against the quadratic definition.
+    "skyline_2d" ->
+      """WITH p AS (
+        |  SELECT DISTINCT x, (9999 - x) + (event_id * 104729) % 1000 AS y
+        |  FROM (SELECT (event_id * 7919) % 10000 AS x, event_id
+        |        FROM events WHERE event_id % 17 = 0)
+        |)
+        |SELECT x, y FROM p s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.x <= s.x AND q.y <= s.y AND (q.x < s.x OR q.y < s.y))
+        |ORDER BY x""".stripMargin,
+
+    // Same BM25 formula (Lucene idf variant), same shared
+    // tokenization replay as text_tfidf; no score threshold — every
+    // doc with >= 1 query-term hit returns, scores rounded 4dp.
+    "rank_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+        |), qtf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN ('dup', 'vector', 'hash')
+        |  GROUP BY doc_id, term
+        |), qdf AS (
+        |  SELECT term, count(*) AS df FROM qtf GROUP BY term
+        |), scalars AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT avg(dl) FROM dl) AS avgdl
+        |)
+        |SELECT qtf.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_query_terms_hit,
+        |       round(sum(
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |         * (tf * 2.2)
+        |         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM qtf
+        |JOIN qdf USING (term)
+        |JOIN dl USING (doc_id)
+        |CROSS JOIN scalars
+        |GROUP BY qtf.doc_id
+        |ORDER BY qtf.doc_id""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

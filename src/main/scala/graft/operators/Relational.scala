@@ -1074,4 +1074,115 @@ object Relational {
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  // `tpch_q5` — TPC-H Q5 (local-supplier volume): the six-table join
+  // chain customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+  // with the co-location predicate c_nationkey = s_nationkey, revenue
+  // per nation for one region-year. The widest join tree in the suite,
+  // and the canonical star-schema scale test: the fact table
+  // (lineitem) should be joined against BROADCAST dimensions — region
+  // (5 rows), nation (25), supplier — while only the fact-sized
+  // streams shuffle. The date filter pushes into the orders scan and
+  // prunes before any join; the region filter prunes nation to one
+  // region's worth before supplier ever joins. The co-location
+  // predicate is an ordinary equi condition folded into the customer
+  // join (join on custkey AND nationkey-equality after both sides
+  // carry a nationkey), not a post-filter over a wider product.
+  // Money in exact integer micro-units (order-independent BIGINT
+  // sums, one render at the end — the suite pattern).
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(micro).as("rev_micro"))
+      .select(col("n_name"),
+        round(col("rev_micro") / 1e6, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // `skyline_2d` — Pareto frontier (skyline) of a 2-D point set
+  // (Börzsönyi et al.'s skyline operator, ICDE 2001): keep every
+  // point not dominated by another (q dominates p when q.x <= p.x,
+  // q.y <= p.y, and q is strictly smaller in at least one coordinate
+  // — both coordinates minimized). The naive formulation is the
+  // O(N²) NOT EXISTS self-join; the scalable one exploits the
+  // skyline's distributivity — skyline(S) = skyline of the union of
+  // per-bucket survivors — to prune in parallel BEFORE any global
+  // order:
+  //  1. bucket points by x range; per-bucket min y is a partial
+  //     aggregate onto a BOUNDED key space (one tiny shuffle);
+  //  2. the running min of bucket minima over strictly-earlier
+  //     buckets is a window over ~100 rows — scalar-sized work;
+  //  3. prune: p can only be on the frontier if its y beats every
+  //     point in every earlier bucket (any such point has strictly
+  //     smaller x, so y_p >= that min ⇒ dominated) — a broadcast
+  //     join + map-side filter that kills the bulk of the data;
+  //  4. the exact sort-scan (min-y-per-x column + strict prefix min
+  //     over smaller x) runs over SURVIVORS ONLY — the global range
+  //     window is single-partition by nature, but it now sorts the
+  //     candidate frontier (≈ the staircase, typically O(log N) for
+  //     random data), never the corpus.
+  // The same oracle philosophy as join_grid_2d: DuckDB brute-forces
+  // the dominance NOT EXISTS over all pairs, so a green hash
+  // certifies the prune+scan's COMPLETENESS (no frontier point
+  // dropped, no dominated point kept) against an independent
+  // quadratic definition, not a replay. Points are exact integers
+  // manufactured from event_id by multiplicative hashing (the
+  // join_grid_2d generator family), so dominance comparisons are
+  // exact in both engines.
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    // ANTI-correlated coordinates (y falls as x rises, plus hash
+    // noise): uniform-random points have near-degenerate skylines
+    // (one lucky corner point dominates everything — measured 1 row
+    // at sf0.01), while anti-correlation is the standard hard case in
+    // the skyline literature and yields a real staircase (66 points
+    // at sf0.01, 601 at sf0.1)
+    val pts = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(pmod(col("event_id") * 7919L, lit(10000L)).as("x"),
+        col("event_id"))
+      .select(col("x"),
+        ((lit(9999L) - col("x")) +
+          pmod(col("event_id") * 104729L, lit(1000L))).as("y"))
+      .distinct()
+      .withColumn("bkt", expr("x div 100")) // integer div: ≤ 100 buckets
+    // per-bucket minima, then the strict-prefix running min over the
+    // bounded bucket axis (window over ≤ 100 rows)
+    val bktPrefix = Window.orderBy("bkt")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bounds = pts.groupBy("bkt").agg(min(col("y")).as("bmin"))
+      .withColumn("prune_y", min(col("bmin")).over(bktPrefix))
+    val candidates = pts
+      .join(broadcast(bounds.select(col("bkt"), col("prune_y"))), Seq("bkt"))
+      .filter(col("prune_y").isNull || col("y") < col("prune_y"))
+    val perX = Window.partitionBy("x")
+    // strictly-smaller x only: RANGE frame ending 1 before the current
+    // x value (integer coordinates make the -1 bound exact)
+    val prefix = Window.orderBy("x")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    candidates
+      .withColumn("min_y_at_x", min(col("y")).over(perX))
+      .withColumn("min_y_before", min(col("y")).over(prefix))
+      .filter(col("y") === col("min_y_at_x") &&
+        (col("min_y_before").isNull || col("y") < col("min_y_before")))
+      .select("x", "y")
+      .orderBy("x")
+  }
 }

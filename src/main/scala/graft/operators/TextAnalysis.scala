@@ -1085,4 +1085,57 @@ object TextAnalysis {
         md5(clean).as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  // `rank_bm25` — Okapi BM25 retrieval scoring (Robertson & Spärck
+  // Jones probabilistic relevance framework; the BM25 formula as
+  // published in Robertson et al., TREC-3 1994 — the default lexical
+  // ranker in every search stack and the standard first-stage
+  // retriever in RAG pipelines): score every document against a fixed
+  // query term set, k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + 0.5)/
+  // (df + 0.5)) (the Lucene variant — strictly positive even for
+  // df > N/2, which matters here because this corpus' vocabulary is
+  // tiny and common terms have df ≈ 0.8·N).
+  //
+  // Scale shape: tf for the three query terms comes from one filtered
+  // explode→(doc_id, term) partial agg — the filter on the 3-term set
+  // prunes BEFORE the shuffle, so only matching-term counts move; df
+  // and the corpus scalars (N, avgdl) are dimension-bounded aggregates
+  // (3 rows / 1 row) that broadcast into the scoring join. Per-doc
+  // length joins back on doc_id (one fact-sized shuffle). Nothing is
+  // all-pairs and nothing corpus-global ships except two broadcast
+  // scalars — the inverted-index query shape without materializing an
+  // index.
+  //
+  // Determinism: scores round to 4 dp with doc_id ordering and NO
+  // score cutoff (every doc containing ≥ 1 query term returns), so a
+  // last-ulp ln() flip cannot change set membership — the same
+  // no-threshold-on-floats rule text_tfidf/text_perplexity follow.
+  def rankBm25(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("dup", "vector", "hash") // df 25 / 382 / 394 of 500
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qtf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qdf = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = docs.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // constants spelled as the same decimal literals the oracle uses
+    // (2.2, 0.25, 0.75): identical doubles on both sides, so the whole
+    // per-term expression differs from DuckDB only by ln()'s last ulp
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / col("avgdl")))
+    qtf.join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_query_terms_hit"),
+        round(sum(idf * tfNorm), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
 }

@@ -31,14 +31,22 @@ import graft.Tables
   */
 object FormatSources {
 
-  /** Stable per-(table, sf-dir) export path: repeated invocations in
-    * one bench/verify session rewrite the same location (overwrite
-    * mode), never accumulate temp dirs. Collision-resistant sha-256 tag
-    * (same rationale as Layout's table tag); `private[graft]` so
-    * PlanSpec can locate the partition directories it asserts over. */
+  /** Stable per-(table, sf-dir, process) export path: repeated
+    * invocations in one bench/verify session rewrite the same location
+    * (overwrite mode), never accumulate temp dirs within a JVM.
+    * Collision-resistant sha-256 tag (same rationale as Layout's table
+    * tag); `private[graft]` so PlanSpec can locate the partition
+    * directories it asserts over. The pid suffix isolates CONCURRENT
+    * JVMs on the same sf dir: without it, two runs overwrite-writing
+    * the same path race on delete-then-create and one dies with
+    * Spark's "Eagerly executed overwrite failed" INTERNAL_ERROR (seen
+    * once in a full-suite bench that overlapped a verify sweep; in
+    * local mode that failure stops the SparkContext and cascades into
+    * every later key). Per-process paths make the collision
+    * impossible instead of merely unlikely. */
   private[graft] def exportPath(fmt: String, dir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${fmt}_${graft.Util.pathTag(dir)}").toString
+      s"graft_${fmt}_${graft.Util.pathTag(dir)}_p${ProcessHandle.current().pid()}").toString
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),

@@ -901,6 +901,38 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("tpch_q5: date filter pushed into the orders scan, the bounded " +
+      "dimension chain broadcasts, no cartesian anywhere in the " +
+      "six-table tree") {
+    val p = plan(operators.Relational.tpchQ5(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("skyline_2d: bounded-bucket prune broadcasts into a map-side " +
+      "filter and the exact scan is windows over survivors — never the " +
+      "quadratic dominance self-join") {
+    val p = plan(operators.Relational.skyline2d(spark, sf))
+    // the only join is the broadcast prune-bound join; a SortMergeJoin
+    // or cartesian means the dominance test decomposed into pairs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("rank_bm25: df table and corpus scalars broadcast into the " +
+      "scoring join — the only hash shuffles carry (doc,term) partials " +
+      "and doc-keyed rows, never the corpus cross anything large") {
+    val p = plan(operators.TextAnalysis.rankBm25(spark, sf))
+    assert(count(p, "BroadcastExchange") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("scan_file_metadata: provenance columns come from reader state — " +
       "the data read schema stays pruned to doc_id, no extra pass") {
     val p = plan(sources.FormatSources.scanFileMetadata(spark, sf))
