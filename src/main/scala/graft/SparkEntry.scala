@@ -235,6 +235,15 @@ object SparkEntry {
     "tpch_q5" -> (Relational.tpchQ5 _),
     "skyline_2d" -> (Relational.skyline2d _),
     "rank_bm25" -> (TextAnalysis.rankBm25 _),
+    "tpch_q7" -> (Relational.tpchQ7 _),
+    "tpch_q8" -> (Relational.tpchQ8 _),
+    "tpch_q10" -> (Relational.tpchQ10 _),
+    "tpch_q13" -> (Relational.tpchQ13 _),
+    "tpch_q14" -> (Relational.tpchQ14 _),
+    "tpch_q15" -> (Relational.tpchQ15 _),
+    "tpch_q17" -> (Relational.tpchQ17 _),
+    "tpch_q19" -> (Relational.tpchQ19 _),
+    "tpch_q22" -> (Relational.tpchQ22 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3145,6 +3154,189 @@ object SparkEntry {
         |CROSS JOIN scalars
         |GROUP BY qtf.doc_id
         |ORDER BY qtf.doc_id""".stripMargin,
+
+    // Classic Q7 formulation (nation-pair disjunction over the
+    // four-table chain); micro-unit BIGINT sums CAST against DuckDB's
+    // HUGEINT widening, year() already BIGINT in DuckDB (Spark side
+    // casts to long to match).
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e6) AS BIGINT)) AS BIGINT)
+        |             / 1e6, 4) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Classic Q8 numerator/denominator CASE-aggregate; both sums in
+    // exact integer micro-units, the share is one double division.
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       round(CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |                    THEN CAST(round(l_extendedprice * (1 - l_discount)
+        |                                    * 1e6) AS BIGINT)
+        |                    ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |             / CAST(CAST(sum(CAST(round(l_extendedprice
+        |                    * (1 - l_discount) * 1e6) AS BIGINT)) AS BIGINT)
+        |                    AS DOUBLE), 6) AS mkt_share
+        |FROM part, lineitem, orders, customer, supplier,
+        |     nation n1, region, nation n2
+        |WHERE p_partkey = l_partkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n2.n_nationkey
+        |  AND p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Classic Q10 top-20 returned-revenue customers; exact micro-unit
+    // revenue makes the cut deterministic, c_custkey breaks ties.
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e6) AS BIGINT)) AS BIGINT)
+        |             / 1e6, 4) AS revenue,
+        |       round(CAST(round(c_acctbal * 100) AS BIGINT) / 1e2, 2)
+        |         AS c_acctbal,
+        |       n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // Classic Q13 two-level aggregate over a LEFT OUTER join (the
+    // zero-order bucket must survive). Adaptation: the fixture orders
+    // table has no o_comment, so the spec's comment NOT-LIKE filter
+    // has no analogue — distribution is over all orders.
+    "tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Classic Q14 promo-share CASE-aggregate, one output row; both
+    // sums exact micro-unit BIGINTs, one double division at render.
+    "tpch_q14" ->
+      """SELECT round(100.0
+        |       * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |              THEN CAST(round(l_extendedprice * (1 - l_discount)
+        |                              * 1e6) AS BIGINT)
+        |              ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |       / CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                              * 1e6) AS BIGINT)) AS BIGINT)
+        |              AS DOUBLE), 4) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // Classic Q15 via the revenue CTE (the spec's VIEW); every
+    // supplier at the exact BIGINT max returns, ordered by suppkey.
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 1e6) AS BIGINT)) AS BIGINT)
+        |           AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name,
+        |       round(rev_micro / 1e6, 4) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = (SELECT max(rev_micro) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Classic Q17 correlated-avg shape (per-part averages joined
+    // back); the 0.2·avg threshold as an exact integer
+    // cross-multiplication, the /7 render as an exact
+    // multiple-of-7 division (identity 2-dp render).
+    "tpch_q17" ->
+      """WITH bp AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+        |), li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN bp ON l_partkey = p_partkey
+        |), pa AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS cnt_qty
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT round((cents - cents % 7) / 7 / 1e2, 2) AS avg_yearly
+        |FROM (
+        |  SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM li JOIN pa ON l_partkey = ap_partkey
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty
+        |)""".stripMargin,
+
+    // Classic Q19 three-clause OR-of-ANDs (size bands standing in for
+    // the absent p_container lists); exact micro-unit sum, one row.
+    "tpch_q19" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e6) AS BIGINT)) AS BIGINT)
+        |             / 1e6, 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Classic Q22 scalar-avg + NOT EXISTS anti shape, nation standing
+    // in for the absent phone country code; above-average as an exact
+    // integer cross-multiplication, totals render identity 2-dp.
+    "tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), pos AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM cust WHERE bal_cents > 0
+        |)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(CAST(sum(bal_cents) AS BIGINT) / 1e2, 2) AS totacctbal
+        |FROM cust, pos, nation
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND c_nationkey = n_nationkey
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

@@ -1185,4 +1185,325 @@ object Relational {
       .select("x", "y")
       .orderBy("x")
   }
+
+  // `tpch_q7` — TPC-H Q7 (volume shipping): bilateral trade volume
+  // between two nations by shipment year. The join tree is
+  // supplier ⋈ lineitem ⋈ orders ⋈ customer with BOTH endpoints
+  // nation-resolved, keeping only the two (supp_nation, cust_nation)
+  // orderings of the pair. Scale shape: the two-nation filter prunes
+  // supplier to 2/25 of a dimension BEFORE the fact join (broadcast),
+  // and the customer side carries its nation name through an equally
+  // pruned broadcast — so of the three joins only the two fact-sized
+  // ones (lineitem⋈orders on orderkey, orders⋈customer on custkey)
+  // shuffle, and the disjunction over nation pairs is a map-side
+  // filter on two already-joined small columns, never a cross
+  // product. Group-by lands on a 2×years key space — partial agg
+  // ships a handful of rows per task at any scale. Money in exact
+  // integer micro-units (order-independent BIGINT sums), year from
+  // l_shipdate — both spelled identically in the oracle.
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val n1 = lit("NATION_1")
+    val n2 = lit("NATION_2")
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(micro).as("rev_micro"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("rev_micro") / 1e6, 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // `tpch_q8` — TPC-H Q8 (national market share): of all ASIA-market
+  // order volume in one product type over two years, what fraction
+  // was supplied by NATION_7, by order year. The canonical
+  // numerator/denominator conditional-aggregate shape: ONE pass
+  // computes both sums — sum(CASE supplier-nation THEN vol END) and
+  // sum(vol) — so the share needs no self-join and no second scan.
+  // Scale shape: part is filtered to one type BEFORE its join
+  // (broadcast after the filter — dimension-sized); the ASIA market
+  // restriction prunes customers via a nation⋈region broadcast chain
+  // before the orders join; supplier resolves through a 100-row
+  // broadcast. Only lineitem⋈orders and orders⋈customer shuffle.
+  // Exact integer micro-unit sums; the share is ONE double division
+  // at render (deterministic — both operands exact).
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", micro)
+          .otherwise(lit(0L))).as("nation_micro"),
+        sum(micro).as("total_micro"))
+      .select(col("o_year"),
+        round(col("nation_micro").cast("double") /
+          col("total_micro").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  // `tpch_q10` — TPC-H Q10 (returned-item reporting): the 20
+  // customers who returned the most revenue in one quarter. The
+  // top-k-over-aggregate shape: group lineitem(l_returnflag='R') ⋈
+  // orders(one quarter) ⋈ customer ⋈ nation by customer, then
+  // orderBy(revenue desc).limit(20) — which Catalyst executes as
+  // TakeOrderedAndProject (per-partition top-20 heaps, 20 rows per
+  // task to the driver), NEVER a global sort. Scale shape: the
+  // quarter filter prunes orders at the scan; the returnflag filter
+  // prunes lineitem at the scan; nation broadcasts; the only
+  // fact-sized shuffles are the two key joins and the custkey
+  // aggregate. Revenue in exact integer micro-units makes the
+  // top-20 cut deterministic (no float tie ambiguity); c_custkey
+  // breaks exact revenue ties identically in both engines.
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(micro).as("rev_micro"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("rev_micro") / 1e6, 4).as("revenue"),
+        round(expr("CAST(round(c_acctbal * 100) AS BIGINT)") / 1e2, 2)
+          .as("c_acctbal"),
+        col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // `tpch_q13` — TPC-H Q13 (customer order distribution): histogram
+  // of customers by how many orders they placed, INCLUDING the
+  // zero-order customers — the reason the join must be a LEFT OUTER
+  // from customer (an inner join silently drops the c_count=0 bucket,
+  // the classic Q13 bug). Adaptation documented: the fixture orders
+  // table carries no o_comment column, so the spec's
+  // NOT-LIKE-'%special%requests%' comment filter has no analogue and
+  // the distribution is over ALL orders; the operator shape (left
+  // outer → per-customer count → count-of-counts) is Q13's.
+  // Scale shape: two hash aggregates, each with map-side partials —
+  // the first onto |customers| keys (the one fact-sized shuffle),
+  // the second onto a ~dozen-row c_count space; the final sort is
+  // over the histogram, not the data. count(o_orderkey) (not
+  // count(*)) makes the outer-join null rows count 0 in both engines.
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // `tpch_q14` — TPC-H Q14 (promotion effect): what percentage of
+  // one month's revenue came from promotional parts. Same
+  // numerator/denominator single-pass CASE-aggregate as tpch_q8,
+  // reduced to ONE output row — the whole month's revenue collapses
+  // to two BIGINT partials per task, so the shuffle after the join
+  // carries a handful of rows regardless of scale. The month filter
+  // prunes lineitem at the scan; part joins broadcast (filter-free
+  // here — the CASE needs both promo and non-promo rows, so the
+  // prune that q8 applies to part is deliberately absent and the
+  // dimension ships whole). LIKE 'PROMO%' spelled identically in
+  // both engines; one double division at render.
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").like("PROMO%"), micro).otherwise(lit(0L)))
+          .as("promo_micro"),
+        sum(micro).as("total_micro"))
+      .select(round(lit(100.0) * col("promo_micro").cast("double") /
+        col("total_micro").cast("double"), 4).as("promo_revenue"))
+  }
+
+  // `tpch_q15` — TPC-H Q15 (top supplier): the supplier(s) whose
+  // three-month revenue equals the global maximum — the spec's
+  // revenue VIEW becomes a reusable aggregate frame, and the
+  // all-achieving-the-max semantics (the spec returns EVERY supplier
+  // at the max, not an arbitrary one) is an equi-join against a
+  // 1-row max aggregate, which Spark broadcasts — so the "which rows
+  // hit the global extreme" pattern costs one partial-agg shuffle
+  // onto |suppliers| keys plus a broadcast, never a global sort or
+  // a second scan of lineitem. Supplier dimension broadcasts into
+  // the final name resolution. Exact micro-unit revenue makes "equal
+  // to the max" a BIGINT equality — no float-compare fragility.
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(micro).as("rev_micro"))
+    val maxRev = revenue.agg(max(col("rev_micro")).as("max_micro"))
+    revenue
+      .join(broadcast(maxRev), col("rev_micro") === col("max_micro"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_micro") / 1e6, 4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // `tpch_q17` — TPC-H Q17 (small-quantity-order revenue): revenue
+  // lost to orders below 20% of a part's average order quantity, for
+  // one brand. The correlated-scalar-aggregate shape: the spec's
+  // per-part avg(l_quantity) subquery becomes an aggregate over the
+  // SAME lineitem scan joined back on partkey — Catalyst executes the
+  // per-part averages as a partial-agg shuffle onto |parts-of-brand|
+  // keys — but formulated as a PARTITION window over l_partkey so
+  // lineitem is scanned ONCE (the join-back formulation scans the
+  // fact twice; the window pays one partkey shuffle instead —
+  // pinned). Brand prunes part BEFORE the join (broadcast), so the
+  // window runs over 1/|brands| of the fact. Adaptation documented:
+  // fixture part has no p_container, so the spec's container filter
+  // is dropped — brand alone scopes the parts. Determinism: the
+  // threshold compare l_quantity < 0.2·avg(qty) is restated as the
+  // EXACT integer cross-multiplication 5·qty·cnt < sum_qty
+  // (quantities are integral doubles ≤ 50, sums < 2^53 — no float
+  // boundary can flip); the spec's /7.0 render becomes an exact
+  // multiple-of-7 division then an identity 2-dp render (a
+  // non-power-of-ten double division would manufacture half-way
+  // rounding flips — the embed_rp lesson).
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("sum_qty", sum(col("l_quantity").cast("long")).over(w))
+      .withColumn("cnt_qty", count(lit(1)).over(w))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_qty") <
+        col("sum_qty"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .select(
+        round((col("cents") - pmod(col("cents"), lit(7L))) / lit(7L) / 1e2, 2)
+          .as("avg_yearly"))
+  }
+
+  // `tpch_q19` — TPC-H Q19 (discounted revenue, disjunctive
+  // predicates): revenue from three OR'd (brand, size-band,
+  // quantity-band) clauses — THE disjunctive-pushdown stress in
+  // TPC-H: a naive planner evaluates the OR after a full join; the
+  // right plan pushes the common join key through and lets the
+  // disjunction prune map-side. Here part prunes to the UNION of the
+  // three brand/size clauses BEFORE the join (the disjunction over
+  // part columns pushes into the part scan — pinned), the pruned
+  // dimension broadcasts, and the per-clause quantity bands apply
+  // map-side post-join. Adaptation documented: fixture part has no
+  // p_container, so each clause scopes by p_size band instead of the
+  // container IN-lists; the three-clause OR-of-ANDs shape and the
+  // brand×band×quantity coupling are Q19's. Exact micro-unit sums.
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val micro =
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
+    val q = col("l_quantity")
+    val clause1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && q.between(1, 11)
+    val clause2 = col("p_brand") === "Brand#21" &&
+      col("p_size").between(1, 10) && q.between(10, 20)
+    val clause3 = col("p_brand") === "Brand#15" &&
+      col("p_size").between(1, 15) && q.between(20, 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#21" && col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(clause1 || clause2 || clause3)
+      .agg(sum(micro).as("rev_micro"))
+      .select(round(col("rev_micro") / 1e6, 4).as("revenue"))
+  }
+
+  // `tpch_q22` — TPC-H Q22 (global sales opportunity): customers
+  // with above-average account balances who have placed no recent
+  // orders — the scalar-global-aggregate + ANTI-join composition.
+  // The global positive-balance average is a 1-row aggregate that
+  // broadcasts into a map-side filter (never a per-row subquery);
+  // "no recent orders" is a LEFT ANTI join against the date-pruned
+  // orders scan — the only fact-sized shuffle; the final rollup
+  // lands on the 25-nation key space. Adaptation documented: fixture
+  // customer has no c_phone, so the spec's country-code substring
+  // grouping becomes the nation dimension (same bounded-key rollup),
+  // and "in the last 7 years" anchors at 1999-01-01 against the
+  // fixture's 1995–2001 order span. Determinism: cents > global avg
+  // restated as the EXACT integer cross-multiplication
+  // cents·n_pos > sum_cents; balance totals render identity 2-dp.
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("tot_cents"))
+      .select(col("n_name"), col("numcust"),
+        round(col("tot_cents") / 1e2, 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
 }

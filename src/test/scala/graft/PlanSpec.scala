@@ -940,6 +940,98 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text") && !p.contains("Join"), p)
   }
 
+  test("tpch_q7: two-nation prune broadcasts both endpoint dimensions; " +
+      "the nation-pair disjunction is a map-side filter, never a " +
+      "cartesian blowup; shipdate window pushed into the lineitem scan") {
+    val p = plan(operators.Relational.tpchQ7(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("tpch_q8: part prunes to one type BEFORE its join (pushed " +
+      "filter), dimensions broadcast, the share is one pass — a single " +
+      "aggregate, no self-join") {
+    val p = plan(operators.Relational.tpchQ8(spark, sf))
+    assert(p.contains("EqualTo(p_type,STANDARD)"), p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // numerator and denominator share ONE pass over the fact table —
+    // a share formulated as two separate aggregates joined back would
+    // scan lineitem twice
+    assert(count(p, "lineitem.parquet") === 1, p)
+  }
+
+  test("tpch_q10: top-20 executes as TakeOrderedAndProject (per-" +
+      "partition heaps), never a global sort; returnflag and quarter " +
+      "filters pushed to their scans") {
+    val p = plan(operators.Relational.tpchQ10(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderda"), p)
+    assert(!p.contains("GlobalLimit"), p)
+  }
+
+  test("tpch_q13: customer LEFT OUTER survives to the physical plan " +
+      "(the zero-order bucket depends on it) and both aggregates carry " +
+      "map-side partials") {
+    val p = plan(operators.Relational.tpchQ13(spark, sf))
+    assert(p.contains("LeftOuter"), p)
+    assert(count(p, "HashAggregate") >= 4, p)  // 2 aggs × partial+final
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q14: single-row CASE-aggregate — part broadcasts whole " +
+      "(no type prune: the CASE needs both branches), month window " +
+      "pushed into the lineitem scan, one aggregate pair") {
+    val p = plan(operators.Relational.tpchQ14(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q15: the global max joins back as a broadcast (1-row " +
+      "build side), so every-supplier-at-the-max costs no second " +
+      "lineitem scan beyond the revenue aggregate's reuse") {
+    val p = plan(operators.Relational.tpchQ15(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("tpch_q17: the per-part average is a partition window — " +
+      "lineitem is scanned ONCE (the join-back formulation scans the " +
+      "fact twice); brand prune broadcasts") {
+    val p = plan(operators.Relational.tpchQ17(spark, sf))
+    assert(count(p, "lineitem.parquet") === 1, p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q19: the brand/size disjunction pushes into the part " +
+      "scan (OR'd PushedFilters), the pruned dimension broadcasts, one " +
+      "lineitem scan") {
+    val p = plan(operators.Relational.tpchQ19(spark, sf))
+    assert(p.contains("Or(And("), p)
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "lineitem.parquet") === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q22: no-recent-orders is a LEFT ANTI against the date-" +
+      "pruned orders scan (pushed filter), the global average joins as " +
+      "a 1-row broadcast, nation broadcasts into the rollup") {
+    val p = plan(operators.Relational.tpchQ22(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderda"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
