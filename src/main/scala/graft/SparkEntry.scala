@@ -244,6 +244,8 @@ object SparkEntry {
     "tpch_q17" -> (Relational.tpchQ17 _),
     "tpch_q19" -> (Relational.tpchQ19 _),
     "tpch_q22" -> (Relational.tpchQ22 _),
+    "win_ntile" -> (Analytic.winNtile _),
+    "text_readability" -> (TextAnalysis.textReadability _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3337,6 +3339,47 @@ object SparkEntry {
         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // ntile remainder rule (earlier buckets take the extras) is
+    // identical in both engines given the same TOTAL order — cents +
+    // custkey tie-break make the order total.
+    "win_ntile" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |         CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+        |           ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+        |                    c_custkey) AS BIGINT) AS decile
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(min(bal_cents) AS BIGINT) / 1e2, 2) AS lo_bal,
+        |       round(CAST(max(bal_cents) AS BIGINT) / 1e2, 2) AS hi_bal
+        |FROM c
+        |GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin,
+
+    // Same three regex counts, same fixed scalar expression (spelled
+    // identically — IEEE-identical doubles), floor(x*1000) render.
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  CAST(floor(1000.0 * (206.835
+        |    - 1.015 * (CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |               AS DOUBLE)
+        |       / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |              AS DOUBLE))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |              AS DOUBLE)
+        |       / CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |              AS DOUBLE)))) AS BIGINT) AS flesch_x1000
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

@@ -506,6 +506,36 @@ object Analytic {
       .orderBy("c_custkey")
   }
 
+  // `win_ntile` — equal-height bucketing via the ntile window
+  // function: decile assignment per market segment over a TOTAL order
+  // (acctbal cents, custkey tie-break — a partial order would make
+  // bucket boundaries nondeterministic), rolled up to per-(segment,
+  // decile) stats. ntile's remainder rule (earlier buckets get the
+  // extra rows) is identical in Spark and DuckDB given the same total
+  // order. Scale note: ntile needs its partition's total row count
+  // before assigning, so each segment partition sorts whole — fine
+  // for bounded-cardinality partitions like the 5 segments here, but
+  // the VALUE-bucketed sibling (`agg_quantile_bucket`: percentile
+  // boundaries broadcast into a map-side bucket assignment) is the
+  // declared scale path when partitions are fact-sized; this key pins
+  // the rank-exact API surface. The rollup lands on a 5×10 key space.
+  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_cents"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents.as("bal_cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bal_cents")).as("lo_cents"),
+        max(col("bal_cents")).as("hi_cents"))
+      .select(col("c_mktsegment"), col("decile"), col("n"),
+        round(col("lo_cents") / 1e2, 2).as("lo_bal"),
+        round(col("hi_cents") / 1e2, 2).as("hi_bal"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
   // `date_funcs2` — second datetime suite: calendar fields and
   // month-arithmetic. Engine-numbering notes: Spark dayofweek is 1-7
   // Sunday-first vs DuckDB dow 0-6 Sunday-first (oracle adds 1);

@@ -232,6 +232,41 @@ object TextAnalysis {
     (ranks, symIds)
   }
 
+  // `text_readability` — Flesch-style reading-ease scoring (Flesch
+  // 1948's formula, the standard readability heuristic in corpus
+  // quality stacks): 206.835 − 1.015·(words/sentences) −
+  // 84.6·(syllables/words), with whitespace word counts, [.!?]+ run
+  // counts as sentences (clamped ≥ 1), and vowel-group runs
+  // [aeiouy]+ as the syllable heuristic (a no-dictionary
+  // approximation — zero-vowel tokens contribute 0; both engines
+  // count THE SAME regex matches so the heuristic's crudeness cannot
+  // diverge). Map-only codegen'd regex projection — scales as a pure
+  // scan, the text_quality shape. Determinism: the three counts are
+  // exact BIGINTs; the score is a FIXED scalar expression (identical
+  // literal spelling, identical op order → bitwise-identical IEEE
+  // doubles cross-engine) rendered via floor(x·1000) to an integer —
+  // floor of identical doubles is identical, dodging both round()'s
+  // halfway divergence (the embed_rp lesson) and CAST's
+  // truncate-vs-round engine split.
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val lt = lower(col("text"))
+    val nWords = size(split(trim(lt), "\\s+")).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyll = size(regexp_extract_all(lt, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch_x1000",
+        floor(lit(1000.0) * (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")))).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // `text_quality` — per-doc quality signals: length, alphanumeric
   // ratio, average token length, stopword ratio, and a deterministic
   // composite score in [0,1] (coverage×(1-stopword dominance)) — the

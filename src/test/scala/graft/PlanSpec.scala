@@ -1032,6 +1032,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("win_ntile: one window pass per segment partition, rollup onto " +
+      "the bounded 5×10 key space with map-side partials") {
+    val p = plan(operators.Analytic.winNtile(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text_readability: map-only regex projection — a single " +
+      "documents scan, no hash exchange (only the terminal sort), " +
+      "read schema pruned to doc_id + text") {
+    val p = plan(operators.TextAnalysis.textReadability(spark, sf))
+    assert(count(p, "documents.parquet") === 1, p)
+    assert(count(p, "Exchange hashpartitioning") === 0, p)
+    assert(p.contains("ReadSchema: struct<doc_id:"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
