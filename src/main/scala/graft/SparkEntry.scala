@@ -3181,16 +3181,19 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     // Classic Q8 numerator/denominator CASE-aggregate; both sums in
-    // exact integer micro-units, the share is one double division.
+    // exact integer micro-units, the share is one double division
+    // rendered floor(x*1e6) — integer output, no cross-engine
+    // round() halfway exposure.
     "tpch_q8" ->
       """SELECT year(o_orderdate) AS o_year,
-        |       round(CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |       CAST(floor(1e6
+        |            * CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
         |                    THEN CAST(round(l_extendedprice * (1 - l_discount)
         |                                    * 1e6) AS BIGINT)
         |                    ELSE 0 END) AS BIGINT) AS DOUBLE)
-        |             / CAST(CAST(sum(CAST(round(l_extendedprice
+        |            / CAST(CAST(sum(CAST(round(l_extendedprice
         |                    * (1 - l_discount) * 1e6) AS BIGINT)) AS BIGINT)
-        |                    AS DOUBLE), 6) AS mkt_share
+        |                    AS DOUBLE)) AS BIGINT) AS mkt_share_x1e6
         |FROM part, lineitem, orders, customer, supplier,
         |     nation n1, region, nation n2
         |WHERE p_partkey = l_partkey
@@ -3243,16 +3246,17 @@ object SparkEntry {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     // Classic Q14 promo-share CASE-aggregate, one output row; both
-    // sums exact micro-unit BIGINTs, one double division at render.
+    // sums exact micro-unit BIGINTs, one double division at render,
+    // emitted floor(x*1e4) — integer output, halfway-safe.
     "tpch_q14" ->
-      """SELECT round(100.0
+      """SELECT CAST(floor(1e4 * 100.0
         |       * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
         |              THEN CAST(round(l_extendedprice * (1 - l_discount)
         |                              * 1e6) AS BIGINT)
         |              ELSE 0 END) AS BIGINT) AS DOUBLE)
         |       / CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
         |                              * 1e6) AS BIGINT)) AS BIGINT)
-        |              AS DOUBLE), 4) AS promo_revenue
+        |              AS DOUBLE)) AS BIGINT) AS promo_revenue_x1e4
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1996-09-01'

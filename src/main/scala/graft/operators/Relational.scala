@@ -1242,7 +1242,11 @@ object Relational {
   // before the orders join; supplier resolves through a 100-row
   // broadcast. Only lineitem⋈orders and orders⋈customer shuffle.
   // Exact integer micro-unit sums; the share is ONE double division
-  // at render (deterministic — both operands exact).
+  // at render (deterministic — both operands exact), emitted as
+  // floor(x·1e6) — an integer render, because round() on a
+  // non-power-of-ten quotient can halfway-flip cross-engine even on
+  // identical doubles (Spark HALF_UP vs DuckDB binary round — the
+  // embed_rp lesson), while floor of identical doubles is identical.
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
     val micro =
       expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
@@ -1273,8 +1277,9 @@ object Relational {
           .otherwise(lit(0L))).as("nation_micro"),
         sum(micro).as("total_micro"))
       .select(col("o_year"),
-        round(col("nation_micro").cast("double") /
-          col("total_micro").cast("double"), 6).as("mkt_share"))
+        floor(lit(1e6) * col("nation_micro").cast("double") /
+          col("total_micro").cast("double")).cast("long")
+          .as("mkt_share_x1e6"))
       .orderBy("o_year")
   }
 
@@ -1349,7 +1354,9 @@ object Relational {
   // here — the CASE needs both promo and non-promo rows, so the
   // prune that q8 applies to part is deliberately absent and the
   // dimension ships whole). LIKE 'PROMO%' spelled identically in
-  // both engines; one double division at render.
+  // both engines; one double division at render, emitted as
+  // floor(x·1e4) — the integer render that dodges round()'s
+  // cross-engine halfway split on non-power-of-ten quotients.
   def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
     val micro =
       expr("CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)")
@@ -1363,8 +1370,9 @@ object Relational {
         sum(when(col("p_type").like("PROMO%"), micro).otherwise(lit(0L)))
           .as("promo_micro"),
         sum(micro).as("total_micro"))
-      .select(round(lit(100.0) * col("promo_micro").cast("double") /
-        col("total_micro").cast("double"), 4).as("promo_revenue"))
+      .select(floor(lit(1e4) * lit(100.0) * col("promo_micro").cast("double") /
+        col("total_micro").cast("double")).cast("long")
+        .as("promo_revenue_x1e4"))
   }
 
   // `tpch_q15` — TPC-H Q15 (top supplier): the supplier(s) whose
