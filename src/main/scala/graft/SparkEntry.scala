@@ -246,6 +246,8 @@ object SparkEntry {
     "tpch_q22" -> (Relational.tpchQ22 _),
     "win_ntile" -> (Analytic.winNtile _),
     "text_readability" -> (TextAnalysis.textReadability _),
+    "stat_chi2" -> (EventAnalytics.statChi2 _),
+    "corpus_drift" -> (TextAnalysis.corpusDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3384,6 +3386,68 @@ object SparkEntry {
         |              AS DOUBLE)))) AS BIGINT) AS flesch_x1000
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Same 20-cell contingency, same window totals, same fixed
+    // per-cell expressions (identical op order), floor renders.
+    "stat_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 4 AS cohort,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, cohort, o,
+        |         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |         CAST(sum(o) OVER (PARTITION BY cohort) AS BIGINT) AS ct,
+        |         CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |)
+        |SELECT event_type, cohort, o,
+        |  CAST(floor(1e6 * (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                    / CAST(n AS DOUBLE))) AS BIGINT) AS e_x1e6,
+        |  CAST(floor(1e6 * (((CAST(o AS DOUBLE)
+        |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |        * (CAST(o AS DOUBLE)
+        |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |           / CAST(n AS DOUBLE)))
+        |       / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |          / CAST(n AS DOUBLE)))) AS BIGINT) AS chi2_x1e6
+        |FROM tot
+        |ORDER BY event_type, cohort""".stripMargin,
+
+    // Same one-pass conditional counts, same totals, same
+    // sqrt/arithmetic-only contributions (IEEE-exact sqrt — no ln),
+    // floor renders.
+    "corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS p_cnt,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS q_cnt
+        |  FROM toks GROUP BY term
+        |), totals AS (
+        |  SELECT CAST(sum(p_cnt) AS BIGINT) AS p_tot,
+        |         CAST(sum(q_cnt) AS BIGINT) AS q_tot
+        |  FROM counts
+        |)
+        |SELECT term, p_cnt, q_cnt,
+        |  CAST(floor(1e9 * (0.5
+        |    * ((sqrt(CAST(p_cnt AS DOUBLE) / CAST(p_tot AS DOUBLE))
+        |        - sqrt(CAST(q_cnt AS DOUBLE) / CAST(q_tot AS DOUBLE)))
+        |       * (sqrt(CAST(p_cnt AS DOUBLE) / CAST(p_tot AS DOUBLE))
+        |          - sqrt(CAST(q_cnt AS DOUBLE) / CAST(q_tot AS DOUBLE))))))
+        |    AS BIGINT) AS hell2_x1e9,
+        |  CAST(floor(1e9 * (0.5
+        |    * abs(CAST(p_cnt AS DOUBLE) / CAST(p_tot AS DOUBLE)
+        |          - CAST(q_cnt AS DOUBLE) / CAST(q_tot AS DOUBLE))))
+        |    AS BIGINT) AS tv_x1e9
+        |FROM counts CROSS JOIN totals
+        |ORDER BY term""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

@@ -644,6 +644,45 @@ object EventAnalytics {
   // actually present (null lags contribute 0 to numerator and drop
   // their weight from the denominator) so the series starts unbiased
   // instead of damped toward zero.
+  // `stat_chi2` — chi-squared test of independence (Pearson 1900)
+  // over the event_type × user-cohort contingency table: the
+  // hypothesis-test shape behind A/B-test readouts and categorical
+  // data-drift monitors (at 100 TB: "did the event-type mix shift
+  // between user cohorts?"). Scale shape: the contingency table is
+  // ONE partial-agg shuffle onto a BOUNDED (|types|×|cohorts| = 5×4)
+  // key space — the fact collapses map-side; row/column/grand totals
+  // are windows over that 20-row frame (scalar-sized work, the
+  // single-partition global window is over 20 rows by construction,
+  // never the data). Output is PER-CELL: observed count, expected
+  // count, and the cell's chi² contribution — the drill-down a drift
+  // monitor actually renders (the scalar statistic is the trivial sum
+  // of one bounded column downstream). Determinism: counts are exact
+  // BIGINTs; expected/contribution are FIXED scalar expressions
+  // (identical spelling and op order cross-engine → identical IEEE
+  // doubles) rendered floor(x·1e6) — integer outputs, no round()
+  // halfway exposure, and critically NO cross-row float summation
+  // anywhere (the per-cell form dodges summation order entirely).
+  def statChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(4L)).as("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy("event_type")
+    val wc = Window.partitionBy("cohort")
+    val wall = Window.partitionBy()
+    val withTotals = cells
+      .withColumn("rt", sum(col("o")).over(wr))
+      .withColumn("ct", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wall))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val d = col("o").cast("double") - e
+    withTotals
+      .select(col("event_type"), col("cohort"), col("o"),
+        floor(lit(1e6) * e).cast("long").as("e_x1e6"),
+        floor(lit(1e6) * ((d * d) / e)).cast("long").as("chi2_x1e6"))
+      .orderBy("event_type", "cohort")
+  }
+
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")

@@ -267,6 +267,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // `corpus_drift` — token-distribution drift between two corpus
+  // slices (the production question behind every training-data
+  // refresh: "did the vocabulary mix move between yesterday's shard
+  // and today's?"): per-term contributions to squared Hellinger
+  // distance AND total-variation distance between the doc_id-parity
+  // halves' unigram distributions. Divergence choice is
+  // determinism-driven: Hellinger needs only sqrt (correctly rounded
+  // by IEEE-754 mandate — identical cross-engine) and TV only
+  // arithmetic, unlike KL/Jensen-Shannon whose ln() is libm-vs-JVM
+  // ulp-unstable (the text_ngram_colloc lesson — there ln is display-
+  // only for exactly this reason). Scale shape: ONE term-keyed
+  // partial-agg shuffle builds both slice counts in one pass
+  // (conditional sums — no per-slice scans, no self-join); the two
+  // totals are a 1-row aggregate broadcast back; everything after is
+  // map-side. The vocab-sized counts frame PERSISTS (Caches-
+  // registered) because both the totals aggregate and the final
+  // projection consume it — without the persist the totals branch
+  // would re-scan and re-explode the whole corpus (2× the dominant
+  // cost at 100 TB). Output is PER-TERM (exact BIGINT counts +
+  // floor(x·1e9) integer contributions, no cross-row float summation
+  // — the stat_chi2 convention); the scalar distances are the
+  // trivial sums of bounded columns downstream.
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Caches.register(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(pmod(col("doc_id"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(0L))).as("p_cnt"),
+        sum(when(pmod(col("doc_id"), lit(2L)) === 1L, lit(1L))
+          .otherwise(lit(0L))).as("q_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(sum(col("p_cnt")).as("p_tot"),
+      sum(col("q_cnt")).as("q_tot"))
+    val p = col("p_cnt").cast("double") / col("p_tot").cast("double")
+    val q = col("q_cnt").cast("double") / col("q_tot").cast("double")
+    val sd = sqrt(p) - sqrt(q)
+    counts.join(broadcast(totals))
+      .select(col("term"), col("p_cnt"), col("q_cnt"),
+        floor(lit(1e9) * (lit(0.5) * (sd * sd))).cast("long")
+          .as("hell2_x1e9"),
+        floor(lit(1e9) * (lit(0.5) * abs(p - q))).cast("long")
+          .as("tv_x1e9"))
+      .orderBy("term")
+  }
+
   // `text_quality` — per-doc quality signals: length, alphanumeric
   // ratio, average token length, stopword ratio, and a deterministic
   // composite score in [0,1] (coverage×(1-stopword dominance)) — the

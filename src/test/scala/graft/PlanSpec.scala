@@ -1050,6 +1050,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("stat_chi2: the fact collapses map-side onto the bounded 20-key " +
+      "contingency agg — a single events scan, windows only over the " +
+      "bounded frame, no join") {
+    val p = plan(operators.EventAnalytics.statChi2(spark, sf))
+    assert(count(p, "events.parquet") === 1, p)
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("corpus_drift: both slice counts build in ONE pass over a " +
+      "persisted vocab frame — a single documents scan, the totals " +
+      "branch reads the cache (InMemoryTableScan), 1-row totals " +
+      "broadcast") {
+    val p = plan(operators.TextAnalysis.corpusDrift(spark, sf))
+    try {
+      // BOTH consumers (totals branch and final projection) read the
+      // cached vocab frame — the plan printer inlines the cached
+      // build's lineage under each InMemoryRelation, so count cache
+      // reads, not the rendered parquet string
+      assert(count(p, "InMemoryTableScan") >= 2, p)
+      assert(p.contains("BroadcastNestedLoop") ||
+        p.contains("BroadcastHashJoin"), p)
+      // the corpus-sized work (explode + partial agg) appears only
+      // inside the cached build, never outside it
+      assert(count(p, "Generate explode") === 2, p) // once per inlined render
+    } finally operators.Caches.releaseAll()
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
