@@ -248,6 +248,7 @@ object SparkEntry {
     "text_readability" -> (TextAnalysis.textReadability _),
     "stat_chi2" -> (EventAnalytics.statChi2 _),
     "corpus_drift" -> (TextAnalysis.corpusDrift _),
+    "stat_ks" -> (EventAnalytics.statKs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3448,6 +3449,39 @@ object SparkEntry {
         |    AS BIGINT) AS tv_x1e9
         |FROM counts CROSS JOIN totals
         |ORDER BY term""".stripMargin,
+
+    // Single-window CDF replay (DuckDB needs no two-level split);
+    // identical exact-integer gap and the same (max diff, smallest x)
+    // tie-break via ORDER BY.
+    "stat_ks" ->
+      """WITH ev AS (
+        |  SELECT value, user_id % 2 AS side
+        |  FROM events WHERE value IS NOT NULL
+        |), pts AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM ev GROUP BY value
+        |), tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |         CAST(sum(b) AS BIGINT) AS n2
+        |  FROM pts
+        |), cum AS (
+        |  SELECT value,
+        |         CAST(sum(a) OVER (ORDER BY value) AS BIGINT) AS ca,
+        |         CAST(sum(b) OVER (ORDER BY value) AS BIGINT) AS cb
+        |  FROM pts
+        |)
+        |SELECT d_num, n1, n2, value_at FROM (
+        |  SELECT abs(ca * n2 - cb * n1) AS d_num, n1, n2,
+        |         value AS value_at,
+        |         row_number() OVER (
+        |           ORDER BY abs(ca * n2 - cb * n1) DESC, value) AS rn
+        |  FROM cum CROSS JOIN tot
+        |)
+        |WHERE rn = 1""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

@@ -683,6 +683,65 @@ object EventAnalytics {
       .orderBy("event_type", "cohort")
   }
 
+  // `stat_ks` — two-sample Kolmogorov–Smirnov statistic (Kolmogorov
+  // 1933 / Smirnov 1939): D = max_x |F1(x) − F2(x)| between the
+  // user-parity halves' value distributions — the CONTINUOUS drift
+  // test completing stat_chi2's categorical one (the pair every
+  // feature-drift monitor runs). Scale shape: per-distinct-value
+  // side counts are ONE value-keyed partial-agg shuffle; the global
+  // CDF is a TWO-LEVEL prefix sum (the seq_pack pattern) — per-bucket
+  // totals onto a bounded value-range bucket axis, running offsets
+  // over that tiny frame, then per-bucket local windows — never a
+  // single-partition global sort; the distinct-value frame PERSISTS
+  // (Caches-registered) because the bucket-totals branch and the CDF
+  // probe both consume it — without the persist each branch would
+  // re-scan and re-aggregate the fact; totals then derive from the
+  // bounded bucket frame (no second corpus scan) and broadcast.
+  // Determinism:
+  // D's maximization runs entirely in EXACT integers — at x the
+  // unnormalized gap is |ca·n2 − cb·n1| (BIGINT; exact while
+  // n1·n2 < 2^63, i.e. ~3·10⁹ rows per side — past that, switch the
+  // gap to double with a floor render), and the argmax tie-breaks on
+  // smallest x via a lexicographic struct-max (no float compare
+  // anywhere). Output: the 1-row (d_num, n1, n2, value_at) exact
+  // fraction — D = d_num/(n1·n2) is the consumer's one division.
+  def statKs(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Caches.register(Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("value"), pmod(col("user_id"), lit(2L)).as("side"))
+      .groupBy(col("value"))
+      .agg(
+        sum(when(col("side") === 0L, lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(col("side") === 1L, lit(1L)).otherwise(lit(0L))).as("b"))
+      .withColumn("bkt", floor(col("value") / lit(8.0)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bktTot = pts.groupBy(col("bkt"))
+      .agg(sum(col("a")).as("ba"), sum(col("b")).as("bb"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTot
+      .withColumn("oa", coalesce(sum(col("ba")).over(wB), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("bb")).over(wB), lit(0L)))
+      .select(col("bkt"), col("oa"), col("ob"))
+    val totals = bktTot
+      .agg(sum(col("ba")).as("n1"), sum(col("bb")).as("n2"))
+    val wL = Window.partitionBy("bkt").orderBy("value")
+    pts
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("ca", col("oa") + sum(col("a")).over(wL))
+      .withColumn("cb", col("ob") + sum(col("b")).over(wL))
+      .join(broadcast(totals))
+      .select(
+        abs(col("ca") * col("n2") - col("cb") * col("n1")).as("diff"),
+        col("value"), col("n1"), col("n2"))
+      .agg(max(struct(col("diff").as("diff"),
+        (col("value") * lit(-1.0)).as("negv"),
+        col("n1").as("n1"), col("n2").as("n2"))).as("m"))
+      .select(col("m.diff").as("d_num"),
+        col("m.n1").as("n1"), col("m.n2").as("n2"),
+        (col("m.negv") * lit(-1.0)).as("value_at"))
+  }
+
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")

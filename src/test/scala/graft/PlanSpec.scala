@@ -1079,6 +1079,21 @@ class PlanSpec extends SparkSpec {
     } finally operators.Caches.releaseAll()
   }
 
+  test("stat_ks: the global CDF is a TWO-LEVEL prefix sum over a " +
+      "persisted distinct-value frame — bucket offsets broadcast, the " +
+      "per-bucket windows partition by bucket, never one global sort " +
+      "partition") {
+    val p = plan(operators.EventAnalytics.statKs(spark, sf))
+    try {
+      assert(count(p, "InMemoryTableScan") >= 2, p)
+      // the probe window partitions by bkt (two-level), not a bare
+      // global ORDER BY over the data
+      assert(p.contains("Window [") && p.contains("bkt"), p)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoop"), p)
+    } finally operators.Caches.releaseAll()
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
