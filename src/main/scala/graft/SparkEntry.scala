@@ -249,6 +249,7 @@ object SparkEntry {
     "stat_chi2" -> (EventAnalytics.statChi2 _),
     "corpus_drift" -> (TextAnalysis.corpusDrift _),
     "stat_ks" -> (EventAnalytics.statKs _),
+    "corpus_gini" -> (TextAnalysis.corpusGini _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3482,6 +3483,25 @@ object SparkEntry {
         |  FROM cum CROSS JOIN tot
         |)
         |WHERE rn = 1""".stripMargin,
+
+    // Single-window global rank replay; same exact-integer sums and
+    // the same one-division floor render.
+    "corpus_gini" ->
+      """WITH ranked AS (
+        |  SELECT n_chars,
+        |         CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS r
+        |  FROM documents
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS sx,
+        |         CAST(sum(r * n_chars) AS BIGINT) AS srx
+        |  FROM ranked
+        |)
+        |SELECT n, sx, srx,
+        |  CAST(floor(1e6 * (CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+        |       / CAST(n * sx AS DOUBLE))) AS BIGINT) AS gini_x1e6
+        |FROM agg""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

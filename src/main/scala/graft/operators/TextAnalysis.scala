@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -311,6 +312,46 @@ object TextAnalysis {
         floor(lit(1e9) * (lit(0.5) * abs(p - q))).cast("long")
           .as("tv_x1e9"))
       .orderBy("term")
+  }
+
+  // `corpus_gini` — corpus concentration via the Gini coefficient
+  // (Gini 1912; the Lorenz-curve inequality measure) over document
+  // lengths: "is the corpus's volume spread evenly or concentrated in
+  // a few giant documents?" — the length-budget question every
+  // pretraining mix review asks. Formula (row_number ranks r = 1..n
+  // ascending by length): G = (2·Σr·x − (n+1)·Σx) / (n·Σx) — tied
+  // lengths contribute identically under any tie permutation, so the
+  // (n_chars, doc_id) total order makes the statistic deterministic
+  // without affecting its value. Scale shape: the global rank is the
+  // id_assign two-level pattern — bounded length-range bucket counts,
+  // running offsets over that tiny frame (broadcast), per-bucket
+  // row_number windows — never one global sort partition; the final
+  // reduce is three BIGINT sums. Determinism: EVERYTHING before the
+  // render is exact integer arithmetic (Σr·x bounded by n·max_rank·
+  // max_len < 2^63 up to ~10⁸ docs of 10⁵ chars — documented bound);
+  // the render is one double division of two exact integers emitted
+  // floor(x·1e6) — the halfway-safe integer render.
+  def corpusGini(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bkt", expr("n_chars DIV 64"))
+    val bktCnt = docs.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bktCnt
+      .withColumn("off", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wL = Window.partitionBy("bkt").orderBy("n_chars", "doc_id")
+    val num = lit(2L) * col("srx") - (col("n") + lit(1L)) * col("sx")
+    docs
+      .join(broadcast(offs), Seq("bkt"))
+      .withColumn("r", col("off") + row_number().over(wL).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("r") * col("n_chars")).as("srx"))
+      .select(col("n"), col("sx"), col("srx"),
+        floor(lit(1e6) * (num.cast("double") /
+          (col("n") * col("sx")).cast("double"))).cast("long")
+          .as("gini_x1e6"))
   }
 
   // `text_quality` — per-doc quality signals: length, alphanumeric

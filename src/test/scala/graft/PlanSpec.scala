@@ -1094,6 +1094,21 @@ class PlanSpec extends SparkSpec {
     } finally operators.Caches.releaseAll()
   }
 
+  test("corpus_gini: the global length rank is a TWO-LEVEL prefix sum — " +
+      "bucket offsets broadcast, the corpus window partitions by bkt, " +
+      "never one global sort partition") {
+    val p = plan(operators.TextAnalysis.corpusGini(spark, sf))
+    // exactly two Window nodes: the per-bucket local row_number and the
+    // tiny bucket-offset prefix sum
+    assert(count(p, "Window") === 2, p)
+    // the corpus window's spec leads with the bkt partition
+    assert(p.contains("windowspecdefinition(bkt"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // offsets ride a broadcast join back onto the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
