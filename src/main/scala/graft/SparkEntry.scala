@@ -250,6 +250,14 @@ object SparkEntry {
     "corpus_drift" -> (TextAnalysis.corpusDrift _),
     "stat_ks" -> (EventAnalytics.statKs _),
     "corpus_gini" -> (TextAnalysis.corpusGini _),
+    "tpch_q2" -> (Relational.tpchQ2 _),
+    "tpch_q4" -> (Relational.tpchQ4 _),
+    "tpch_q9" -> (Relational.tpchQ9 _),
+    "tpch_q11" -> (Relational.tpchQ11 _),
+    "tpch_q12" -> (Relational.tpchQ12 _),
+    "tpch_q16" -> (Relational.tpchQ16 _),
+    "tpch_q20" -> (Relational.tpchQ20 _),
+    "tpch_q21" -> (Relational.tpchQ21 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3502,6 +3510,181 @@ object SparkEntry {
         |  CAST(floor(1e6 * (CAST(2 * srx - (n + 1) * sx AS DOUBLE)
         |       / CAST(n * sx AS DOUBLE))) AS BIGINT) AS gini_x1e6
         |FROM agg""".stripMargin,
+
+    // Classic Q2 correlated-min subquery over the shared psCatalog CTE
+    // (the lineitem-derived partsupp stand-in — identical derivation
+    // to the Spark side's psCatalog); identity 2-dp renders, total
+    // tie-break order under the LIMIT.
+    "tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'
+        |)
+        |SELECT round(bal_cents / 1e2, 2) AS s_acctbal, s_name, n_name,
+        |       p_partkey, p_name, round(cost_cents / 1e2, 2) AS supplycost
+        |FROM ps JOIN eu ON ps_suppkey = s_suppkey
+        |        JOIN part ON ps_partkey = p_partkey
+        |WHERE p_type = 'LARGE' AND p_size = 4
+        |  AND cost_cents = (
+        |    SELECT min(ps2.cost_cents)
+        |    FROM ps ps2 JOIN eu eu2 ON ps2.ps_suppkey = eu2.s_suppkey
+        |    WHERE ps2.ps_partkey = ps.ps_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Classic Q4 EXISTS formulation; lateness adapted to
+    // shipdate-vs-orderdate (no commit/receipt dates in the fixture).
+    "tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Classic Q9 catalog-join profit; supply cost from the shared
+    // psCatalog CTE's floor-milli unit price (identical floor
+    // spelling — round() on this quotient would be halfway-unsafe);
+    // the 4-dp render is identity (revenue 4-dp minus cost 3-dp).
+    "tpch_q9" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(min(CAST(floor(l_extendedprice * 1000 / l_quantity)
+        |                       AS BIGINT)) AS BIGINT) AS unit_milli
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(
+        |           CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+        |                AS BIGINT)
+        |           - unit_milli * CAST(l_quantity AS BIGINT) * 1000)
+        |         AS BIGINT) / 1e6, 4) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Classic Q11 group-by + HAVING-over-global-scalar; the threshold
+    // is mean-relative (value > 3× the mean part's — the spec's fixed
+    // fraction empties at scale) as an exact integer
+    // cross-multiplication.
+    "tpch_q11" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS value_cents
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7'
+        |  GROUP BY 1
+        |)
+        |SELECT ps_partkey, round(value_cents / 1e2, 2) AS value
+        |FROM pp
+        |WHERE value_cents * (SELECT CAST(count(*) AS BIGINT) FROM pp)
+        |      > 3 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM pp)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    // Classic Q12 CASE-split counts; returnflag carries the absent
+    // shipmode, lateness adapted as in tpch_q4.
+    "tpch_q12" ->
+      """SELECT l_returnflag AS l_shipmode,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1
+        |ORDER BY l_shipmode""".stripMargin,
+
+    // Classic Q16 distinct-supplier counts over the psCatalog pair
+    // relation; the s_acctbal < 0 blacklist stands in for the spec's
+    // complaints LIKE (documented adaptation).
+    "tpch_q16" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem
+        |)
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 2, 3, 4, 5, 8, 9)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Classic Q20 nested-aggregate IN; dominance as the exact
+    // 2·supp_qty > part_qty cross-multiplication.
+    "tpch_q20" ->
+      """WITH rp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        |), sq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        |  FROM lineitem JOIN rp ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), pq AS (
+        |  SELECT l_partkey AS pk, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+        |  FROM sq GROUP BY 1
+        |)
+        |SELECT s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM sq JOIN pq ON l_partkey = pk
+        |    WHERE supp_qty * 2 > part_qty)
+        |ORDER BY s_name""".stripMargin,
+
+    // Classic Q21 double-EXISTS formulation — an INDEPENDENT
+    // derivation of the Spark side's single-scan per-order aggregate
+    // rewrite (green certifies the rewrite against the textbook
+    // correlation semantics, not a replay). Lateness adapted as in
+    // tpch_q4; l1 LINES are counted, matching the spec.
+    "tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, nation, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     // Recompute-equals-maintain: the oracle aggregates a FULL replay of
     // the post-merge state; green certifies the signed-delta

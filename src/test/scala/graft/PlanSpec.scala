@@ -1109,6 +1109,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("tpch_q2: dimensions broadcast and the per-part min is a window " +
+      "over the dimension-scale catalog — one partkey shuffle, no " +
+      "join-back second pass, no cartesian") {
+    val p = plan(operators.Relational.tpchQ2(spark, sf))
+    assert(p.contains("windowspecdefinition(ps_partkey"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // top-100 under a total order is TakeOrderedAndProject, never a
+    // global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q4: the EXISTS is a LEFT SEMI hash join on orderkey with " +
+      "the lateness inequality as the join residual — never a " +
+      "decorrelated second aggregate or a cartesian") {
+    val p = plan(operators.Relational.tpchQ4(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the date filter on orders pushes to the scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("tpch_q20: lineitem is scanned ONCE — the per-part total is a " +
+      "window over the already-aggregated (part, supplier) frame, not " +
+      "a second fact scan") {
+    val p = plan(operators.Relational.tpchQ20(spark, sf))
+    assert(count(p, "lineitem.parquet") === 1,
+      p.linesIterator.filter(_.contains("lineitem")).mkString("\n"))
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q21: the double-EXISTS correlation collapses to ONE " +
+      "lineitem scan (per-order aggregate rewrite) — the textbook " +
+      "plan's two lineitem self-joins never appear") {
+    val p = plan(operators.Relational.tpchQ21(spark, sf))
+    assert(count(p, "lineitem.parquet") === 1,
+      p.linesIterator.filter(_.contains("lineitem")).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
