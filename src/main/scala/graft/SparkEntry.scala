@@ -258,6 +258,8 @@ object SparkEntry {
     "tpch_q16" -> (Relational.tpchQ16 _),
     "tpch_q20" -> (Relational.tpchQ20 _),
     "tpch_q21" -> (Relational.tpchQ21 _),
+    "stat_mannwhitney" -> (EventAnalytics.statMannWhitney _),
+    "dq_expectations" -> (Pipeline.dqExpectations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3509,6 +3511,70 @@ object SparkEntry {
         |SELECT n, sx, srx,
         |  CAST(floor(1e6 * (CAST(2 * srx - (n + 1) * sx AS DOUBLE)
         |       / CAST(n * sx AS DOUBLE))) AS BIGINT) AS gini_x1e6
+        |FROM agg""".stripMargin,
+
+    // Per-rule UNION replay of the one-pass rule suite; exact counts,
+    // the FK rule as a NOT-IN count.
+    "dq_expectations" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL
+        |                         OR o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_price,
+        |         CAST(sum(CASE WHEN o_orderdate IS NULL
+        |                         OR o_orderdate < TIMESTAMP '1990-01-01'
+        |                         OR o_orderdate >= TIMESTAMP '2002-01-01'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+        |         CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |                         OR o_orderstatus NOT IN ('F', 'O', 'P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |         CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |           AS v_unique
+        |  FROM orders
+        |), fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v_fk
+        |  FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |), rules AS (
+        |  SELECT 'fk_custkey_exists' AS rule, n, v_fk AS v FROM base, fk
+        |  UNION ALL SELECT 'orderdate_in_range', n, v_date FROM base
+        |  UNION ALL SELECT 'orderkey_unique', n, v_unique FROM base
+        |  UNION ALL SELECT 'priority_complete', n, v_prio FROM base
+        |  UNION ALL SELECT 'status_in_domain', n, v_status FROM base
+        |  UNION ALL SELECT 'totalprice_positive', n, v_price FROM base
+        |)
+        |SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS passed
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    // Single-window midrank replay; identical doubled-rank integer
+    // arithmetic (m2 = 2·c_before + t + 1), 1-row exact output.
+    "stat_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT value, user_id % 2 AS side
+        |  FROM events WHERE value IS NOT NULL
+        |), pts AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM ev GROUP BY value
+        |), r AS (
+        |  SELECT a, b, a + b AS t,
+        |         CAST(coalesce(sum(a + b) OVER (ORDER BY value
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS cb4
+        |  FROM pts
+        |), agg AS (
+        |  SELECT CAST(sum(a * (2 * cb4 + t + 1)) AS BIGINT) AS r2_a,
+        |         CAST(sum(a) AS BIGINT) AS n1,
+        |         CAST(sum(b) AS BIGINT) AS n2,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS tie_t
+        |  FROM r
+        |)
+        |SELECT r2_a, r2_a - n1 * (n1 + 1) AS u2_a, n1, n2, tie_t
         |FROM agg""".stripMargin,
 
     // Classic Q2 correlated-min subquery over the shared psCatalog CTE

@@ -742,6 +742,59 @@ object EventAnalytics {
         (col("m.negv") * lit(-1.0)).as("value_at"))
   }
 
+  // `stat_mannwhitney` — two-sample Mann-Whitney U rank-sum test
+  // (Mann & Whitney 1947; Wilcoxon 1945) between the user-parity
+  // halves' value distributions — completing the drift/hypothesis
+  // trio (stat_chi2 categorical, stat_ks distributional shape, this
+  // one location shift) with the RANK-based test that tolerates
+  // heavy tails where a t-test does not. Tied values take midranks.
+  // Scale shape: identical machinery to stat_ks — per-distinct-value
+  // side counts are ONE value-keyed partial-agg shuffle into a
+  // persisted frame, the strictly-before cumulative count is the
+  // two-level prefix sum (bounded bucket offsets broadcast,
+  // per-bucket exclusive windows), and the statistic is a 1-row
+  // reduce of exact-integer products. Determinism: midranks are
+  // fractional halves, so EVERYTHING carries DOUBLED ranks —
+  // m2 = 2·c_before + t + 1 is an exact BIGINT, the doubled rank sum
+  // R2 = Σ a·m2 and doubled U2 = R2 − n1·(n1+1) are exact (bounds:
+  // R2 ≤ 2N² < 2^63 up to N ≈ 2·10⁹ rows; the tie term Σ t³−t needs
+  // the heaviest tie group t < 2·10⁶ — documented switch-to-double
+  // past that). The consumer's z-score is one division away from
+  // (u2_a, n1, n2, tie_t); no float appears before the output.
+  def statMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Caches.register(Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("value"), pmod(col("user_id"), lit(2L)).as("side"))
+      .groupBy(col("value"))
+      .agg(
+        sum(when(col("side") === 0L, lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(col("side") === 1L, lit(1L)).otherwise(lit(0L))).as("b"))
+      .withColumn("t", col("a") + col("b"))
+      .withColumn("bkt", floor(col("value") / lit(8.0)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bktTot = pts.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTot
+      .withColumn("off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("off"))
+    // exclusive per-bucket running count: rows strictly before this
+    // distinct value inside the bucket
+    val wL = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cb4",
+        col("off") + coalesce(sum(col("t")).over(wL), lit(0L)))
+      .withColumn("m2", lit(2L) * col("cb4") + col("t") + lit(1L))
+      .agg(sum(col("a") * col("m2")).as("r2_a"),
+        sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_t"))
+      .select(col("r2_a"),
+        (col("r2_a") - col("n1") * (col("n1") + lit(1L))).as("u2_a"),
+        col("n1"), col("n2"), col("tie_t"))
+  }
+
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")

@@ -101,4 +101,52 @@ object Pipeline {
       .withColumn("kept_ratio",
         round(col("n_kept").cast("double") / col("n_in"), 4))
   }
+
+  // `dq_expectations` — the declarative data-quality constraint audit
+  // (the Deequ/Great-Expectations shape): evaluate a rule SUITE
+  // against a table in one pass and emit one row per rule with exact
+  // violation counts — the contract gate every production pipeline
+  // runs before publishing a table. Six rule archetypes over orders:
+  // domain membership (status), range (order date), positivity
+  // (total price), completeness (priority NOT NULL), uniqueness
+  // (orderkey: count − countDistinct), and referential integrity
+  // (custkey resolves in customer). Scale shape: the five row-local
+  // rules AND the uniqueness distinct fold into ONE aggregate pass
+  // of the fact (CASE sums ride map-side partials; countDistinct is
+  // the two-phase Expand plan); referential integrity is a broadcast
+  // LEFT ANTI count (dimension-sized build side) — the fact is
+  // scanned twice in total, never per-rule; both 1-row results
+  // broadcast-join and the per-rule layout is a 6-row stack
+  // (generator over scalars — no shuffle). Determinism: every output
+  // is an exact BIGINT count or a boolean derived from one.
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0,
+        1L).otherwise(0L)).as("v_price"),
+      sum(when(col("o_orderdate").isNull ||
+        col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2002-01-01").cast("timestamp"),
+        1L).otherwise(0L)).as("v_date"),
+      sum(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("v_status"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+        .as("v_prio"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"))
+    val fkOrphans = o
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    base.join(broadcast(fkOrphans))
+      .select(col("n").as("n_rows"), expr(
+        "stack(6, 'fk_custkey_exists', v_fk, 'orderdate_in_range', v_date," +
+          " 'orderkey_unique', v_unique, 'priority_complete', v_prio," +
+          " 'status_in_domain', v_status, 'totalprice_positive', v_price)" +
+          " AS (rule, n_violations)"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
 }

@@ -1154,6 +1154,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("stat_mannwhitney: the doubled-midrank cumulative is the same " +
+      "two-level prefix sum as stat_ks — persisted distinct-value " +
+      "frame, bucket offsets broadcast, per-bucket exclusive windows, " +
+      "never one global sort partition") {
+    val p = plan(operators.EventAnalytics.statMannWhitney(spark, sf))
+    try {
+      assert(count(p, "InMemoryTableScan") >= 2, p)
+      assert(p.contains("Window [") && p.contains("bkt"), p)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoop"), p)
+    } finally operators.Caches.releaseAll()
+  }
+
+  test("dq_expectations: the whole rule suite costs TWO fact scans — " +
+      "one aggregate pass for the five row-local rules + uniqueness, " +
+      "one broadcast LEFT ANTI for referential integrity — never a " +
+      "scan per rule") {
+    val p = plan(operators.Pipeline.dqExpectations(spark, sf))
+    assert(count(p, "orders.parquet") === 2,
+      p.linesIterator.filter(_.contains("orders")).mkString("\n"))
+    assert(p.contains("LeftAnti"), p)
+    // uniqueness rides the SAME aggregate pass (Catalyst's
+    // single-distinct rewrite: partial per-orderkey grouping under the
+    // global merge), not a third scan
+    assert(p.contains("count(distinct o_orderkey"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
