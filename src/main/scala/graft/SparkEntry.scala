@@ -260,7 +260,52 @@ object SparkEntry {
     "tpch_q21" -> (Relational.tpchQ21 _),
     "stat_mannwhitney" -> (EventAnalytics.statMannWhitney _),
     "dq_expectations" -> (Pipeline.dqExpectations _),
+    "token_bpe_train" -> (TextAnalysis.tokenBpeTrain _),
   )
+
+  /** The token_bpe_train oracle: all 10 training rounds unrolled as
+    * MATERIALIZED CTE stages (the graph_pagerank multi-round-oracle
+    * lesson — without MATERIALIZED DuckDB would re-inline each round's
+    * vocab into the next, doubling work per stage). Each stage replays
+    * the Spark round exactly: positional parallel-unnest shift-zip for
+    * pair counts, the (count DESC, lexicographic) argmax, and the
+    * boundary-safe delimited replace as the merge. */
+  private def bpeTrainOracleSql: String = {
+    val stages = (1 to 10).map { i =>
+      val pv = s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT lsym, rsym, CAST(sum(wcount) AS BIGINT) AS pcount
+         |  FROM (
+         |    SELECT unnest(ss[1:len(ss)-1]) AS lsym,
+         |           unnest(ss[2:len(ss)]) AS rsym, wcount
+         |    FROM (SELECT string_split(substr(state, 2, len(state) - 2),
+         |                              '><') AS ss, wcount FROM $pv)
+         |  ) GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS step, lsym, rsym,
+         |         lsym || rsym AS merged, pcount
+         |  FROM p$i ORDER BY pcount DESC, lsym, rsym LIMIT 1
+         |), v$i AS MATERIALIZED (
+         |  SELECT replace(state, '<' || lsym || '><' || rsym || '>',
+         |                 '<' || lsym || rsym || '>') AS state, wcount
+         |  FROM $pv, b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to 10).map(i => s"SELECT * FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS state,
+       |         CAST(count(*) AS BIGINT) AS wcount
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+       |          AS w
+       |        FROM documents)
+       |  WHERE w <> ''
+       |  GROUP BY 1
+       |), $stages
+       |SELECT step, lsym, rsym, merged, pcount
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q6" ->
@@ -3512,6 +3557,10 @@ object SparkEntry {
         |  CAST(floor(1e6 * (CAST(2 * srx - (n + 1) * sx AS DOUBLE)
         |       / CAST(n * sx AS DOUBLE))) AS BIGINT) AS gini_x1e6
         |FROM agg""".stripMargin,
+
+    // Whole-trajectory replay: 10 unrolled MATERIALIZED rounds — see
+    // bpeTrainOracleSql.
+    "token_bpe_train" -> bpeTrainOracleSql,
 
     // Per-rule UNION replay of the one-pass rule suite; exact counts,
     // the FK rule as a NOT-IN count.

@@ -354,6 +354,77 @@ object TextAnalysis {
           .as("gini_x1e6"))
   }
 
+  // `token_bpe_train` — distributed BPE merge LEARNING (Sennrich et
+  // al. 2016; `token_bpe` only APPLIES a fixed merge table — this is
+  // the other half of the tokenizer lifecycle): learn the first 10
+  // merge rules from the corpus. Classic trainer shape, Spark-first:
+  //  1. the corpus collapses ONCE to the word-frequency vocab frame
+  //     (one agg shuffle) — every later round touches vocab only,
+  //     never the corpus (exactly how production BPE trainers work:
+  //     HF tokenizers trains from word counts);
+  //  2. per round: adjacent-symbol pairs via the established
+  //     shift-zip (slice + arrays_zip + explode) weighted by word
+  //     count, a bounded pair-keyed agg, the argmax merge under a
+  //     TOTAL order (count desc, then lexicographic pair — ties
+  //     cannot flap) as TakeOrdered(1), then the merge applied
+  //     map-side via a broadcast 1-row cross join and a plain
+  //     `replace` over the delimited state string;
+  //  3. per-round eager localCheckpoint truncates lineage (the
+  //     graph_pagerank discipline), previous rounds released
+  //     immediately.
+  // Word states are delimiter-wrapped ('<a><b>' per symbol): pair
+  // replacement '<a><b>' → '<ab>' is boundary-safe (no accidental
+  // intra-symbol matches) and leftmost-non-overlapping in BOTH
+  // engines' non-regex replace — which IS the BPE merge rule. Words
+  // restrict to [a-z]+ (split on the complement) so per-CHARACTER
+  // wrapping is codepoint-unambiguous cross-engine (Java regex `.`
+  // walks UTF-16 units, DuckDB walks codepoints — identical on
+  // ASCII). Determinism: exact BIGINT counts everywhere; the oracle
+  // replays all 10 rounds as unrolled MATERIALIZED CTE stages (the
+  // graph_pagerank multi-round-oracle lesson), so a green hash
+  // certifies the whole training trajectory — pair statistics,
+  // tie-breaks, and merge application — not just one round.
+  def tokenBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 10
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wcount"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("state"),
+        col("wcount"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val prev = vocab
+      val pairs = vocab
+        .select(col("wcount"),
+          split(regexp_replace(col("state"), "^<|>$", ""), "><").as("ss"))
+        .withColumn("ls", expr("slice(ss, 1, size(ss) - 1)"))
+        .withColumn("rs", expr("slice(ss, 2, size(ss) - 1)"))
+        .select(col("wcount"),
+          explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+        .select(col("p.ls").as("lsym"), col("p.rs").as("rsym"),
+          col("wcount"))
+      val best = pairs.groupBy("lsym", "rsym")
+        .agg(sum(col("wcount")).as("pcount"))
+        .orderBy(col("pcount").desc, col("lsym"), col("rsym"))
+        .limit(1)
+        .select(lit(r.toLong).as("step"), col("lsym"), col("rsym"),
+          concat(col("lsym"), col("rsym")).as("merged"), col("pcount"))
+        .localCheckpoint(true)
+      // escapes into the returned merge table — queue for release at
+      // the harness boundary, never immediately
+      merges += Caches.registerCheckpoint(best)
+      vocab = vocab.crossJoin(broadcast(best.select("lsym", "rsym")))
+        .select(expr("replace(state, concat('<', lsym, '><', rsym, '>')," +
+          " concat('<', lsym, rsym, '>'))").as("state"), col("wcount"))
+        .localCheckpoint(true)
+      Caches.releaseCheckpoint(prev)
+    }
+    Caches.releaseCheckpoint(vocab)
+    merges.reduce(_.unionByName(_)).orderBy("step")
+  }
+
   // `text_quality` — per-doc quality signals: length, alphanumeric
   // ratio, average token length, stopword ratio, and a deterministic
   // composite score in [0,1] (coverage×(1-stopword dominance)) — the

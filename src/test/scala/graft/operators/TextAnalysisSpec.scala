@@ -167,4 +167,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ratio > 0.5 && ratio < 2.0,
       s"chars/4 heuristic off by ${ratio}x vs real BPE token count")
   }
+
+  test("token_bpe_train: the learned merge table is structurally sound " +
+      "and replaying it sequentially over the word-frequency table " +
+      "reproduces every round's pair count independently") {
+    val merges = TextAnalysis.tokenBpeTrain(spark, sf).collect()
+    assert(merges.length === 10)
+    assert(merges.map(_.getLong(0)).toSeq === (1L to 10L))
+    merges.foreach { r =>
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+    // independent sequential replay (plain Scala, no Spark): rebuild
+    // the word-frequency table, walk the 10 rounds with a
+    // HashMap-based pair counter and leftmost-nonoverlapping merge,
+    // and require the SAME argmax pair and count each round — a
+    // second, engine-free derivation of the whole trajectory.
+    import scala.collection.mutable
+    import spark.implicits._
+    val words = mutable.HashMap.empty[List[String], Long]
+    Tables.documents(spark, sf).select(lower(col("text"))).as[String]
+      .collect()
+      .foreach { t =>
+        t.split("[^a-z]+").filter(_.nonEmpty).foreach { w =>
+          val k = w.map(_.toString).toList
+          words(k) = words.getOrElse(k, 0L) + 1L
+        }
+      }
+    var vocab = words.toMap
+    merges.foreach { r =>
+      val (el, er, cnt) = (r.getString(1), r.getString(2), r.getLong(4))
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert(best._1 === ((el, er)), s"round ${r.getLong(0)} argmax")
+      assert(best._2 === cnt, s"round ${r.getLong(0)} pair count")
+      def mergeSyms(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == el && b == er =>
+          (a + b) :: mergeSyms(rest)
+        case a :: rest => a :: mergeSyms(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.groupMapReduce { case (s, _) => mergeSyms(s) }(_._2)(_ + _)
+    }
+  }
 }
