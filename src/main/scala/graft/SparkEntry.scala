@@ -261,6 +261,8 @@ object SparkEntry {
     "stat_mannwhitney" -> (EventAnalytics.statMannWhitney _),
     "dq_expectations" -> (Pipeline.dqExpectations _),
     "token_bpe_train" -> (TextAnalysis.tokenBpeTrain _),
+    "agg_countmin" -> (EventAnalytics.aggCountMin _),
+    "rank_rrf" -> (TextAnalysis.rankRrf _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4089,6 +4091,8 @@ object SparkEntry {
         |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+    "agg_countmin" -> countMinOracle,
+    "rank_rrf" -> rankRrfOracle,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,
@@ -4192,4 +4196,64 @@ object SparkEntry {
         |JOIN cnt nb ON doc_b = nb.doc_id
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  // Identical md5-hex bucket arithmetic (d=3 rows × w=128), estimate
+  // = min over the key's d counters; all-integer so the CMS
+  // guarantee est ≥ exact is hash-checked via overcount.
+  private def countMinOracle: String =
+      """WITH d AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
+        |sk AS (
+        |  SELECT j,
+        |         CAST('0x' || substring(md5(j || ':' || user_id), 1, 6)
+        |              AS BIGINT) % 128 AS b,
+        |         count(*) AS cnt
+        |  FROM events CROSS JOIN d
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT user_id, count(*) AS exact_n
+        |  FROM events WHERE user_id % 17 = 0 GROUP BY 1
+        |), est AS (
+        |  SELECT p.user_id, p.exact_n, min(s.cnt) AS cms_est
+        |  FROM probes p CROSS JOIN d
+        |  JOIN sk s ON s.j = d.j
+        |   AND s.b = CAST('0x' || substring(md5(d.j || ':' || p.user_id),
+        |                   1, 6) AS BIGINT) % 128
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+        |       CAST(cms_est AS BIGINT) AS cms_est,
+        |       CAST(cms_est - exact_n AS BIGINT) AS overcount
+        |FROM est
+        |ORDER BY user_id""".stripMargin
+
+  // Same two ranker windows + fused window replayed per lang; scores
+  // are exact BIGINT floor divisions (1000000 // (60+rank)) so the
+  // fused order and the top-10 cut are engine-identical.
+  private def rankRrfOracle: String =
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER
+        |           (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS ra,
+        |         row_number() OVER
+        |           (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rb
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, doc_id, ra, rb,
+        |         1000000 // (60 + ra) + 1000000 // (60 + rb) AS score_micro
+        |  FROM r
+        |), f AS (
+        |  SELECT lang, doc_id, ra, rb, score_micro,
+        |         row_number() OVER
+        |           (PARTITION BY lang
+        |            ORDER BY score_micro DESC, doc_id) AS fused_rank
+        |  FROM s
+        |)
+        |SELECT lang, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+        |       CAST(ra AS BIGINT) AS rank_quality,
+        |       CAST(rb AS BIGINT) AS rank_hash,
+        |       CAST(score_micro AS BIGINT) AS score_micro
+        |FROM f
+        |WHERE fused_rank <= 10
+        |ORDER BY lang, fused_rank""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -820,5 +820,94 @@ object EventAnalytics {
       .select(col("event_id"), col("user_id"),
         round((num / den), 4).as("ewma"))
       .orderBy("event_id")
+  }
+
+  // `stat_ttest` — Welch's unequal-variance two-sample t-test between
+  // the user-parity halves, completing the hypothesis quartet
+  // (stat_chi2 categorical, stat_ks shape, stat_mannwhitney rank
+  // location, this one MEAN shift with the classical parametric
+  // machinery — the cheap first gate when tails are known benign).
+  // Scale shape: the whole test is ONE conditional-moment reduce — six
+  // exact BIGINT sums (n, Σcents, Σcents² per side) with map-side
+  // partials, no shuffle wider than the 1-row frame; at 100 TB this is
+  // the minimal-possible pass. Determinism: the only cross-row
+  // reductions are integer-exact and order-independent; t and the
+  // Welch–Satterthwaite df then derive through a FIXED scalar IEEE
+  // expression tree evaluated identically in both engines (the
+  // agg_weighted identical-division-sequence rule), sqrt is
+  // IEEE-exact, and the render is floor(x·1e6) — never round() on a
+  // non-decimal quotient. Bounds: Σcents² ≤ n·(5·10⁴)² stays exact in
+  // BIGINT to n ≈ 3.7·10⁹ rows/side and the double cast is
+  // value-identical cross-engine regardless.
+  def statTtest(spark: SparkSession, dir: String): DataFrame = {
+    val side = pmod(col("user_id"), lit(2L))
+    val c = round(col("value") * 100).cast("long")
+    val mo = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(side.as("side"), c.as("c"))
+      .agg(
+        sum(when(col("side") === 0L, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("side") === 1L, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("side") === 0L, col("c")).otherwise(lit(0L))).as("s1"),
+        sum(when(col("side") === 1L, col("c")).otherwise(lit(0L))).as("s2"),
+        sum(when(col("side") === 0L, col("c") * col("c"))
+          .otherwise(lit(0L))).as("q1"),
+        sum(when(col("side") === 1L, col("c") * col("c"))
+          .otherwise(lit(0L))).as("q2"))
+    val nd1 = col("n1").cast("double"); val nd2 = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / nd1
+    val m2 = col("s2").cast("double") / nd2
+    val v1 = (col("q1").cast("double") - col("s1").cast("double") * m1) /
+      (nd1 - lit(1.0))
+    val v2 = (col("q2").cast("double") - col("s2").cast("double") * m2) /
+      (nd2 - lit(1.0))
+    val u1 = v1 / nd1; val u2 = v2 / nd2
+    val se2 = u1 + u2
+    val t = (m1 - m2) / sqrt(se2)
+    val df = (se2 * se2) /
+      (u1 * u1 / (nd1 - lit(1.0)) + u2 * u2 / (nd2 - lit(1.0)))
+    mo.select(col("n1"), col("n2"), col("s1"), col("s2"),
+      col("q1"), col("q2"),
+      floor(t * lit(1e6)).cast("long").as("t_micro"),
+      floor(df * lit(1e6)).cast("long").as("df_micro"))
+  }
+
+  // `agg_countmin` — Count-Min sketch (Cormode & Muthukrishnan 2005)
+  // frequency estimation: d=3 hash rows × w=128 counters, estimate =
+  // min_j counter[j][h_j(key)] — the fixed-memory heavy-hitter
+  // structure a 100 TB stream summarizes per-key traffic with when the
+  // key space (users, URLs) is unbounded: 384 BIGINTs regardless of
+  // cardinality, mergeable across executors/days by counter addition.
+  // Build is explode(d) → (j,b) count: partial agg collapses every
+  // partition to ≤ d·w rows before the one tiny shuffle (vs the exact
+  // per-key agg whose shuffle grows with cardinality). Probe side
+  // (user_id % 17 — the audit subset; production probes suspected
+  // heavies from a prior pass) broadcast-joins the 384-row sketch and
+  // takes min over the d rows. Hashes derive from md5 hex (the
+  // corpus_mix trick), NOT murmur3 `hash()`, so the oracle replays
+  // identical bucket assignment; everything integer — the CMS
+  // guarantee est ≥ exact is also asserted per row (`overcount` ≥ 0).
+  def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (3, 128)
+    def bucket(j: Column, key: Column): Column = pmod(
+      conv(substring(md5(concat(j.cast("string"), lit(":"),
+        key.cast("string"))), 1, 6), 16, 10).cast("long"), lit(w))
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+    ev.filter(pmod(col("user_id"), lit(17)) === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .select(col("user_id"), col("exact_n"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("user_id"), col("exact_n"), col("j"),
+        bucket(col("j"), col("user_id")).as("b"))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("user_id", "exact_n")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy("user_id")
   }
 }

@@ -1331,4 +1331,83 @@ object TextAnalysis {
         round(sum(idf * tfNorm), 4).as("bm25"))
       .orderBy("doc_id")
   }
+
+  // `rank_rrf` — reciprocal-rank fusion (Cormack, Clarke & Büttcher
+  // 2009): the standard hybrid-retrieval combiner, score(d) =
+  // Σ_systems 1/(k + rank_system(d)), k = 60 — how production search
+  // fuses a lexical ranking (BM25) with a dense-embedding ranking
+  // without calibrating their incomparable score scales. Two rankers
+  // here: "quality" (n_chars DESC — the lexical stand-in) and a
+  // deterministic md5 permutation (the dense stand-in, the
+  // corpus_sample trick); query key = lang (in production the
+  // per-query candidate lists are small and the window partitions by
+  // query id, so cardinality grows with the query workload, never the
+  // corpus). Scores in exact integer micro-units via BIGINT floor
+  // division — 1000000 div (k+rank) — so the fusion is reproducible
+  // bit-for-bit across engines (the text_ngram_colloc exact-ratio rule
+  // applied to rank fusion; float 1/(k+r) sums would tie-flap). Three
+  // partitioned windows over the same (lang)-hash exchange — Spark
+  // reuses one Exchange, the two rank sorts + fused sort run within
+  // partitions; top-10 per lang via WindowGroupLimit prunes before the
+  // terminal order.
+  // `eval_retrieval` — ranking-quality evaluation (recall@10, MRR,
+  // first-relevant-rank) per query: the metric pass every retrieval /
+  // RAG pipeline runs after reranking, and the consumer of the
+  // rankings rank_bm25 / rank_rrf produce. Query key = lang (see
+  // rank_rrf — production partitions by query id, cardinality scales
+  // with the eval workload); ranking = the quality ranker (n_chars
+  // DESC); qrels are a deterministic 25% md5 draw on doc_id (first
+  // md5 hex digit < 4 — the corpus_mix trick), so both engines label
+  // identical docs relevant. Metrics in exact integer micro-units —
+  // rr_micro = 1000000 div first_rel_rank, recall@10_micro =
+  // (1000000·hits) div n_rel with nullif-guarded zero denominators —
+  // floats would tie-flap (text_ngram_colloc rule). Scale: one
+  // partitioned window + one (lang) agg, both on the same hash
+  // Exchange; map-side partials for the agg.
+  def evalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long") < 4L).cast("long").as("rel"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rank") <= 10L, col("rel")).otherwise(lit(0L)))
+          .as("hits_at10"))
+      .select(col("lang"), col("n_docs"), col("n_rel"),
+        col("first_rel_rank"),
+        expr("CAST(1000000 div first_rel_rank AS BIGINT)").as("rr_micro"),
+        col("hits_at10"),
+        expr("CAST((1000000 * hits_at10) div nullif(n_rel, 0) AS BIGINT)")
+          .as("recall_at10_micro"))
+      .orderBy("lang")
+  }
+
+  def rankRrf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 60
+    val wA = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wB = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val wS = Window.partitionBy("lang")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .withColumn("score_micro",
+        expr(s"CAST(1000000 div ($k + ra) AS BIGINT) + " +
+          s"CAST(1000000 div ($k + rb) AS BIGINT)"))
+      .withColumn("fused_rank", row_number().over(wS))
+      .filter(col("fused_rank") <= 10)
+      .select(col("lang"), col("fused_rank").cast("long").as("fused_rank"),
+        col("doc_id"), col("ra").cast("long").as("rank_quality"),
+        col("rb").cast("long").as("rank_hash"), col("score_micro"))
+      .orderBy("lang", "fused_rank")
+  }
 }

@@ -1181,6 +1181,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("count(distinct o_orderkey"), p)
   }
 
+  test("agg_countmin: the sketch broadcasts to the probe side and the " +
+      "(j,bucket) build agg carries a map-side partial — the shuffle is " +
+      "bounded by d*w counters, never by key cardinality") {
+    val p = plan(operators.EventAnalytics.aggCountMin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // partial_count under the (j, b) grouping = per-partition collapse
+    // to <= d*w rows before the exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("rank_rrf: the three lang-partitioned windows share ONE hash " +
+      "exchange, and the top-10 cut prunes via WindowGroupLimit before " +
+      "the terminal order") {
+    val p = plan(operators.TextAnalysis.rankRrf(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(lang") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
