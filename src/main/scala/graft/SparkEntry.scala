@@ -263,6 +263,8 @@ object SparkEntry {
     "token_bpe_train" -> (TextAnalysis.tokenBpeTrain _),
     "agg_countmin" -> (EventAnalytics.aggCountMin _),
     "rank_rrf" -> (TextAnalysis.rankRrf _),
+    "stat_ttest" -> (EventAnalytics.statTtest _),
+    "eval_retrieval" -> (TextAnalysis.evalRetrieval _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4093,6 +4095,82 @@ object SparkEntry {
         |ORDER BY band""".stripMargin,
     "agg_countmin" -> countMinOracle,
     "rank_rrf" -> rankRrfOracle,
+
+    // Six exact BIGINT conditional moments, then the SAME scalar IEEE
+    // expression tree (identical op order/parenthesization — the
+    // agg_weighted division-sequence rule); renders are floor(x*1e6),
+    // never round() on a non-decimal quotient.
+    "stat_ttest" ->
+      """WITH mo AS (
+        |  SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS s1,
+        |    sum(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS s2,
+        |    sum(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |                  * CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS q1,
+        |    sum(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(round(value * 100) AS BIGINT)
+        |                  * CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS q2
+        |  FROM events WHERE value IS NOT NULL
+        |), sc AS (
+        |  SELECT n1, n2, s1, s2, q1, q2,
+        |         CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM mo
+        |), vv AS (
+        |  SELECT *,
+        |         ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * m1)
+        |            / (nd1 - 1.0)) / nd1 AS u1,
+        |         ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * m2)
+        |            / (nd2 - 1.0)) / nd2 AS u2
+        |  FROM sc
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |       CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+        |       CAST(floor((m1 - m2) / sqrt(u1 + u2) * 1e6) AS BIGINT)
+        |         AS t_micro,
+        |       CAST(floor((u1 + u2) * (u1 + u2)
+        |              / (u1 * u1 / (nd1 - 1.0) + u2 * u2 / (nd2 - 1.0))
+        |              * 1e6) AS BIGINT) AS df_micro
+        |FROM vv""".stripMargin,
+
+    // Same quality ranking + md5 qrel draw; metrics are exact integer
+    // floor divisions so recall/MRR can never tie-flap cross-engine.
+    "eval_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN CAST('0x' ||
+        |                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                AS BIGINT) < 4 THEN 1 ELSE 0 END AS rel,
+        |         row_number() OVER
+        |           (PARTITION BY lang
+        |            ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(rel) AS BIGINT) AS n_rel,
+        |       CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+        |         AS first_rel_rank,
+        |       CAST(1000000 // min(CASE WHEN rel = 1 THEN rank END)
+        |            AS BIGINT) AS rr_micro,
+        |       CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END)
+        |            AS BIGINT) AS hits_at10,
+        |       CAST((1000000 * sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END))
+        |            // nullif(sum(rel), 0) AS BIGINT) AS recall_at10_micro
+        |FROM base
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -1201,6 +1201,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("stat_ttest: the whole Welch test is ONE conditional-moment " +
+      "aggregate pass — map-side partial sums, one fact scan, no join " +
+      "or window") {
+    val p = plan(operators.EventAnalytics.statTtest(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("eval_retrieval: the ranking window and the per-lang metric agg " +
+      "share ONE lang hash exchange — the agg rides the window's " +
+      "partitioning") {
+    val p = plan(operators.TextAnalysis.evalRetrieval(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(lang") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
