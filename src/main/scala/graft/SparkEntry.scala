@@ -265,6 +265,8 @@ object SparkEntry {
     "rank_rrf" -> (TextAnalysis.rankRrf _),
     "stat_ttest" -> (EventAnalytics.statTtest _),
     "eval_retrieval" -> (TextAnalysis.evalRetrieval _),
+    "eval_auc" -> (EventAnalytics.evalAuc _),
+    "sample_stratified" -> (TextAnalysis.sampleStratified _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4171,6 +4173,65 @@ object SparkEntry {
         |FROM base
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // Same doubled-midrank machinery as stat_mannwhitney (the global
+    // cumulative replaces the two-level prefix — DuckDB's window is
+    // single-node anyway); the one division happens once at the end
+    // over exactly-representable integers, then floor(x*1e6).
+    "eval_auc" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         CASE WHEN CAST('0x' ||
+        |                substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |                AS BIGINT) < 4 OR value >= 90.0
+        |              THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL
+        |), pts AS (
+        |  SELECT value,
+        |         CAST(sum(pos) AS BIGINT) AS a,
+        |         CAST(sum(1 - pos) AS BIGINT) AS b
+        |  FROM ev GROUP BY value
+        |), r AS (
+        |  SELECT a, b, a + b AS t,
+        |         CAST(coalesce(sum(a + b) OVER (ORDER BY value
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS cb4
+        |  FROM pts
+        |), agg AS (
+        |  SELECT CAST(sum(a * (2 * cb4 + t + 1)) AS BIGINT) AS r2_pos,
+        |         CAST(sum(a) AS BIGINT) AS n_pos,
+        |         CAST(sum(b) AS BIGINT) AS n_neg,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS tie_t
+        |  FROM r
+        |)
+        |SELECT n_pos, n_neg,
+        |       r2_pos - n_pos * (n_pos + 1) AS u2_pos, tie_t,
+        |       CAST(floor(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+        |              / (2.0 * CAST(n_pos AS DOUBLE)
+        |                     * CAST(n_neg AS DOUBLE)) * 1e6)
+        |            AS BIGINT) AS auc_micro
+        |FROM agg""".stripMargin,
+
+    // Identical md5 permutation rank + per-stratum count windows;
+    // quota is exact BIGINT floor division clamped to [5, 200].
+    "sample_stratified" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         count(*) OVER (PARTITION BY lang) AS n_docs,
+        |         row_number() OVER
+        |           (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |), q AS (
+        |  SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        |         CAST(n_docs AS BIGINT) AS n_docs,
+        |         greatest(5, least(200, n_docs // 20)) AS quota
+        |  FROM w
+        |)
+        |SELECT lang, rk, doc_id, n_docs, CAST(quota AS BIGINT) AS quota
+        |FROM q
+        |WHERE rk <= quota
+        |ORDER BY lang, rk""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

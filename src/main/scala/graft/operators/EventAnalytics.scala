@@ -872,6 +872,60 @@ object EventAnalytics {
       floor(df * lit(1e6)).cast("long").as("df_micro"))
   }
 
+  // `eval_auc` — ROC AUC for a scored binary classifier via the
+  // rank-sum identity AUC = U/(n_pos·n_neg) (Hanley & McNeil 1982,
+  // the Mann-Whitney U relation) — the metric every ranking/quality
+  // model ships with, computed WITHOUT sorting predictions globally.
+  // Labels are a deterministic md5 draw on event_id ORed with a
+  // score-correlated band (value ≥ 90) so the fixture AUC is
+  // meaningfully > 0.5; the score is `value` itself. Scale shape:
+  // identical machinery to stat_mannwhitney — per-distinct-score
+  // (pos, neg) counts are ONE value-keyed partial-agg shuffle into a
+  // persisted frame, the strictly-before cumulative is the two-level
+  // prefix sum (bounded bucket offsets broadcast, per-bucket
+  // exclusive windows), never one global sort partition. Determinism:
+  // ties take midranks, so everything carries DOUBLED ranks — u2_pos
+  // = R2 − n_pos·(n_pos+1) is an exact BIGINT; the render divides
+  // once at the end, u2::double / (2.0·n_pos·n_neg) — IEEE division
+  // of exactly-representable integers (all < 2^53 to N ≈ 10⁸ rows)
+  // is bit-identical cross-engine, then floor(x·1e6), never round().
+  def evalAuc(spark: SparkSession, dir: String): DataFrame = {
+    val hex = conv(substring(md5(col("event_id").cast("string")), 1, 1),
+      16, 10).cast("long")
+    val pts = Caches.register(Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("value"),
+        ((hex < 4L) || (col("value") >= 90.0)).cast("long").as("pos"))
+      .groupBy(col("value"))
+      .agg(sum(col("pos")).as("a"),
+        sum(lit(1L) - col("pos")).as("b"))
+      .withColumn("t", col("a") + col("b"))
+      .withColumn("bkt", floor(col("value") / lit(8.0)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bktTot = pts.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTot
+      .withColumn("off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wL = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = pts
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cb4",
+        col("off") + coalesce(sum(col("t")).over(wL), lit(0L)))
+      .withColumn("m2", lit(2L) * col("cb4") + col("t") + lit(1L))
+      .agg(sum(col("a") * col("m2")).as("r2_pos"),
+        sum(col("a")).as("n_pos"), sum(col("b")).as("n_neg"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_t"))
+    val u2 = col("r2_pos") - col("n_pos") * (col("n_pos") + lit(1L))
+    agg.select(col("n_pos"), col("n_neg"), u2.as("u2_pos"), col("tie_t"),
+      floor(u2.cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") *
+          col("n_neg").cast("double")) * lit(1e6))
+        .cast("long").as("auc_micro"))
+  }
+
   // `agg_countmin` — Count-Min sketch (Cormode & Muthukrishnan 2005)
   // frequency estimation: d=3 hash rows × w=128 counters, estimate =
   // min_j counter[j][h_j(key)] — the fixed-memory heavy-hitter

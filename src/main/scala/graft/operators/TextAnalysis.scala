@@ -1388,6 +1388,39 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `sample_stratified` — fixed-QUOTA stratified sampling: exactly
+  // quota(stratum) docs per lang, quota = clamp(n_docs div 20, 5, 200)
+  // — the other half of the sampling surface (corpus_sample /
+  // corpus_mix draw Bernoulli RATES; eval sets, human-review batches
+  // and per-domain caps need exact counts). Draw order is the
+  // deterministic md5 permutation (corpus_sample trick) so both
+  // engines pick identical docs — no RNG, re-runnable. Scale shape:
+  // the per-stratum size and the permutation rank are TWO windows
+  // over ONE shared (lang)-hash exchange (count over the unbounded
+  // frame rides the same partitioning as row_number), then a map-side
+  // filter — no self-join, no second scan, no driver quota table;
+  // stratum count is bounded (langs / domains), per-stratum data is
+  // whatever fits a partition — the same contract as every other
+  // lang-windowed key. Determinism: quota arithmetic is exact BIGINT
+  // floor division; rank ties are impossible (md5 collisions aside,
+  // doc_id tiebreak).
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val wN = Window.partitionBy("lang")
+    val wR = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("n_docs", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .withColumn("quota",
+        greatest(lit(5L), least(lit(200L),
+          expr("n_docs div 20").cast("long"))))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("n_docs"), col("quota"))
+      .orderBy("lang", "rk")
+  }
+
   def rankRrf(spark: SparkSession, dir: String): DataFrame = {
     val k = 60
     val wA = Window.partitionBy("lang")

@@ -1220,6 +1220,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window ["), p)
   }
 
+  test("eval_auc: the rank-sum AUC reuses the two-level prefix machinery " +
+      "— persisted distinct-score frame, bucket offsets broadcast, " +
+      "per-bucket exclusive windows, never one global sort partition") {
+    val p = plan(operators.EventAnalytics.evalAuc(spark, sf))
+    try {
+      assert(count(p, "InMemoryTableScan") >= 2, p)
+      assert(p.contains("Window [") && p.contains("bkt"), p)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoop"), p)
+    } finally operators.Caches.releaseAll()
+  }
+
+  test("sample_stratified: the stratum count and the permutation rank " +
+      "are two windows over ONE shared lang hash exchange — no " +
+      "self-join, no second scan, no driver quota table") {
+    val p = plan(operators.TextAnalysis.sampleStratified(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(lang") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "documents.parquet") === 1,
+      p.linesIterator.filter(_.contains("documents")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
