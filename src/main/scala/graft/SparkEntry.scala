@@ -267,6 +267,7 @@ object SparkEntry {
     "eval_retrieval" -> (TextAnalysis.evalRetrieval _),
     "eval_auc" -> (EventAnalytics.evalAuc _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
+    "join_spatial_grid" -> (Relational.joinSpatialGrid _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4232,6 +4233,29 @@ object SparkEntry {
         |FROM q
         |WHERE rk <= quota
         |ORDER BY lang, rk""".stripMargin,
+
+    // The grid join is an EXECUTION strategy — the oracle contracts
+    // the SEMANTICS (all pairs within L2 r=25) with the direct
+    // quadratic formulation over the two small subsets; every column
+    // is an exact integer (md5-hex-derived coordinates).
+    "join_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         CAST('0x' || substring(md5('x:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 AS x,
+        |         CAST('0x' || substring(md5('y:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 AS y
+        |  FROM events
+        |)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(a.x AS BIGINT) AS ax, CAST(a.y AS BIGINT) AS ay,
+        |       CAST(b.x AS BIGINT) AS bx, CAST(b.y AS BIGINT) AS by,
+        |       CAST((a.x - b.x) * (a.x - b.x)
+        |          + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM pts a JOIN pts b
+        |  ON a.event_id % 100 = 1 AND b.event_id % 100 = 2
+        | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

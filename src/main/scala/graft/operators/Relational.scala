@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1837,5 +1837,55 @@ object Relational {
       .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
+  }
+
+  // `join_spatial_grid` — radius join over 2-D points via GRID
+  // BUCKETING (the uniform-grid spatial join every geo engine builds
+  // first): pair up points within L2 distance r=25 in a 1000×1000
+  // integer space WITHOUT the all-pairs cross product. Build side
+  // explodes each point to its 3×3 neighborhood of r-sized cells (9
+  // rows — a constant), probe side keeps its exact cell; the
+  // equi-join on (cx, cy) makes every candidate pair CO-LOCATED by
+  // construction, then the exact integer predicate dx²+dy² ≤ r²
+  // filters. dist ≤ r ⟹ |Δcell| ≤ 1, and exactly ONE of the 9
+  // exploded copies matches a given probe cell, so the join is both
+  // complete and duplicate-free — no DISTINCT pass. Scale shape: one
+  // hash shuffle on the cell key (or broadcast when a side is small,
+  // as here); candidates only where density is; output grows with
+  // the true pair count (density², the answer's own size), never
+  // n_a·n_b. Determinism: coordinates are exact integer affine maps
+  // of (event_id, user_id); every column BIGINT.
+  def joinSpatialGrid(spark: SparkSession, dir: String): DataFrame = {
+    val r = 25L
+    // md5-derived coordinates (the agg_countmin trick): an affine map
+    // of event_id would be arithmetically correlated with the mod-100
+    // subset filter (10 residue classes per side, min x-gap 37 > r — a
+    // structurally empty join); the hash draw is uniform and the
+    // oracle replays it exactly.
+    def coord(p: String): Column = pmod(
+      conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(1000L))
+    def pts(m: Long) = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(100L)) === m)
+      .select(col("event_id"), coord("x:").as("x"), coord("y:").as("y"))
+    val probe = pts(1L)
+      .select(col("event_id").as("a_id"), col("x").as("ax"),
+        col("y").as("ay"),
+        expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+    val build = pts(2L)
+      .select(col("event_id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"),
+        explode(sequence(expr(s"x div $r") - lit(1L),
+          expr(s"x div $r") + lit(1L))).as("cx"))
+      .select(col("b_id"), col("bx"), col("by"), col("cx"),
+        explode(sequence(expr(s"by div $r") - lit(1L),
+          expr(s"by div $r") + lit(1L))).as("cy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    probe.join(build, Seq("cx", "cy"))
+      .filter(d2 <= lit(r * r))
+      .select(col("a_id"), col("b_id"), col("ax"), col("ay"),
+        col("bx"), col("by"), d2.as("dist2"))
+      .orderBy("a_id", "b_id")
   }
 }

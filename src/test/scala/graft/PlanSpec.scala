@@ -1243,6 +1243,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("join_spatial_grid: the radius join is a cell-key EQUI-join over " +
+      "the constant 3x3 neighborhood explode — never a cartesian or " +
+      "nested-loop pass") {
+    val p = plan(operators.Relational.joinSpatialGrid(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
