@@ -268,6 +268,8 @@ object SparkEntry {
     "eval_auc" -> (EventAnalytics.evalAuc _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "join_spatial_grid" -> (Relational.joinSpatialGrid _),
+    "eval_calibration" -> (EventAnalytics.evalCalibration _),
+    "ts_autocorr" -> (EventAnalytics.tsAutocorr _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4256,6 +4258,86 @@ object SparkEntry {
         |  ON a.event_id % 100 = 1 AND b.event_id % 100 = 2
         | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // All-integer: bin = p_milli div 100 over the same two md5 milli
+    // draws; renders are exact BIGINT floor divisions.
+    "eval_calibration" ->
+      """WITH d AS (
+        |  SELECT CAST('0x' || substring(md5('p:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 AS p_milli,
+        |         CAST('0x' || substring(md5('l:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 AS l_milli
+        |  FROM events
+        |), b AS (
+        |  SELECT p_milli // 100 AS bin, p_milli,
+        |         CASE WHEN l_milli < p_milli THEN 1 ELSE 0 END AS pos
+        |  FROM d
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       CAST((1000 * sum(p_milli)) // count(*) AS BIGINT)
+        |         AS avg_pred_micro,
+        |       CAST((1000000 * sum(pos)) // count(*) AS BIGINT)
+        |         AS frac_pos_micro
+        |FROM b
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
+
+    // Same six exact conditional moments per lag over the identical
+    // (ts, event_id)-ordered lag chain; identical terminal IEEE tree,
+    // zero-variance lags guarded by exact integer comparisons.
+    "ts_autocorr" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |         lag(CAST(round(value * 100) AS BIGINT), 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS c1,
+        |         lag(CAST(round(value * 100) AS BIGINT), 2) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS c2,
+        |         lag(CAST(round(value * 100) AS BIGINT), 3) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS c3
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), mo AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN c1 ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN c * c1 ELSE 0 END) AS BIGINT) AS sxy1,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN c * c ELSE 0 END) AS BIGINT) AS sxx1,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL THEN c1 * c1 ELSE 0 END) AS BIGINT) AS syy1,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS sx2,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN c2 ELSE 0 END) AS BIGINT) AS sy2,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN c * c2 ELSE 0 END) AS BIGINT) AS sxy2,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN c * c ELSE 0 END) AS BIGINT) AS sxx2,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL THEN c2 * c2 ELSE 0 END) AS BIGINT) AS syy2,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS sx3,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN c3 ELSE 0 END) AS BIGINT) AS sy3,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN c * c3 ELSE 0 END) AS BIGINT) AS sxy3,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN c * c ELSE 0 END) AS BIGINT) AS sxx3,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL THEN c3 * c3 ELSE 0 END) AS BIGINT) AS syy3
+        |  FROM base GROUP BY user_id
+        |)
+        |SELECT user_id, n_obs,
+        |  CASE WHEN n1 * sxx1 - sx1 * sx1 > 0 AND n1 * syy1 - sy1 * sy1 > 0
+        |       THEN CAST(floor(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+        |              / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+        |                   * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))
+        |              * 1e6) AS BIGINT) END AS r1_micro,
+        |  CASE WHEN n2 * sxx2 - sx2 * sx2 > 0 AND n2 * syy2 - sy2 * sy2 > 0
+        |       THEN CAST(floor(CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+        |              / sqrt(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+        |                   * CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE))
+        |              * 1e6) AS BIGINT) END AS r2_micro,
+        |  CASE WHEN n3 * sxx3 - sx3 * sx3 > 0 AND n3 * syy3 - sy3 * sy3 > 0
+        |       THEN CAST(floor(CAST(n3 * sxy3 - sx3 * sy3 AS DOUBLE)
+        |              / sqrt(CAST(n3 * sxx3 - sx3 * sx3 AS DOUBLE)
+        |                   * CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE))
+        |              * 1e6) AS BIGINT) END AS r3_micro
+        |FROM mo
+        |WHERE n_obs >= 10
+        |ORDER BY user_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

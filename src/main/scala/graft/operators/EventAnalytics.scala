@@ -872,6 +872,95 @@ object EventAnalytics {
       floor(df * lit(1e6)).cast("long").as("df_micro"))
   }
 
+  // `eval_calibration` — classifier reliability diagram (the ECE
+  // input): bin predictions into 10 deciles, emit per-bin count, mean
+  // predicted probability and observed positive rate — the other half
+  // of the eval surface next to eval_auc (AUC measures ranking;
+  // calibration measures whether 0.7 MEANS 70%). Fixture: the
+  // prediction is a uniform md5 milli-draw p ∈ [0,1000); the label is
+  // a SECOND independent md5 draw < p, so the fixture is perfectly
+  // calibrated in expectation and the observed rate tracks the bin
+  // mean. Scale shape: ONE map-side-partial aggregate pass over a
+  // 10-row bounded group-by — the minimal pass, like stat_ttest.
+  // Determinism: everything integer — bin = p_milli div 100, renders
+  // are exact BIGINT floor divisions (avg_pred_micro = 1000·Σp div n,
+  // frac_pos_micro = 10⁶·pos div n); no float anywhere.
+  def evalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    def draw(p: String): Column = pmod(
+      conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(1000L))
+    Tables.events(spark, dir)
+      .select(draw("p:").as("p_milli"), draw("l:").as("l_milli"))
+      .select(expr("p_milli div 100").as("bin"), col("p_milli"),
+        (col("l_milli") < col("p_milli")).cast("long").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p_milli")).as("sum_p_milli"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST((1000 * sum_p_milli) div n AS BIGINT)")
+          .as("avg_pred_micro"),
+        expr("CAST((1000000 * n_pos) div n AS BIGINT)")
+          .as("frac_pos_micro"))
+      .orderBy("bin")
+  }
+
+  // `ts_autocorr` — per-entity lag-k autocorrelation (k = 1..3) of the
+  // value series ordered by (ts, event_id): the standard seasonality /
+  // momentum screen a metrics platform runs per series before fitting
+  // anything heavier. Pearson r over the lag-paired rows from SIX
+  // exact BIGINT conditional moments per lag (n, Σx, Σy, Σxy, Σx²,
+  // Σy²) — the stat_ttest discipline applied to lag pairs. Scale
+  // shape: one (user)-hash exchange serves the ordering window AND the
+  // final per-user agg (same-key reuse, the eval_retrieval shape);
+  // per-series state is bounded by series length — the suite's
+  // bounded-window contract; the lag chain is in-partition.
+  // Determinism: moments are exact ints; the terminal
+  // (n·Σxy − ΣxΣy)/sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²)) evaluates an
+  // identical IEEE tree on identical ints (int→double cast is
+  // round-to-nearest in both engines), sqrt is IEEE-exact, render is
+  // floor(r·1e6); zero-variance lags guarded by exact integer
+  // comparisons. Bounds: n·Σx² ≤ 4.5·10¹⁷ at 67k events/user — fits
+  // BIGINT to ~10⁶ rows/series (documented switch-to-double past).
+  def tsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val withLags = (1 to 3).foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", lag(col("c"), k).over(w))
+    }
+    def micro(k: Int): Column = {
+      val (n, sx, sy) = (col(s"n$k"), col(s"sx$k"), col(s"sy$k"))
+      val (sxy, sxx, syy) = (col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k"))
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      when(dx > 0L && dy > 0L,
+        floor((n * sxy - sx * sy).cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")) * lit(1e6))
+          .cast("long"))
+    }
+    def moments(k: Int): Seq[Column] = {
+      val ok = col(s"c$k").isNotNull
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(ok, col("c")).otherwise(0L)).as(s"sx$k"),
+        sum(when(ok, col(s"c$k")).otherwise(0L)).as(s"sy$k"),
+        sum(when(ok, col("c") * col(s"c$k")).otherwise(0L)).as(s"sxy$k"),
+        sum(when(ok, col("c") * col("c")).otherwise(0L)).as(s"sxx$k"),
+        sum(when(ok, col(s"c$k") * col(s"c$k")).otherwise(0L)).as(s"syy$k"))
+    }
+    val aggs = (1 to 3).flatMap(moments)
+    withLags
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"), aggs: _*)
+      .filter(col("n_obs") >= 10L)
+      .select(col("user_id"), col("n_obs"),
+        micro(1).as("r1_micro"), micro(2).as("r2_micro"),
+        micro(3).as("r3_micro"))
+      .orderBy("user_id")
+  }
+
   // `eval_auc` — ROC AUC for a scored binary classifier via the
   // rank-sum identity AUC = U/(n_pos·n_neg) (Hanley & McNeil 1982,
   // the Mann-Whitney U relation) — the metric every ranking/quality

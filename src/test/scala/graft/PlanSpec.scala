@@ -1254,6 +1254,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("eval_calibration: the whole reliability diagram is ONE " +
+      "map-side-partial aggregate pass into a 10-row bounded group-by " +
+      "— one fact scan, no join, no window") {
+    val p = plan(operators.EventAnalytics.evalCalibration(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("ts_autocorr: the lag window and the per-user moment agg share " +
+      "ONE user_id hash exchange — the agg rides the window's " +
+      "partitioning") {
+    val p = plan(operators.EventAnalytics.tsAutocorr(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window ["), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
