@@ -270,6 +270,8 @@ object SparkEntry {
     "join_spatial_grid" -> (Relational.joinSpatialGrid _),
     "eval_calibration" -> (EventAnalytics.evalCalibration _),
     "ts_autocorr" -> (EventAnalytics.tsAutocorr _),
+    "dq_kanonymity" -> (Pipeline.dqKanonymity _),
+    "eval_confusion" -> (EventAnalytics.evalConfusion _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4338,6 +4340,61 @@ object SparkEntry {
         |FROM mo
         |WHERE n_obs >= 10
         |ORDER BY user_id""".stripMargin,
+
+    // QI classes are an exact integer derivation; counts and ppm
+    // renders exact BIGINTs.
+    "dq_kanonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+        |           AS bal_band,
+        |         count(*) AS class_size
+        |  FROM customer
+        |  GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT sum(class_size) AS n_total FROM classes
+        |)
+        |SELECT nation, segment, CAST(bal_band AS BIGINT) AS bal_band,
+        |       CAST(class_size AS BIGINT) AS class_size,
+        |       CAST((1000000 * class_size) // n_total AS BIGINT)
+        |         AS risk_ppm
+        |FROM classes, tot
+        |WHERE class_size < 5
+        |ORDER BY nation, segment, bal_band""".stripMargin,
+
+    // Four conditional counts + exact-rational metric renders (F1's
+    // harmonic mean simplifies to 2tp/(2tp+fp+fn) — an integer ratio).
+    "eval_confusion" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN CAST('0x' || substring(md5('p:' || event_id),
+        |                    1, 6) AS BIGINT) % 1000 >= 500
+        |              THEN 1 ELSE 0 END AS pred,
+        |         CASE WHEN CAST('0x' || substring(md5('l:' || event_id),
+        |                    1, 6) AS BIGINT) % 1000
+        |               < CAST('0x' || substring(md5('p:' || event_id),
+        |                    1, 6) AS BIGINT) % 1000
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM events
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tn
+        |  FROM d
+        |)
+        |SELECT tp, fp, fn, tn,
+        |       CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+        |         AS precision_micro,
+        |       CAST((1000000 * tp) // (tp + fn) AS BIGINT)
+        |         AS recall_micro,
+        |       CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+        |         AS f1_micro
+        |FROM m""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

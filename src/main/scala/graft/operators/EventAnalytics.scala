@@ -961,6 +961,43 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `eval_confusion` — thresholded confusion matrix + the derived
+  // precision / recall / F1, completing the eval trio (eval_auc ranks,
+  // eval_calibration checks probability meaning, this one grades the
+  // DECISION at a fixed threshold 0.5). Same md5 fixture as
+  // eval_calibration (prediction = uniform milli-draw, label = second
+  // independent draw < p). Scale shape: the four cells are ONE
+  // conditional-count aggregate pass (map-side partials, 1-row
+  // result) — the stat_ttest minimal pass. Determinism: the metrics
+  // are exact RATIONALS rendered by BIGINT floor division —
+  // precision = 10⁶·tp div (tp+fp), recall = 10⁶·tp div (tp+fn),
+  // F1 = 2·10⁶·tp div (2·tp+fp+fn) (the harmonic mean simplifies to
+  // an exact integer ratio — no float ever appears).
+  def evalConfusion(spark: SparkSession, dir: String): DataFrame = {
+    def draw(p: String): Column = pmod(
+      conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(1000L))
+    Tables.events(spark, dir)
+      .select((draw("p:") >= 500L).cast("long").as("pred"),
+        (draw("l:") < draw("p:")).cast("long").as("label"))
+      .agg(
+        sum(when(col("pred") === 1L && col("label") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1L && col("label") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0L && col("label") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0L && col("label") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CAST((1000000 * tp) div (tp + fp) AS BIGINT)")
+          .as("precision_micro"),
+        expr("CAST((1000000 * tp) div (tp + fn) AS BIGINT)")
+          .as("recall_micro"),
+        expr("CAST((2000000 * tp) div (2 * tp + fp + fn) AS BIGINT)")
+          .as("f1_micro"))
+  }
+
   // `eval_auc` — ROC AUC for a scored binary classifier via the
   // rank-sum identity AUC = U/(n_pos·n_neg) (Hanley & McNeil 1982,
   // the Mann-Whitney U relation) — the metric every ranking/quality

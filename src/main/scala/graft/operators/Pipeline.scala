@@ -149,4 +149,36 @@ object Pipeline {
         (col("n_violations") === 0L).as("passed"))
       .orderBy("rule")
   }
+
+  // `dq_kanonymity` — k-anonymity audit (Sweeney 2002), the privacy
+  // gate a dataset passes before release: group the table by its
+  // QUASI-IDENTIFIER combination (here nation × market segment ×
+  // account-balance band — the attributes an adversary can link from
+  // outside) and report every equivalence class smaller than k=5,
+  // because rows in those classes are re-identifiable. Output = the
+  // violating classes with their sizes plus their share of the table
+  // in exact ppm. Scale shape: ONE aggregate pass with map-side
+  // partials into a QI-domain-bounded group-by (|nations|·|segments|·
+  // |bands| — never row-cardinality), then a 1-row total broadcast
+  // for the ppm render; no join against the fact, no window.
+  // Determinism: the balance band is an exact integer floor division
+  // of cents; counts and ppm renders are exact BIGINTs.
+  def dqKanonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+          .as("bal_band"))
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+    val total = classes.agg(sum(col("class_size")).as("n_total"))
+    classes.filter(col("class_size") < k)
+      .join(broadcast(total))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("class_size"),
+        expr("CAST((1000000 * class_size) div n_total AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy("nation", "segment", "bal_band")
+  }
 }

@@ -1274,6 +1274,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("dq_kanonymity: one QI-domain-bounded aggregate pass + a 1-row " +
+      "total broadcast — one customer scan for the classes, never a " +
+      "join against the fact") {
+    val p = plan(operators.Pipeline.dqKanonymity(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("eval_confusion: the four cells are ONE conditional-count " +
+      "aggregate pass — one scan, no join, no window") {
+    val p = plan(operators.EventAnalytics.evalConfusion(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
