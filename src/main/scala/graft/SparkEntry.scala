@@ -272,6 +272,8 @@ object SparkEntry {
     "ts_autocorr" -> (EventAnalytics.tsAutocorr _),
     "dq_kanonymity" -> (Pipeline.dqKanonymity _),
     "eval_confusion" -> (EventAnalytics.evalConfusion _),
+    "stat_bootstrap" -> (EventAnalytics.statBootstrap _),
+    "feat_minmax" -> (EventAnalytics.featMinmax _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4395,6 +4397,44 @@ object SparkEntry {
         |       CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
         |         AS f1_micro
         |FROM m""".stripMargin,
+
+    // Identical md5 weight draws w in {0,1,2} per (replicate, row);
+    // sums exact BIGINT, mean renders exact floor divisions.
+    "stat_bootstrap" ->
+      """WITH reps AS (
+        |  SELECT b, CAST(round(e.value * 100) AS BIGINT) AS c,
+        |         CAST('0x' || substring(
+        |              md5('b' || b || ':' || e.event_id), 1, 6)
+        |              AS BIGINT) % 3 AS w
+        |  FROM events e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS b)
+        |  WHERE e.value IS NOT NULL
+        |)
+        |SELECT CAST(b AS BIGINT) AS b,
+        |       CAST(sum(w) AS BIGINT) AS n_eff,
+        |       CAST((1000000 * sum(w * c)) // sum(w) AS BIGINT)
+        |         AS mean_micro
+        |FROM reps
+        |GROUP BY b
+        |ORDER BY b""".stripMargin,
+
+    // Bounded per-type range + exact floor-division render with a
+    // nullif guard on degenerate ranges.
+    "feat_minmax" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, min(c) AS c_min, max(c) AS c_max
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT ev.event_id, ev.event_type, ev.c,
+        |       CAST((1000000 * (ev.c - r.c_min))
+        |            // nullif(r.c_max - r.c_min, 0) AS BIGINT)
+        |         AS norm_micro
+        |FROM ev JOIN r USING (event_type)
+        |ORDER BY ev.event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -961,6 +961,66 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `stat_bootstrap` — bootstrap distribution of the mean via the
+  // MULTIPLIER bootstrap (Efron 1979 resampling, reweighted form):
+  // B=20 replicates where each row enters replicate b with a
+  // deterministic integer weight w ∈ {0,1,2} (E[w]=1) drawn from
+  // md5(b, event_id) — the distributed form of resampling (per-row
+  // i.i.d. weights need no global index or shared RNG state, and a
+  // hash draw makes the whole distribution re-runnable bit-for-bit;
+  // production uses the same trick as "Poisson bootstrap"). The
+  // consumer reads the 20-row mean table as the CI. Scale shape: a
+  // constant 20× row explode (documented — the price of B replicates
+  // in one pass) into a B-bounded group-by with map-side partials;
+  // ONE scan, one tiny shuffle. Determinism: weights and sums are
+  // exact BIGINTs; mean renders are exact floor divisions
+  // (10⁶·Σwc div Σw, cents ⇒ bounds hold to ~10⁸ rows).
+  def statBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val b = 20
+    val w = pmod(conv(substring(md5(concat(lit("b"), col("b"),
+      lit(":"), col("event_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long"), lit(3L))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .select(col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b").cast("long").as("b"), w.as("w"), col("c"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("c")).as("sum_wc"))
+      .select(col("b"), col("n_eff"),
+        expr("CAST((1000000 * sum_wc) div n_eff AS BIGINT)")
+          .as("mean_micro"))
+      .orderBy("b")
+  }
+
+  // `feat_minmax` — per-group min-max feature scaling (the classic
+  // preprocessing step): normalize each event's value into [0,1]
+  // relative to its event_type's range — ML feature pipelines run
+  // exactly this shape per feature column before training. Scale
+  // shape: the range table is one BOUNDED (type-keyed) agg with
+  // map-side partials, broadcast back over the fact — the
+  // anomaly_zscore two-pass discipline (never a window over the full
+  // log for two scalars per key). Determinism: cents are exact ints,
+  // the render is an exact BIGINT floor division
+  // (10⁶·(c−min) div (max−min)) with a nullif guard on degenerate
+  // ranges — no float anywhere.
+  def featMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val ranges = ev.groupBy("event_type")
+      .agg(min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+    ev.join(broadcast(ranges), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("c"),
+        expr("CAST((1000000 * (c - c_min)) div nullif(c_max - c_min, 0)" +
+          " AS BIGINT)").as("norm_micro"))
+      .orderBy("event_id")
+  }
+
   // `eval_confusion` — thresholded confusion matrix + the derived
   // precision / recall / F1, completing the eval trio (eval_auc ranks,
   // eval_calibration checks probability meaning, this one grades the

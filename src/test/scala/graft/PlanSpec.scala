@@ -1292,6 +1292,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window ["), p)
   }
 
+  test("stat_bootstrap: the 20 replicates are one constant explode into " +
+      "a B-bounded group-by with map-side partials — one scan, one " +
+      "tiny shuffle, no join") {
+    val p = plan(operators.EventAnalytics.statBootstrap(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("feat_minmax: the per-type range table is a bounded agg " +
+      "broadcast back over the fact — never a window over the full " +
+      "log for two scalars per key") {
+    val p = plan(operators.EventAnalytics.featMinmax(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window ["), p)
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
