@@ -274,6 +274,8 @@ object SparkEntry {
     "eval_confusion" -> (EventAnalytics.evalConfusion _),
     "stat_bootstrap" -> (EventAnalytics.statBootstrap _),
     "feat_minmax" -> (EventAnalytics.featMinmax _),
+    "ts_changepoint" -> (EventAnalytics.tsChangepoint _),
+    "event_attribution" -> (EventAnalytics.eventAttribution _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4435,6 +4437,58 @@ object SparkEntry {
         |         AS norm_micro
         |FROM ev JOIN r USING (event_type)
         |ORDER BY ev.event_id""".stripMargin,
+
+    // Identical n-scaled CUSUM (n*prefix - t*S stays exact BIGINT);
+    // argmax tie-break by smallest t is a total order.
+    "ts_changepoint" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS BIGINT) AS t,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS prefix,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |           (PARTITION BY user_id) AS BIGINT) AS s
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), dev AS (
+        |  SELECT user_id, event_id, t, n,
+        |         n * prefix - t * s AS dev_scaled,
+        |         row_number() OVER
+        |           (PARTITION BY user_id
+        |            ORDER BY abs(n * prefix - t * s) DESC, t) AS pick
+        |  FROM base
+        |)
+        |SELECT user_id, n, t AS cp_t, event_id AS cp_event_id, dev_scaled
+        |FROM dev
+        |WHERE pick = 1 AND n >= 10
+        |ORDER BY user_id""".stripMargin,
+
+    // Same rows-before-current last(IGNORE NULLS) channel over the
+    // (ts, event_id) timeline; bounded channel counts.
+    "event_attribution" ->
+      """WITH tl AS (
+        |  SELECT event_type,
+        |         last_value(CASE WHEN event_type IN
+        |                      ('view', 'click', 'signup')
+        |                    THEN event_type END IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS channel
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |)
+        |SELECT coalesce(channel, 'none') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM tl
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

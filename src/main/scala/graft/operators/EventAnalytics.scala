@@ -961,6 +961,72 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `ts_changepoint` — CUSUM changepoint detection (Page 1954) per
+  // entity: the point t that maximizes |cumulative deviation from the
+  // series mean| — the standard "where did the level shift" screen a
+  // metrics platform runs on every series. The textbook statistic
+  // cusum_t = Σ_{i≤t}(x_i − μ) needs the float mean μ; scaling by n
+  // keeps it EXACT: n·cusum_t = n·prefix_t − t·S (prefix/total sums
+  // of cents) is an exact BIGINT, and argmax over it picks the same t
+  // as the float version because n > 0 is a monotone scale. Scale
+  // shape: all four windows (row index, running sum, total, argmax
+  // pick) ride ONE (user_id)-hash exchange; per-series state bounded
+  // by series length. Determinism: ties on |dev| break by smallest t
+  // (total order); everything BIGINT — bounds: n·prefix ≤ 4.5·10¹³
+  // at 67k events/series, exact to ~10⁶ rows/series.
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("user_id")
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum(col("c")).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c")).over(wAll))
+      .withColumn("dev_scaled",
+        col("n") * col("prefix") - col("t") * col("s"))
+    val wPick = Window.partitionBy("user_id")
+      .orderBy(abs(col("dev_scaled")).desc, col("t"))
+    base
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1 && col("n") >= 10L)
+      .select(col("user_id"), col("n"), col("t").as("cp_t"),
+        col("event_id").as("cp_event_id"), col("dev_scaled"))
+      .orderBy("user_id")
+  }
+
+  // `event_attribution` — LAST-TOUCH marketing attribution: each
+  // purchase is credited to the nearest preceding non-purchase
+  // touchpoint in the same user's timeline (the attribution model
+  // every growth team runs first). The per-purchase channel is
+  // last(ignoreNulls) of the touch events over the
+  // rows-before-current frame — the win_ignore_nulls machinery
+  // applied to the attribution business op — then ONE bounded
+  // (channel)-keyed count. Unattributed purchases (no prior touch)
+  // land in 'none' rather than dropping. Scale shape: one
+  // (user_id)-hash exchange for the timeline window, then a
+  // channel-bounded agg with map-side partials; per-user history
+  // bounded — the sessionize contract. Determinism: (ts, event_id)
+  // total order; counts exact BIGINTs.
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click", "signup"),
+      col("event_type"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .withColumn("channel",
+        last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("channel"), lit("none")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("channel")
+  }
+
   // `stat_bootstrap` — bootstrap distribution of the mean via the
   // MULTIPLIER bootstrap (Efron 1979 resampling, reweighted form):
   // B=20 replicates where each row enters replicate b with a

@@ -1312,6 +1312,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial_max"), p)
   }
 
+  test("ts_changepoint: all four windows (index, running sum, totals, " +
+      "argmax pick) ride ONE user_id hash exchange — no join, no " +
+      "second scan") {
+    val p = plan(operators.EventAnalytics.tsChangepoint(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("event_attribution: one user timeline window then a " +
+      "channel-bounded agg with map-side partials — the log is never " +
+      "joined against itself") {
+    val p = plan(operators.EventAnalytics.eventAttribution(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("Window [") && p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
