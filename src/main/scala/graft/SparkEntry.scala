@@ -267,7 +267,7 @@ object SparkEntry {
     "eval_retrieval" -> (TextAnalysis.evalRetrieval _),
     "eval_auc" -> (EventAnalytics.evalAuc _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
-    "join_spatial_grid" -> (Relational.joinSpatialGrid _),
+    "join_spatial_knn" -> (Relational.joinSpatialKnn _),
     "eval_calibration" -> (EventAnalytics.evalCalibration _),
     "ts_autocorr" -> (EventAnalytics.tsAutocorr _),
     "dq_kanonymity" -> (Pipeline.dqKanonymity _),
@@ -4242,11 +4242,11 @@ object SparkEntry {
         |WHERE rk <= quota
         |ORDER BY lang, rk""".stripMargin,
 
-    // The grid join is an EXECUTION strategy — the oracle contracts
-    // the SEMANTICS (all pairs within L2 r=25) with the direct
-    // quadratic formulation over the two small subsets; every column
-    // is an exact integer (md5-hex-derived coordinates).
-    "join_spatial_grid" ->
+    // The grid is an EXECUTION strategy — the oracle contracts the
+    // SEMANTICS (3 nearest within r=50 per probe, (dist2, b_id) tie
+    // order) with the direct quadratic formulation + window; every
+    // column is an exact integer (md5-hex-derived coordinates).
+    "join_spatial_knn" ->
       """WITH pts AS (
         |  SELECT event_id,
         |         CAST('0x' || substring(md5('x:' || event_id), 1, 6)
@@ -4254,16 +4254,24 @@ object SparkEntry {
         |         CAST('0x' || substring(md5('y:' || event_id), 1, 6)
         |              AS BIGINT) % 1000 AS y
         |  FROM events
+        |), cand AS (
+        |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |         (a.x - b.x) * (a.x - b.x)
+        |       + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM pts a JOIN pts b
+        |    ON a.event_id % 100 = 1 AND b.event_id % 100 = 2
+        |   AND (a.x - b.x) * (a.x - b.x)
+        |     + (a.y - b.y) * (a.y - b.y) <= 2500
+        |), r AS (
+        |  SELECT a_id, b_id, CAST(dist2 AS BIGINT) AS dist2,
+        |         row_number() OVER
+        |           (PARTITION BY a_id ORDER BY dist2, b_id) AS rank
+        |  FROM cand
         |)
-        |SELECT a.event_id AS a_id, b.event_id AS b_id,
-        |       CAST(a.x AS BIGINT) AS ax, CAST(a.y AS BIGINT) AS ay,
-        |       CAST(b.x AS BIGINT) AS bx, CAST(b.y AS BIGINT) AS by,
-        |       CAST((a.x - b.x) * (a.x - b.x)
-        |          + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
-        |FROM pts a JOIN pts b
-        |  ON a.event_id % 100 = 1 AND b.event_id % 100 = 2
-        | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
-        |ORDER BY a_id, b_id""".stripMargin,
+        |SELECT a_id, CAST(rank AS BIGINT) AS rank, b_id, dist2
+        |FROM r
+        |WHERE rank <= 3
+        |ORDER BY a_id, rank""".stripMargin,
 
     // All-integer: bin = p_milli div 100 over the same two md5 milli
     // draws; renders are exact BIGINT floor divisions.
@@ -4405,9 +4413,8 @@ object SparkEntry {
     "stat_bootstrap" ->
       """WITH reps AS (
         |  SELECT b, CAST(round(e.value * 100) AS BIGINT) AS c,
-        |         CAST('0x' || substring(
-        |              md5('b' || b || ':' || e.event_id), 1, 6)
-        |              AS BIGINT) % 3 AS w
+        |         CAST('0x' || substring(md5(CAST(e.event_id AS VARCHAR)),
+        |              b + 1, 3) AS BIGINT) % 3 AS w
         |  FROM events e
         |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS b)
         |  WHERE e.value IS NOT NULL

@@ -1839,29 +1839,27 @@ object Relational {
       .limit(100)
   }
 
-  // `join_spatial_grid` — radius join over 2-D points via GRID
-  // BUCKETING (the uniform-grid spatial join every geo engine builds
-  // first): pair up points within L2 distance r=25 in a 1000×1000
-  // integer space WITHOUT the all-pairs cross product. Build side
-  // explodes each point to its 3×3 neighborhood of r-sized cells (9
-  // rows — a constant), probe side keeps its exact cell; the
-  // equi-join on (cx, cy) makes every candidate pair CO-LOCATED by
-  // construction, then the exact integer predicate dx²+dy² ≤ r²
-  // filters. dist ≤ r ⟹ |Δcell| ≤ 1, and exactly ONE of the 9
-  // exploded copies matches a given probe cell, so the join is both
-  // complete and duplicate-free — no DISTINCT pass. Scale shape: one
-  // hash shuffle on the cell key (or broadcast when a side is small,
-  // as here); candidates only where density is; output grows with
-  // the true pair count (density², the answer's own size), never
-  // n_a·n_b. Determinism: coordinates are exact integer affine maps
-  // of (event_id, user_id); every column BIGINT.
-  def joinSpatialGrid(spark: SparkSession, dir: String): DataFrame = {
-    val r = 25L
-    // md5-derived coordinates (the agg_countmin trick): an affine map
-    // of event_id would be arithmetically correlated with the mod-100
-    // subset filter (10 residue classes per side, min x-gap 37 > r — a
-    // structurally empty join); the hash draw is uniform and the
-    // oracle replays it exactly.
+  // `join_spatial_knn` — bounded k-NEAREST-NEIGHBOR join over 2-D
+  // points: for every probe point, the 3 nearest build points within
+  // radius r=50 — the "closest stores per customer / nearest centroids
+  // per vector" shape, and a DIFFERENT operator from Q187
+  // join_grid_2d (that key ENUMERATES all pairs in the radius; this
+  // one RANKS and cuts per probe — the radius bound is what makes
+  // grid kNN exact: the true k nearest within r cannot escape the
+  // 3x3 neighborhood of r-sized cells). Build side explodes to its
+  // 3x3 cell neighborhood (constant 9 rows), the (cx,cy) equi-join
+  // co-locates candidates (complete and duplicate-free — exactly one
+  // exploded copy matches a probe's cell), the exact integer
+  // predicate dx²+dy² ≤ r² filters, then a per-probe window ranks by
+  // (dist², b_id) and WindowGroupLimit prunes to k=3 before the
+  // terminal order. Scale shape: candidates only where density is;
+  // the rank window partitions on a_id (probe-bounded groups).
+  // Determinism: md5-hex-derived integer coordinates (an affine map
+  // of event_id would be arithmetically correlated with the mod-100
+  // subset filter — a structurally empty join), total (dist², b_id)
+  // tie order, all columns BIGINT.
+  def joinSpatialKnn(spark: SparkSession, dir: String): DataFrame = {
+    val r = 50L
     def coord(p: String): Column = pmod(
       conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
         1, 6), 16, 10).cast("long"), lit(1000L))
@@ -1882,10 +1880,13 @@ object Relational {
           expr(s"by div $r") + lit(1L))).as("cy"))
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
+    val wK = Window.partitionBy("a_id").orderBy(col("dist2"), col("b_id"))
     probe.join(build, Seq("cx", "cy"))
       .filter(d2 <= lit(r * r))
-      .select(col("a_id"), col("b_id"), col("ax"), col("ay"),
-        col("bx"), col("by"), d2.as("dist2"))
-      .orderBy("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), d2.as("dist2"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= 3L)
+      .select(col("a_id"), col("rank"), col("b_id"), col("dist2"))
+      .orderBy("a_id", "rank")
   }
 }

@@ -1243,15 +1243,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("join_spatial_grid: the radius join is a cell-key EQUI-join over " +
-      "the constant 3x3 neighborhood explode — never a cartesian or " +
-      "nested-loop pass") {
-    val p = plan(operators.Relational.joinSpatialGrid(spark, sf))
+  test("join_spatial_knn: the kNN radius join is a cell-key EQUI-join " +
+      "over the constant 3x3 neighborhood explode with a per-probe " +
+      "WindowGroupLimit cut — never a cartesian or nested-loop pass") {
+    val p = plan(operators.Relational.joinSpatialKnn(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("Generate explode"), p)
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("eval_calibration: the whole reliability diagram is ONE " +
