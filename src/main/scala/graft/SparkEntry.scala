@@ -276,6 +276,8 @@ object SparkEntry {
     "feat_minmax" -> (EventAnalytics.featMinmax _),
     "ts_changepoint" -> (EventAnalytics.tsChangepoint _),
     "event_attribution" -> (EventAnalytics.eventAttribution _),
+    "eval_regression" -> (EventAnalytics.evalRegression _),
+    "ts_seasonal_profile" -> (EventAnalytics.tsSeasonalProfile _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4496,6 +4498,53 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // The error column IS the md5 draw; MAE/bias by exact floor
+    // division, RMSE's one sqrt on the IEEE quotient of exact ints.
+    "eval_regression" ->
+      """WITH e AS (
+        |  SELECT CAST('0x' || substring(md5('e:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 - 500 AS e
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(abs(e)) AS BIGINT) AS sum_abs_err,
+        |         CAST(sum(e) AS BIGINT) AS sum_err,
+        |         CAST(sum(e * e) AS BIGINT) AS sum_sq_err
+        |  FROM e
+        |)
+        |SELECT n, sum_abs_err, sum_err, sum_sq_err,
+        |       CAST((1000 * sum_abs_err) // n AS BIGINT) AS mae_millicent,
+        |       CAST((1000 * sum_err) // n AS BIGINT) AS bias_millicent,
+        |       CAST(floor(sqrt(CAST(sum_sq_err AS DOUBLE)
+        |                     / CAST(n AS DOUBLE)) * 1e3) AS BIGINT)
+        |         AS rmse_millicent
+        |FROM m""".stripMargin,
+
+    // extract(dow) 0=Sunday matches Spark dayofweek-1 under the
+    // pinned UTC session; means exact floor divisions, dev_ppm one
+    // IEEE division of exact ints then floor.
+    "ts_seasonal_profile" ->
+      """WITH d AS (
+        |  SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), b AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_d,
+        |         CAST(sum(c) AS BIGINT) AS s_d
+        |  FROM d GROUP BY dow
+        |), t AS (
+        |  SELECT CAST(sum(n_d) AS BIGINT) AS n_tot,
+        |         CAST(sum(s_d) AS BIGINT) AS s_tot
+        |  FROM b
+        |)
+        |SELECT dow, n_d,
+        |       CAST((1000000 * s_d) // n_d AS BIGINT) AS mean_microcent,
+        |       CAST(floor(CAST(n_tot * s_d - n_d * s_tot AS DOUBLE)
+        |              / CAST(n_d * s_tot AS DOUBLE) * 1e6) AS BIGINT)
+        |         AS dev_ppm
+        |FROM b, t
+        |ORDER BY dow""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -961,6 +961,72 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `eval_regression` — regression-error metrics (MAE, bias, RMSE)
+  // for a scored predictor, completing the eval family for continuous
+  // targets (eval_auc/confusion/calibration grade classifiers). The
+  // fixture predictor is value + uniform md5 noise in [−500, 500)
+  // cents, so the error column IS the draw — the metrics measure it
+  // exactly and every engine replays it. Scale shape: ONE
+  // conditional-moment aggregate pass (n, Σ|e|, Σe, Σe²) with
+  // map-side partials — the stat_ttest minimal pass. Determinism:
+  // errors are exact integer cents; MAE/bias render by BIGINT floor
+  // division (milli-cents); RMSE's single sqrt runs on the IEEE
+  // quotient of exactly-representable ints (Σe² ≤ 2.5·10⁵·N — safe
+  // past 10¹² rows), then floor(x·10³).
+  def evalRegression(spark: SparkSession, dir: String): DataFrame = {
+    val err = pmod(conv(substring(md5(concat(lit("e:"),
+      col("event_id").cast("string"))), 1, 6), 16, 10).cast("long"),
+      lit(1000L)) - lit(500L)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(err.as("e"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("e"))).as("sum_abs_err"),
+        sum(col("e")).as("sum_err"),
+        sum(col("e") * col("e")).as("sum_sq_err"))
+      .select(col("n"), col("sum_abs_err"), col("sum_err"),
+        col("sum_sq_err"),
+        expr("CAST((1000 * sum_abs_err) div n AS BIGINT)")
+          .as("mae_millicent"),
+        expr("CAST((1000 * sum_err) div n AS BIGINT)")
+          .as("bias_millicent"),
+        floor(sqrt(col("sum_sq_err").cast("double") /
+          col("n").cast("double")) * lit(1e3)).cast("long")
+          .as("rmse_millicent"))
+  }
+
+  // `ts_seasonal_profile` — day-of-week seasonality profile: per-dow
+  // event count, mean value, and relative deviation from the global
+  // mean — the first seasonality screen (is weekend traffic
+  // different?) every metrics platform renders, and the input to
+  // dow-adjusted anomaly thresholds. Scale shape: ONE aggregate pass
+  // with map-side partials into a 7-row bounded group-by + a 1-row
+  // global broadcast — the dq_kanonymity shape on the time axis.
+  // Determinism: dow extracted in the pinned UTC session; means
+  // render by exact BIGINT floor division (micro-cents); the relative
+  // deviation (n_tot·S_d − n_d·S_tot)/(n_d·S_tot) evaluates one IEEE
+  // division of exactly-representable ints (< 2^53 far past fixture
+  // scales) then floor(x·10⁶) — never round().
+  def tsSeasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select((dayofweek(col("ts")) - lit(1)).cast("long").as("dow"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_d"), sum(col("c")).as("s_d"))
+    val tot = byDow.agg(sum(col("n_d")).as("n_tot"),
+      sum(col("s_d")).as("s_tot"))
+    byDow.join(broadcast(tot))
+      .select(col("dow"), col("n_d"),
+        expr("CAST((1000000 * s_d) div n_d AS BIGINT)")
+          .as("mean_microcent"),
+        floor((col("n_tot") * col("s_d") - col("n_d") * col("s_tot"))
+          .cast("double") /
+          (col("n_d") * col("s_tot")).cast("double") * lit(1e6))
+          .cast("long").as("dev_ppm"))
+      .orderBy("dow")
+  }
+
   // `ts_changepoint` — CUSUM changepoint detection (Page 1954) per
   // entity: the point t that maximizes |cumulative deviation from the
   // series mean| — the standard "where did the level shift" screen a

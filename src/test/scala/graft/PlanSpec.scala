@@ -1334,6 +1334,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("eval_regression: the regression metrics are ONE " +
+      "conditional-moment aggregate pass — one scan, no join, no " +
+      "window") {
+    val p = plan(operators.EventAnalytics.evalRegression(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("ts_seasonal_profile: one agg pass into a 7-row bounded " +
+      "group-by + a 1-row global broadcast — never a second fact scan") {
+    val p = plan(operators.EventAnalytics.tsSeasonalProfile(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
