@@ -278,6 +278,8 @@ object SparkEntry {
     "event_attribution" -> (EventAnalytics.eventAttribution _),
     "eval_regression" -> (EventAnalytics.evalRegression _),
     "ts_seasonal_profile" -> (EventAnalytics.tsSeasonalProfile _),
+    "assoc_rules" -> (EventAnalytics.assocRules _),
+    "feat_target_encode" -> (EventAnalytics.featTargetEncode _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4545,6 +4547,55 @@ object SparkEntry {
         |         AS dev_ppm
         |FROM b, t
         |ORDER BY dow""".stripMargin,
+
+    // All three association measures are exact BIGINT floor
+    // divisions over the same distinct (user, item) frame.
+    "assoc_rules" ->
+      """WITH base AS (
+        |  SELECT DISTINCT user_id, event_type
+        |  FROM events WHERE event_type IS NOT NULL
+        |), item_n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM base GROUP BY event_type
+        |), user_n AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM base
+        |), pairs AS (
+        |  SELECT a.event_type AS it_a, b.event_type AS it_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM base a JOIN base b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT it_a, it_b, n_ab,
+        |       na.n_item AS n_a, nb.n_item AS n_b, n_users,
+        |       CAST((1000000 * n_ab) // n_users AS BIGINT) AS support_ppm,
+        |       CAST((1000000 * n_ab) // na.n_item AS BIGINT) AS conf_micro,
+        |       CAST((1000000 * n_ab * n_users) // (na.n_item * nb.n_item)
+        |            AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN item_n na ON it_a = na.event_type
+        |JOIN item_n nb ON it_b = nb.event_type
+        |CROSS JOIN user_n
+        |ORDER BY it_a, it_b""".stripMargin,
+
+    // Same bounded per-type (sum, count) + exact LOO floor-division
+    // render; singleton categories null out via nullif.
+    "feat_target_encode" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS s_g,
+        |         CAST(count(*) AS BIGINT) AS n_g
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT ev.event_id, ev.event_type, ev.c,
+        |       CAST((1000000 * (st.s_g - ev.c)) // nullif(st.n_g - 1, 0)
+        |            AS BIGINT) AS loo_mean_microcent
+        |FROM ev JOIN st USING (event_type)
+        |ORDER BY ev.event_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -961,6 +961,72 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `assoc_rules` — market-basket association mining (Agrawal &
+  // Srikant 1994's measures on the bipartite user–event_type graph):
+  // support / confidence / lift for every co-occurring event-type
+  // pair — the "users who did X also did Y" screen recommenders and
+  // growth analytics run first. Scale shape: the log collapses ONCE
+  // to the distinct (user, item) frame (one user-keyed agg — the
+  // retention_cohort discipline), the pair join is per-user bounded
+  // (≤ |item domain|² per user, item domain = 5 here; production
+  // prunes to top-k items first — never log×log), and the measure
+  // joins are broadcast (item counts are domain-sized, the user total
+  // is 1 row). Determinism: all three measures are exact BIGINT floor
+  // divisions — support_ppm = 10⁶·n_ab div N, conf = 10⁶·n_ab div
+  // n_a, lift = 10⁶·n_ab·N div (n_a·n_b) — no float anywhere.
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val itemN = base.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+    val userN = base.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = base.select(col("user_id"), col("event_type").as("it_a"))
+      .join(base.select(col("user_id"), col("event_type").as("it_b")),
+        Seq("user_id"))
+      .filter(col("it_a") < col("it_b"))
+      .groupBy("it_a", "it_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemN.select(col("event_type").as("it_a"),
+        col("n_item").as("n_a"))), Seq("it_a"))
+      .join(broadcast(itemN.select(col("event_type").as("it_b"),
+        col("n_item").as("n_b"))), Seq("it_b"))
+      .join(broadcast(userN))
+      .select(col("it_a"), col("it_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_users"),
+        expr("CAST((1000000 * n_ab) div n_users AS BIGINT)")
+          .as("support_ppm"),
+        expr("CAST((1000000 * n_ab) div n_a AS BIGINT)")
+          .as("conf_micro"),
+        expr("CAST((1000000 * n_ab * n_users) div (n_a * n_b) AS BIGINT)")
+          .as("lift_micro"))
+      .orderBy("it_a", "it_b")
+  }
+
+  // `feat_target_encode` — LEAVE-ONE-OUT target encoding (the
+  // Micci-Barreca 2001 categorical encoder, LOO form): replace each
+  // row's category with the mean target of the OTHER rows in its
+  // category, (S_g − c_i)/(n_g − 1) — the standard high-cardinality
+  // categorical feature, and the LOO subtraction is what prevents the
+  // row's own label from leaking into its feature. Scale shape: one
+  // BOUNDED (type-keyed) agg broadcast back over the fact + a map
+  // render — the feat_minmax / anomaly_zscore two-pass discipline.
+  // Determinism: exact cents; render = 10⁶·(S−c) div nullif(n−1, 0)
+  // exact BIGINT floor division, singleton categories null out.
+  def featTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val stats = ev.groupBy("event_type")
+      .agg(sum(col("c")).as("s_g"), count(lit(1)).as("n_g"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("c"),
+        expr("CAST((1000000 * (s_g - c)) div nullif(n_g - 1, 0)" +
+          " AS BIGINT)").as("loo_mean_microcent"))
+      .orderBy("event_id")
+  }
+
   // `eval_regression` — regression-error metrics (MAE, bias, RMSE)
   // for a scored predictor, completing the eval family for continuous
   // targets (eval_auc/confusion/calibration grade classifiers). The

@@ -1354,6 +1354,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("assoc_rules: the log collapses ONCE to the distinct (user, " +
+      "item) frame, the pair join is user-keyed, and every measure " +
+      "join is broadcast — never log x log") {
+    val p = plan(operators.EventAnalytics.assocRules(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 2 ||
+      (count(p, "BroadcastHashJoin") >= 1 &&
+        p.contains("BroadcastNestedLoop")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("feat_target_encode: the per-type (sum, count) table is a " +
+      "bounded agg broadcast back over the fact — the two-pass " +
+      "discipline, no window over the full log") {
+    val p = plan(operators.EventAnalytics.featTargetEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
