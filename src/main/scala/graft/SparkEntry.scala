@@ -280,6 +280,8 @@ object SparkEntry {
     "ts_seasonal_profile" -> (EventAnalytics.tsSeasonalProfile _),
     "assoc_rules" -> (EventAnalytics.assocRules _),
     "feat_target_encode" -> (EventAnalytics.featTargetEncode _),
+    "dq_profile" -> (Pipeline.dqProfile _),
+    "pipeline_events" -> (Pipeline.pipelineEvents _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4596,6 +4598,93 @@ object SparkEntry {
         |            AS BIGINT) AS loo_mean_microcent
         |FROM ev JOIN st USING (event_type)
         |ORDER BY ev.event_id""".stripMargin,
+
+    // One profile pass per column family; min/max rendered as exact
+    // integer cents/keys, counts exact BIGINTs.
+    "dq_profile" ->
+      """WITH p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nn_key,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+        |         CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |         CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nn_cust,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+        |         CAST(min(o_custkey) AS BIGINT) AS min_cust,
+        |         CAST(max(o_custkey) AS BIGINT) AS max_cust,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nn_price,
+        |         CAST(count(DISTINCT CAST(round(o_totalprice * 100)
+        |              AS BIGINT)) AS BIGINT) AS nd_price,
+        |         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS min_price,
+        |         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS max_price
+        |  FROM orders
+        |)
+        |SELECT col_name, n AS n_rows, n_null, n_distinct, min_val, max_val
+        |FROM p, (VALUES ('o_custkey'), ('o_orderkey'),
+        |                ('o_totalprice_cents')) c(col_name),
+        |LATERAL (SELECT
+        |  CASE col_name WHEN 'o_custkey' THEN nn_cust
+        |       WHEN 'o_orderkey' THEN nn_key ELSE nn_price END AS n_null,
+        |  CASE col_name WHEN 'o_custkey' THEN nd_cust
+        |       WHEN 'o_orderkey' THEN nd_key ELSE nd_price END AS n_distinct,
+        |  CASE col_name WHEN 'o_custkey' THEN min_cust
+        |       WHEN 'o_orderkey' THEN min_key ELSE min_price END AS min_val,
+        |  CASE col_name WHEN 'o_custkey' THEN max_cust
+        |       WHEN 'o_orderkey' THEN max_key ELSE max_price END AS max_val)
+        |ORDER BY col_name""".stripMargin,
+
+    // The whole five-stage flow replayed as chained CTEs in exact
+    // epoch micros; rates and means exact floor divisions.
+    "pipeline_events" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), marked AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sid AS (
+        |  SELECT user_id, event_type, us,
+        |         sum(new_sess) OVER
+        |           (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |  FROM marked
+        |), sess AS (
+        |  SELECT user_id, sid,
+        |         CAST(count(*) AS BIGINT) AS n_ev,
+        |         (max(us) - min(us)) // 1000000 AS dur_sec,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS purch
+        |  FROM sid GROUP BY user_id, sid
+        |), users AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |         CAST(sum(purch) AS BIGINT) AS n_purchase_sessions,
+        |         CAST(sum(dur_sec) AS BIGINT) AS sum_dur_sec
+        |  FROM sess GROUP BY user_id
+        |)
+        |SELECT CAST((10 * n_purchase_sessions) // n_sessions AS BIGINT)
+        |         AS purchase_decile,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_sessions) AS BIGINT) AS n_sessions_total,
+        |       CAST(sum(n_purchase_sessions) AS BIGINT)
+        |         AS n_purchase_sessions,
+        |       CAST((1000000 * sum(n_purchase_sessions))
+        |            // sum(n_sessions) AS BIGINT) AS purchase_rate_ppm,
+        |       CAST(sum(sum_dur_sec) // sum(n_sessions) AS BIGINT)
+        |         AS mean_session_sec
+        |FROM users
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

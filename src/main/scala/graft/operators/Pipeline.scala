@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -148,6 +149,107 @@ object Pipeline {
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
       .orderBy("rule")
+  }
+
+  // `pipeline_events` — the composed EVENT-ANALYTICS flagship, the
+  // events-side sibling of pipeline_corpus: cleanse → sessionize
+  // (30-min gaps) → per-session stats → per-user rollup → bucketed
+  // cohort summary, in one certified job. The point is composition:
+  // each stage's machinery is already plan-locked by its own key
+  // (sessionize_batch's gap-cumsum, the bounded rollup shapes), and
+  // the stages hand off narrow keyed frames — the whole five-stage
+  // flow needs exactly ONE (user_id)-hash exchange (the sessionize
+  // window, the (user, session) agg, and the user rollup all share
+  // it) plus the final bounded bucket agg. Determinism: time runs in
+  // exact epoch MICROS on both engines (Spark unix_micros ≡ DuckDB
+  // epoch_us — second-truncation would diverge on sub-second ts),
+  // durations/rates are exact BIGINT floor divisions, the session
+  // split (gap > 1800s) compares exact micros.
+  def pipelineEvents(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(wOrd).isNull ||
+          col("us") - lag(col("us"), 1).over(wOrd) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+        max(col("us")).as("max_us"), min(col("us")).as("min_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purch"))
+      .withColumn("dur_sec",
+        expr("CAST((max_us - min_us) div 1000000 AS BIGINT)"))
+    val users = sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_ev")).as("max_session_events"),
+        sum(col("purch")).as("n_purchase_sessions"),
+        sum(col("dur_sec")).as("sum_dur_sec"))
+    // the summary groups on an INTENSIVE measure (purchase-rate
+    // decile) so the bucket distribution stays spread at any data
+    // scale — an extensive key (session count) saturates its cap the
+    // moment users have enough history
+    users
+      .select(expr("CAST((10 * n_purchase_sessions) div n_sessions" +
+          " AS BIGINT)").as("purchase_decile"),
+        col("n_sessions"), col("n_purchase_sessions"),
+        col("sum_dur_sec"))
+      .groupBy("purchase_decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_sessions")).as("n_sessions_total"),
+        sum(col("n_purchase_sessions")).as("n_purchase_sessions"),
+        sum(col("sum_dur_sec")).as("sum_dur_sec"))
+      .select(col("purchase_decile"), col("n_users"),
+        col("n_sessions_total"), col("n_purchase_sessions"),
+        expr("CAST((1000000 * n_purchase_sessions) div n_sessions_total" +
+          " AS BIGINT)").as("purchase_rate_ppm"),
+        expr("CAST(sum_dur_sec div n_sessions_total AS BIGINT)")
+          .as("mean_session_sec"))
+      .orderBy("purchase_decile")
+  }
+
+  // `dq_profile` — one-pass column profiler (the Deequ/Great-
+  // Expectations "profile" verb next to dq_expectations' "validate"):
+  // per-column null count, exact distinct count, and min/max rendered
+  // as exact integer cents/keys, emitted as one row per column — the
+  // table summary every catalog shows and every drift monitor diffs.
+  // Scale shape: ALL columns profile in ONE aggregate pass — the
+  // null/min/max sums ride map-side partials and the three exact
+  // countDistincts fold into Catalyst's multi-distinct Expand plan
+  // (×k fan-out of the single scan, the agg_multi_distinct shape) —
+  // then a 3-row stack over scalars; never a pass per column.
+  // Determinism: counts exact BIGINTs; min/max rendered as exact
+  // integer cents (prices) or raw keys — no float surfaces.
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val prof = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).as("min_cust"),
+      max(col("o_custkey")).as("max_cust"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_price"),
+      countDistinct(cents).as("nd_price"),
+      min(cents).as("min_price"),
+      max(cents).as("max_price"))
+    prof.select(col("n").as("n_rows"), expr(
+      "stack(3," +
+        " 'o_custkey', nn_cust, nd_cust, min_cust, max_cust," +
+        " 'o_orderkey', nn_key, nd_key, min_key, max_key," +
+        " 'o_totalprice_cents', nn_price, nd_price, min_price, max_price)" +
+        " AS (col_name, n_null, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
   }
 
   // `dq_kanonymity` — k-anonymity audit (Sweeney 2002), the privacy

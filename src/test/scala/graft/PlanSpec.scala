@@ -1373,6 +1373,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window ["), p)
   }
 
+  test("dq_profile: all columns profile in ONE pass — the multi-distinct " +
+      "Expand plan over a single orders scan, never a pass per column") {
+    val p = plan(operators.Pipeline.dqProfile(spark, sf))
+    assert(count(p, "orders.parquet") === 1,
+      p.linesIterator.filter(_.contains("orders")).mkString("\n"))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("pipeline_events: the five-stage flow (sessionize window, " +
+      "session agg, user rollup) shares ONE user_id hash exchange, " +
+      "plus only the bounded final decile agg") {
+    val p = plan(operators.Pipeline.pipelineEvents(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
