@@ -282,6 +282,7 @@ object SparkEntry {
     "feat_target_encode" -> (EventAnalytics.featTargetEncode _),
     "dq_profile" -> (Pipeline.dqProfile _),
     "pipeline_events" -> (Pipeline.pipelineEvents _),
+    "embed_matryoshka" -> (Similarity.embedMatryoshka _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4685,6 +4686,52 @@ object SparkEntry {
         |FROM users
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // Same 4-dp-rounded full/prefix cosines ranked with the identical
+    // (cosine DESC, cand_id) tie order; output is all-integer.
+    "embed_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e GROUP BY vec_id
+        |), nrm16 AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e
+        |  WHERE pos <= 16 GROUP BY vec_id
+        |), dots AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         sum(p.v * c.v) AS dot,
+        |         sum(CASE WHEN p.pos <= 16 THEN p.v * c.v ELSE 0 END)
+        |           AS dot16
+        |  FROM e p JOIN e c ON p.pos = c.pos
+        |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT probe_id, cand_id,
+        |         round(dot / (np.n * nc.n), 4) AS cf,
+        |         round(dot16 / (np16.n * nc16.n), 4) AS cp
+        |  FROM dots
+        |  JOIN nrm np ON probe_id = np.vec_id
+        |  JOIN nrm nc ON cand_id = nc.vec_id
+        |  JOIN nrm16 np16 ON probe_id = np16.vec_id
+        |  JOIN nrm16 nc16 ON cand_id = nc16.vec_id
+        |), ranked AS (
+        |  SELECT probe_id, cand_id,
+        |         row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY cf DESC, cand_id) AS rf,
+        |         row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY cp DESC, cand_id) AS rp
+        |  FROM cos
+        |)
+        |SELECT probe_id,
+        |       CAST(sum(CASE WHEN rf <= 5 AND rp <= 5 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS overlap_at5,
+        |       CAST(max(CASE WHEN rf = 1 AND rp = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS top1_match
+        |FROM ranked
+        |GROUP BY probe_id
+        |ORDER BY probe_id""".stripMargin,
   )
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,

@@ -363,4 +363,44 @@ object Similarity {
       // /8·10⁶ normalization is a display concern for the consumer.
       .agg(sum(col("sign") * col("xm")).cast("long").as("y_micro8"))
       .orderBy("vec_id", "j")
+  // `embed_matryoshka` — prefix-truncation ranking fidelity (the
+  // Matryoshka-representation eval, Kusupati et al. 2022): how much of
+  // the FULL 64-dim cosine top-5 survives when ranking by only the
+  // first 16 dims — the measurement that decides whether a pipeline
+  // can store/serve truncated vectors (4× cheaper ANN) without
+  // re-embedding. Per probe: rank candidates by full-dim cosine and
+  // by 16-dim-prefix cosine (both 4-dp-rounded BEFORE ranking, the
+  // sim_topk cross-engine contract; ties break on cand_id), emit
+  // exact-integer overlap@5 and top-1 agreement. Scale shape:
+  // identical to sim_topk — probes broadcast, candidates never
+  // shuffle, the two rank windows AND the final per-probe agg share
+  // one (probe_id)-hash exchange. Output is all-integer (the floats
+  // die inside the rank), so the hash surface is exact.
+  def embedMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+    val scored = emb.join(probes, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(expr("cosine_sim(pe, embedding)"), 4).as("cf"),
+        round(expr("cosine_sim(slice(pe, 1, 16), slice(embedding, 1, 16))"),
+          4).as("cp"))
+    val wF = Window.partitionBy("probe_id")
+      .orderBy(col("cf").desc, col("cand_id"))
+    val wP = Window.partitionBy("probe_id")
+      .orderBy(col("cp").desc, col("cand_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rp", row_number().over(wP))
+      .groupBy("probe_id")
+      .agg(
+        sum(when(col("rf") <= 5 && col("rp") <= 5, 1L).otherwise(0L))
+          .as("overlap_at5"),
+        max(when(col("rf") === 1 && col("rp") === 1, 1L).otherwise(0L))
+          .as("top1_match"))
+      .orderBy("probe_id")
+  }
 }

@@ -1393,6 +1393,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("embed_matryoshka: probes broadcast (candidates never shuffle " +
+      "for scoring) and the two rank windows + per-probe agg share one " +
+      "probe_id hash exchange") {
+    val p = plan(operators.Similarity.embedMatryoshka(spark, sf))
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "Exchange hashpartitioning(probe_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
