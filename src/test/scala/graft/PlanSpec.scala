@@ -1404,6 +1404,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ts_interarrival: the lag window partitions on the bounded " +
+      "(user, type) key and the final agg is type-bounded — never a " +
+      "global or per-type-global sort") {
+    val p = plan(operators.EventAnalytics.tsInterarrival(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
