@@ -231,12 +231,17 @@ object Graph {
       val prev = edges
       val alive = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u").as("node"))
-      // the surviving-node set is degree-filtered and tiny relative
-      // to the edge frame — broadcast both semi-filters (the CBO has
-      // no stats for a checkpointed frame and would sort-merge)
+      // stat-less checkpointed frames default to sort-merge; the
+      // semi-filters need no order, so hint SHUFFLE_HASH — unlike a
+      // broadcast of the node set this stays safe when the surviving
+      // graph is billions of nodes (A/B at sf0.1: SMJ 3.8 s,
+      // broadcast 2.1 s, shuffle-hash 2.4 s — the hash join buys the win,
+      // not the broadcast)
       edges = edges
-        .join(broadcast(alive.withColumnRenamed("node", "u")), Seq("u"))
-        .join(broadcast(alive.withColumnRenamed("node", "v")), Seq("v"))
+        .join(alive.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          Seq("u"))
+        .join(alive.withColumnRenamed("node", "v").hint("shuffle_hash"),
+          Seq("v"))
         .select("u", "v")
         .localCheckpoint(true)
       Caches.releaseCheckpoint(prev)
