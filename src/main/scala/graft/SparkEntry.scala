@@ -285,6 +285,8 @@ object SparkEntry {
     "embed_matryoshka" -> (Similarity.embedMatryoshka _),
     "graph_kcore" -> (Graph.graphKcore _),
     "ts_interarrival" -> (EventAnalytics.tsInterarrival _),
+    "text_ttr" -> (TextAnalysis.textTtr _),
+    "stat_gini_impurity" -> (EventAnalytics.statGiniImpurity _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4757,6 +4759,40 @@ object SparkEntry {
         |         AS p50_gap_us_x2
         |FROM g
         |WHERE gap IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // The Dedup.tokens whitespace contract replayed; the ratio is an
+    // exact BIGINT floor division.
+    "text_ttr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)),
+        |                      '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tok,
+        |       CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+        |       CAST((1000000 * len(list_distinct(w)))
+        |            // nullif(len(w), 0) AS BIGINT) AS ttr_micro
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    // N²-scaled binary Gini: gini_ppm = 10^6*2*n_pos*(N-n_pos) div N²
+    // — exact BIGINT end-to-end.
+    "stat_gini_impurity" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_pos,
+        |       CAST((1000000 * 2
+        |              * sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+        |              * (count(*) - sum(CASE WHEN value >= 50.0
+        |                                THEN 1 ELSE 0 END)))
+        |            // (count(*) * count(*)) AS BIGINT) AS gini_ppm
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
   )

@@ -961,6 +961,30 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `stat_gini_impurity` — per-group Gini impurity of a binary label
+  // (the CART split criterion, Breiman 1984): how mixed each
+  // event_type is on the value ≥ 50 band — the feature-split /
+  // segmentation-quality screen, and the categorical sibling of
+  // corpus_gini's concentration curve. The float form 1 − Σp² is
+  // eliminated by N²-scaling: gini·N² = 2·n_pos·(N−n_pos) for a
+  // binary label, so gini_ppm = 10⁶·2·n_pos·(N−n_pos) div N² is an
+  // exact BIGINT end-to-end (bounds: 10⁶·2·n_pos·n_neg ≤ 5·10¹⁷ at
+  // 10⁶ rows/group — documented). Scale shape: ONE conditional-count
+  // agg pass into a type-bounded group-by — the stat_ttest minimal
+  // pass.
+  def statGiniImpurity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        (col("value") >= 50.0).cast("long").as("pos"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("event_type"), col("n"), col("n_pos"),
+        expr("CAST((1000000 * 2 * n_pos * (n - n_pos)) div (n * n)" +
+          " AS BIGINT)").as("gini_ppm"))
+      .orderBy("event_type")
+  }
+
   // `ts_interarrival` — inter-arrival cadence profile per event type:
   // gaps between a user's consecutive events of the same type, summed
   // to per-type n / min / max / exact mean / median — the traffic-

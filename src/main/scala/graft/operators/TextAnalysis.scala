@@ -1388,6 +1388,26 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `text_ttr` — type-token ratio per document (lexical diversity):
+  // distinct tokens / total tokens, the classic diversity filter a
+  // training-data pipeline runs next to text_repetition (TTR catches
+  // low-vocabulary spam that repetition windows miss). Map-ONLY:
+  // tokenize, array_distinct, two sizes and one exact BIGINT floor
+  // division per row — no shuffle at all except the terminal
+  // presentation sort; at 100 TB this is a pure scan-bound pass.
+  // Determinism: the Dedup.tokens whitespace contract (replayed by
+  // every dedup oracle), ttr_micro = 10⁶·n_types div n_tok exact.
+  def textTtr(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        size(array_distinct(col("w"))).cast("long").as("n_types"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        expr("CAST((1000000 * n_types) div nullif(n_tok, 0) AS BIGINT)")
+          .as("ttr_micro"))
+      .orderBy("doc_id")
+  }
+
   // `sample_stratified` — fixed-QUOTA stratified sampling: exactly
   // quota(stratum) docs per lang, quota = clamp(n_docs div 20, 5, 200)
   // — the other half of the sampling surface (corpus_sample /

@@ -1415,6 +1415,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("text_ttr: map-only — no exchange except the terminal " +
+      "presentation sort, no join, no window, no aggregate") {
+    val p = plan(operators.TextAnalysis.textTtr(spark, sf))
+    assert(count(p, "Exchange hashpartitioning") === 0,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("stat_gini_impurity: one conditional-count agg pass into a " +
+      "type-bounded group-by — one scan, no join, no window") {
+    val p = plan(operators.EventAnalytics.statGiniImpurity(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
