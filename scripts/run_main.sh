@@ -15,9 +15,15 @@ done
 # SPARK_GRAFT_JAVA_OPTS: extra -D flags (e.g. -Dspark.memory.fraction=0.15
 # for the spill rehearsal — SparkSession picks spark.* system properties up
 # in any main without per-main plumbing).
+# ReservedCodeCacheSize: the default 240 MB JIT code cache FILLS after
+# ~200 bench keys of whole-stage codegen; UseCodeCacheFlushing then
+# evicts hot methods and late-alphabet keys run ~2-3x slow from
+# recompilation thrash (census-257 full bench A/B: 162.6 s at the
+# default vs 138.2 s at 1g — text_fingerprint 3.26 -> 1.09 s).
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize="${SPARK_CODE_CACHE:-1g}" \
   ${SPARK_GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "$@"
