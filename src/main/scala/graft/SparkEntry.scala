@@ -287,6 +287,8 @@ object SparkEntry {
     "ts_interarrival" -> (EventAnalytics.tsInterarrival _),
     "text_ttr" -> (TextAnalysis.textTtr _),
     "stat_gini_impurity" -> (EventAnalytics.statGiniImpurity _),
+    "anomaly_rolling_z" -> (EventAnalytics.anomalyRollingZ _),
+    "eval_pr_curve" -> (EventAnalytics.evalPrCurve _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4795,6 +4797,65 @@ object SparkEntry {
         |WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Denominators cleared: z² > (5/2)² ⟺ 4·(n·c−S)² > 25·(n·Q−S²)
+    // — an exact BIGINT inequality over the same ±10-row frame.
+    "anomaly_rolling_z" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         CAST(count(*) OVER w AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+        |              AS BIGINT) AS s,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |                * CAST(round(value * 100) AS BIGINT)) OVER w
+        |              AS BIGINT) AS q
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+        |)
+        |SELECT user_id, event_id, c, n,
+        |       n * c - s AS dev,
+        |       n * q - s * s AS var_sc
+        |FROM b
+        |WHERE n >= 11
+        |  AND 4 * (n * c - s) * (n * c - s) > 25 * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // One conditional-count pass (tp/fp per threshold) replayed via a
+    // threshold dimension join; exact floor-division renders.
+    "eval_pr_curve" ->
+      """WITH d AS (
+        |  SELECT CAST('0x' || substring(md5('p:' || event_id), 1, 6)
+        |              AS BIGINT) % 1000 AS p_milli,
+        |         CASE WHEN CAST('0x' || substring(md5('l:' || event_id),
+        |                    1, 6) AS BIGINT) % 1000
+        |               < CAST('0x' || substring(md5('p:' || event_id),
+        |                    1, 6) AS BIGINT) % 1000
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM events
+        |), np AS (
+        |  SELECT CAST(sum(label) AS BIGINT) AS n_pos FROM d
+        |), t AS (
+        |  SELECT unnest(generate_series(0, 9)) * 100 AS thr_milli
+        |)
+        |SELECT CAST(thr_milli AS BIGINT) AS thr_milli,
+        |       CAST(sum(CASE WHEN p_milli >= thr_milli AND label = 1
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |       CAST(sum(CASE WHEN p_milli >= thr_milli AND label = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |       CAST((1000000 * sum(CASE WHEN p_milli >= thr_milli
+        |                           AND label = 1 THEN 1 ELSE 0 END))
+        |            // nullif(sum(CASE WHEN p_milli >= thr_milli
+        |                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS precision_micro,
+        |       CAST((1000000 * sum(CASE WHEN p_milli >= thr_milli
+        |                           AND label = 1 THEN 1 ELSE 0 END))
+        |            // nullif(n_pos, 0) AS BIGINT) AS recall_micro
+        |FROM d CROSS JOIN t CROSS JOIN np
+        |GROUP BY thr_milli, n_pos
+        |ORDER BY thr_milli""".stripMargin,
   )
 
   /** 3-round k-core peel (k = 2) over the same exact J ≥ 0.8 edge set,

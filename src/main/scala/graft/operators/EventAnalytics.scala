@@ -961,6 +961,76 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `anomaly_rolling_z` — ROLLING-window z-score outliers: flag
+  // events deviating > 2.5σ from their ±10-row LOCAL neighborhood in
+  // the user's timeline — the nonstationary complement to
+  // anomaly_zscore's global per-user moments (a drifting baseline
+  // makes global σ blind to local spikes). The float z is eliminated
+  // by clearing denominators: z² > k² ⟺ 4·(n·c − S)² > 25·(n·Q − S²)
+  // for k = 5/2, with S/Q the window's exact cent sum / sum-of-squares
+  // — an exact BIGINT inequality (bounds: (n·c−S)² ≤ (21·10⁴)² ≈
+  // 4·10¹⁰ per row at the 21-row frame). Scale shape: two frame sums
+  // + the row term over ONE (user_id)-hash exchange; frame is
+  // constant-width rows-between. Output: the flagged rows with their
+  // scaled deviation — every column BIGINT.
+  def anomalyRollingZ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-10, 10)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= 11L)
+      .withColumn("dev", col("n") * col("c") - col("s"))
+      .withColumn("var_sc", col("n") * col("q") - col("s") * col("s"))
+      .filter(lit(4L) * col("dev") * col("dev") >
+        lit(25L) * col("var_sc"))
+      .select(col("user_id"), col("event_id"), col("c"), col("n"),
+        col("dev"), col("var_sc"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // `eval_pr_curve` — precision/recall curve at 10 threshold cuts
+  // (the PR table behind every threshold-tuning decision), completing
+  // the classifier-eval family (auc ranks, calibration checks
+  // probability meaning, confusion grades ONE threshold — this one
+  // sweeps them). Same md5 fixture as eval_calibration. Scale shape:
+  // ONE conditional-count agg pass — 20 CASE sums (tp/fp per
+  // threshold) with map-side partials — then a 10-row stack; never a
+  // pass per threshold. Determinism: all-integer counts, precision/
+  // recall by exact BIGINT floor division with nullif guards.
+  def evalPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    def draw(p: String): Column = pmod(
+      conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(1000L))
+    val base = Tables.events(spark, dir)
+      .select(draw("p:").as("p_milli"),
+        (draw("l:") < draw("p:")).cast("long").as("label"))
+    val aggs = (0 until 10).flatMap { t =>
+      val thr = t * 100L
+      Seq(
+        sum(when(col("p_milli") >= thr && col("label") === 1L, 1L)
+          .otherwise(0L)).as(s"tp$t"),
+        sum(when(col("p_milli") >= thr && col("label") === 0L, 1L)
+          .otherwise(0L)).as(s"fp$t"))
+    }
+    val stackExpr = (0 until 10).map { t =>
+      s"${t * 100}L, tp$t, fp$t"
+    }.mkString("stack(10, ", ", ", ") AS (thr_milli, tp, fp)")
+    base
+      .agg(sum(col("label")).as("n_pos"), aggs: _*)
+      .select(col("n_pos"), expr(stackExpr))
+      .select(col("thr_milli"), col("tp"), col("fp"),
+        expr("CAST((1000000 * tp) div nullif(tp + fp, 0) AS BIGINT)")
+          .as("precision_micro"),
+        expr("CAST((1000000 * tp) div nullif(n_pos, 0) AS BIGINT)")
+          .as("recall_micro"))
+      .orderBy("thr_milli")
+  }
+
   // `stat_gini_impurity` — per-group Gini impurity of a binary label
   // (the CART split criterion, Breiman 1984): how mixed each
   // event_type is on the value ≥ 50 band — the feature-split /

@@ -1432,6 +1432,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window ["), p)
   }
 
+  test("anomaly_rolling_z: the constant-width frame sums ride ONE " +
+      "user_id hash exchange — no join, no second scan") {
+    val p = plan(operators.EventAnalytics.anomalyRollingZ(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("eval_pr_curve: all 10 thresholds cost ONE conditional-count " +
+      "aggregate pass + a 10-row stack — never a pass per threshold") {
+    val p = plan(operators.EventAnalytics.evalPrCurve(spark, sf))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
