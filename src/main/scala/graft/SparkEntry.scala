@@ -289,6 +289,8 @@ object SparkEntry {
     "stat_gini_impurity" -> (EventAnalytics.statGiniImpurity _),
     "anomaly_rolling_z" -> (EventAnalytics.anomalyRollingZ _),
     "eval_pr_curve" -> (EventAnalytics.evalPrCurve _),
+    "stat_benford" -> (EventAnalytics.statBenford _),
+    "text_code_detect" -> (TextAnalysis.textCodeDetect _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4856,6 +4858,46 @@ object SparkEntry {
         |FROM d CROSS JOIN t CROSS JOIN np
         |GROUP BY thr_milli, n_pos
         |ORDER BY thr_milli""".stripMargin,
+
+    // Leading digit of the exact cent integer via decimal string
+    // rendering; counts and ppm shares exact BIGINTs.
+    "stat_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT)
+        |              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d WHERE digit >= 1 GROUP BY digit
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c
+        |)
+        |SELECT digit, n,
+        |       CAST((1000000 * n) // n_tot AS BIGINT) AS share_ppm
+        |FROM c, t
+        |ORDER BY digit""".stripMargin,
+
+    // Identical literal character classes in Java regex and RE2;
+    // exact counts + floor division, integer-threshold flag.
+    "text_code_detect" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(length(text)
+        |            - length(regexp_replace(text, '[{};=()<>\[\]]', '', 'g'))
+        |              AS BIGINT) AS n_sym,
+        |         CAST(len(regexp_extract_all(text,
+        |              '\b(def|return|import|class|void|int|function|var|const)\b'))
+        |              AS BIGINT) AS n_kw
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_sym, n_kw,
+        |       CAST((1000 * n_sym) // nullif(n_chars, 0) AS BIGINT)
+        |         AS sym_per_kchar,
+        |       ((1000 * n_sym) // nullif(n_chars, 0) >= 40 OR n_kw >= 3)
+        |         AS is_code
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** 3-round k-core peel (k = 2) over the same exact J ≥ 0.8 edge set,

@@ -961,6 +961,30 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `stat_benford` — first-significant-digit distribution (Benford
+  // 1938): the classic fabricated-data / fraud screen — natural
+  // multiplicative quantities put ~30.1% of leading digits at 1,
+  // uniform synthetics don't, and the DEVIATION is the signal. Emits
+  // observed count + exact-ppm share per digit (the log-expected
+  // curve is the consumer's lookup table — ln() never enters the
+  // hash surface). Scale shape: ONE agg pass into a 9-row bounded
+  // group-by with map-side partials. Determinism: the leading digit
+  // of the exact cent integer via decimal string rendering —
+  // identical in both engines; counts and ppm exact BIGINTs.
+  def statBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(substring(CAST(CAST(round(value * 100) AS BIGINT)" +
+        " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .filter(col("digit") >= 1L)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_tot"))
+    digits.join(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST((1000000 * n) div n_tot AS BIGINT)").as("share_ppm"))
+      .orderBy("digit")
+  }
+
   // `anomaly_rolling_z` — ROLLING-window z-score outliers: flag
   // events deviating > 2.5σ from their ±10-row LOCAL neighborhood in
   // the user's timeline — the nonstationary complement to

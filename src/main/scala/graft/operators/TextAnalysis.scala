@@ -1388,6 +1388,34 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `text_code_detect` — code-vs-prose classification per document:
+  // the corpus router every training pipeline runs before language-ID
+  // (code goes to the code pipeline, prose to the text one). Three
+  // integer signals — symbol-character count (the {};=()<> class),
+  // code-keyword hits (def/return/import/etc. as word-bounded regex
+  // matches), and brace count — fused into an integer-threshold flag:
+  // is_code = sym_per_kchar ≥ 40 OR n_kw ≥ 3. Map-ONLY (regexp
+  // counts + one floor division per row), scan-bound at 100 TB.
+  // Determinism: regexp_count with literal character classes
+  // (identical in Java regex and RE2), exact BIGINT counts and floor
+  // division; no float.
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val kw = "(def|return|import|class|void|int|function|var|const)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("CAST(regexp_count(text, '[{};=()<>\\\\[\\\\]]') AS BIGINT)")
+          .as("n_sym"),
+        expr(s"CAST(regexp_count(text, '\\\\b$kw\\\\b') AS BIGINT)")
+          .as("n_kw"))
+      .select(col("doc_id"), col("n_chars"), col("n_sym"), col("n_kw"),
+        expr("CAST((1000 * n_sym) div nullif(n_chars, 0) AS BIGINT)")
+          .as("sym_per_kchar"))
+      .withColumn("is_code",
+        (col("sym_per_kchar") >= 40L) || (col("n_kw") >= 3L))
+      .orderBy("doc_id")
+  }
+
   // `text_ttr` — type-token ratio per document (lexical diversity):
   // distinct tokens / total tokens, the classic diversity filter a
   // training-data pipeline runs next to text_repetition (TTR catches

@@ -1451,6 +1451,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window ["), p)
   }
 
+  test("stat_benford: one agg pass into a 9-row bounded group-by + a " +
+      "1-row total broadcast — one fact scan for the digit counts") {
+    val p = plan(operators.EventAnalytics.statBenford(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_code_detect: map-only — no hash exchange, no join, no " +
+      "window, no aggregate") {
+    val p = plan(operators.TextAnalysis.textCodeDetect(spark, sf))
+    assert(count(p, "Exchange hashpartitioning") === 0,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
