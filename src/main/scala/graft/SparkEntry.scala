@@ -291,6 +291,8 @@ object SparkEntry {
     "eval_pr_curve" -> (EventAnalytics.evalPrCurve _),
     "stat_benford" -> (EventAnalytics.statBenford _),
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
+    "sample_tiered" -> (TextAnalysis.sampleTiered _),
+    "stat_runs" -> (EventAnalytics.statRuns _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4898,6 +4900,61 @@ object SparkEntry {
         |         AS is_code
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+
+    // Same keep-all bar and exact 24-bit tail draw (10% =
+    // 1677722/16777216); map-only replay.
+    "sample_tiered" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CASE WHEN n_chars >= 800 THEN 'keep_all'
+        |            ELSE 'tail_sampled' END AS regime
+        |FROM documents
+        |WHERE n_chars >= 800
+        |   OR CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |           AS BIGINT) < 1677722
+        |ORDER BY doc_id""".stripMargin,
+
+    // The sign is the denominator-cleared exact comparison n*c > S;
+    // runs from the identical lag chain; z once via the same IEEE
+    // tree, floor-micro render, degenerate sign mixes null out.
+    "stat_runs" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |              OVER (PARTITION BY user_id) AS BIGINT) AS s
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), signs AS (
+        |  SELECT user_id,
+        |         CASE WHEN n * c > s THEN 1 ELSE 0 END AS pos,
+        |         CASE WHEN lag(CASE WHEN n * c > s THEN 1 ELSE 0 END)
+        |                OVER w IS NULL THEN 1
+        |              WHEN lag(CASE WHEN n * c > s THEN 1 ELSE 0 END)
+        |                OVER w <> CASE WHEN n * c > s THEN 1 ELSE 0 END
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS a,
+        |         CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM signs GROUP BY user_id
+        |)
+        |SELECT user_id, n, a, n_runs,
+        |       CASE WHEN a > 0 AND a < n THEN
+        |         CAST(floor((CAST(n_runs AS DOUBLE)
+        |           - (1.0 + 2.0 * CAST(a AS DOUBLE) * (CAST(n AS DOUBLE)
+        |              - CAST(a AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |           / sqrt(2.0 * CAST(a AS DOUBLE) * (CAST(n AS DOUBLE)
+        |               - CAST(a AS DOUBLE))
+        |             * (2.0 * CAST(a AS DOUBLE) * (CAST(n AS DOUBLE)
+        |                 - CAST(a AS DOUBLE)) - CAST(n AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * (CAST(n AS DOUBLE) - 1.0)))
+        |           * 1e6) AS BIGINT) END AS z_micro
+        |FROM agg
+        |WHERE n >= 20
+        |ORDER BY user_id""".stripMargin,
   )
 
   /** 3-round k-core peel (k = 2) over the same exact J ≥ 0.8 edge set,

@@ -961,6 +961,49 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `stat_runs` — Wald–Wolfowitz runs test per user (1940): is the
+  // above/below-mean sign sequence RANDOM, or does it trend/cluster?
+  // — the serial-dependence screen completing the hypothesis shelf
+  // (chi2 categorical, ks shape, mannwhitney location, ttest mean,
+  // this one ORDER). The sign is the exact integer comparison
+  // n·c > S (strictly above the user mean with the denominator
+  // cleared — the ts_changepoint scaling trick), so no float enters
+  // the run segmentation; runs = sign changes + 1 over the
+  // (ts, event_id) order. z renders once at the end through the
+  // identical IEEE tree on exact ints (μ = 1 + 2ab/n,
+  // σ² = 2ab(2ab−n)/(n²(n−1))), floor(z·10⁶). Scale shape: the
+  // full-partition moments window, the lag window and the per-user
+  // agg all ride ONE (user_id)-hash exchange.
+  def statRuns(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c")).over(wAll))
+      .withColumn("pos", (col("n") * col("c") > col("s")).cast("long"))
+      .withColumn("chg",
+        when(lag(col("pos"), 1).over(wOrd).isNull, 1L)
+          .when(lag(col("pos"), 1).over(wOrd) =!= col("pos"), 1L)
+          .otherwise(0L))
+    val agg = base.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("a"),
+        sum(col("chg")).as("n_runs"))
+      .filter(col("n") >= 20L)
+    val (n, a) = (col("n").cast("double"), col("a").cast("double"))
+    val b = n - a
+    val mu = lit(1.0) + lit(2.0) * a * b / n
+    val sig2 = lit(2.0) * a * b * (lit(2.0) * a * b - n) /
+      (n * n * (n - lit(1.0)))
+    agg.select(col("user_id"), col("n"), col("a"), col("n_runs"),
+      when(col("a") > 0L && col("a") < col("n"),
+        floor((col("n_runs").cast("double") - mu) / sqrt(sig2) * lit(1e6))
+          .cast("long")).as("z_micro"))
+      .orderBy("user_id")
+  }
+
   // `stat_benford` — first-significant-digit distribution (Benford
   // 1938): the classic fabricated-data / fraud screen — natural
   // multiplicative quantities put ~30.1% of leading digits at 1,

@@ -1388,6 +1388,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `sample_tiered` — two-regime quality-tiered sampling: KEEP every
+  // document above the quality bar (n_chars ≥ 800), Bernoulli-sample
+  // the tail at 10% — the "keep all good, sample the rest" shape
+  // production corpus curation actually runs (flat-rate corpus_sample
+  // and per-stratum corpus_mix/sample_stratified cover the other
+  // regimes). The tail draw is the deterministic md5 trick so both
+  // engines keep identical docs. Map-ONLY: one predicate per row, no
+  // shuffle beyond the presentation sort — scan-bound at 100 TB.
+  // Determinism: exact integer thresholds; the draw compares an exact
+  // 24-bit hex integer against the exact rate numerator.
+  def sampleTiered(spark: SparkSession, dir: String): DataFrame = {
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        when(col("n_chars") >= 800L, lit("keep_all"))
+          .when(draw < lit(1677722L), lit("tail_sampled"))
+          .otherwise(lit("dropped")).as("regime"))
+      .filter(col("regime") =!= "dropped")
+      .orderBy("doc_id")
+  }
+
   // `text_code_detect` — code-vs-prose classification per document:
   // the corpus router every training pipeline runs before language-ID
   // (code goes to the code pipeline, prose to the text one). Three

@@ -82,6 +82,6 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 261)
+    assert(SparkEntry.queries.size === 263)
   }
 }

@@ -1468,6 +1468,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window ["), p)
   }
 
+  test("sample_tiered: map-only — no hash exchange, no join, no " +
+      "window; the tiered keep is one predicate per row") {
+    val p = plan(operators.TextAnalysis.sampleTiered(spark, sf))
+    assert(count(p, "Exchange hashpartitioning") === 0,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("stat_runs: the moments window, lag window and per-user agg all " +
+      "ride ONE user_id hash exchange — no join, one scan") {
+    val p = plan(operators.EventAnalytics.statRuns(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(count(p, "events.parquet") === 1,
+      p.linesIterator.filter(_.contains("events")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
