@@ -267,12 +267,32 @@ object Streams {
     * /tmp (ADVICE r3). */
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(root)) {
+    // query.stop() returns before the state-store maintenance thread
+    // fully halts; it can drop a fresh snapshot into state/<op>/<part>
+    // between our walk and the directory delete, failing the whole KEY
+    // with DirectoryNotEmptyException (observed ~1-in-4 on
+    // stream_state_ttl's tmpfs checkpoint). Cleanup of a per-run temp
+    // dir is best-effort by definition: retry briefly, then warn and
+    // leak rather than fail the operator.
+    def sweep(): Unit = {
+      val walk = Files.walk(root)
       // Files.walk holds directory handles until closed (ADVICE r4) —
       // collect under try/finally, delete after the stream is closed.
-      val walk = Files.walk(root)
       val paths = try walk.iterator().asScala.toSeq finally walk.close()
       paths.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+    var attempt = 0
+    while (Files.exists(root)) {
+      attempt += 1
+      try sweep()
+      catch {
+        case e: java.io.IOException if attempt < 4 => Thread.sleep(200)
+        case e: java.io.IOException =>
+          System.err.println(
+            s"[streams] temp checkpoint cleanup leaked $root after " +
+              s"$attempt attempts: $e")
+          return
+      }
     }
   }
 
