@@ -216,6 +216,7 @@ object SparkEntry {
     "table_snapshot" -> (Layout.tableSnapshot _),
     "dedup_url" -> (Dedup.dedupUrl _),
     "snapshot_expire" -> (Layout.snapshotExpire _),
+    "snapshot_concurrent" -> (Layout.snapshotConcurrent _),
     "join_grid_2d" -> (Relational.joinGrid2d _),
     "agg_retract" -> (EventAnalytics.aggRetract _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
@@ -3154,6 +3155,20 @@ object SparkEntry {
         |       CASE WHEN event_type = 'click'
         |            THEN CAST(round(value * 100) AS BIGINT) * 2
         |            ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+        |       event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // The racing writers rewrite DISJOINT partitions (click ×2,
+    // view ×3), so the final v2 state is independent of who won the
+    // optimistic-commit race; the winner/loser mechanics are pinned in
+    // SnapshotSpec, the deterministic final state here.
+    "snapshot_concurrent" ->
+      """SELECT event_id, user_id,
+        |       CAST(round(value * 100) AS BIGINT)
+        |         * CASE event_type WHEN 'click' THEN 2
+        |                           WHEN 'view' THEN 3
+        |                           ELSE 1 END AS cents,
         |       event_type
         |FROM events
         |ORDER BY event_id""".stripMargin,

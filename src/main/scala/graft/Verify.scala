@@ -2,7 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure visibility (VERDICT r13 item 2: `stream_state_ttl` had NO row
+  * in CORRECTNESS_r13 — a driver-side per-key failure was stderr-only and
+  * the key silently vanished from the round's gate): `verify_manifest
+  * .json` maps EVERY attempted key to "ok" or its error, and is rewritten
+  * after each key, so a dropped or crashed key is a visible "err" entry —
+  * never an absent row. `oracle_sql.json` is written BEFORE the query
+  * loop for the same reason (a mid-run kill must not lose it). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -29,16 +37,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    graft.operators.Caches.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,9 +49,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracleJson = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    def writeManifest(): Unit = {
+      val json = status
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), json)
+    }
+    // Sorted iteration: deterministic run order (Map iteration order is
+    // hash order past 4 entries), so a mid-run kill truncates the
+    // manifest at a predictable alphabetical frontier.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status += name -> "ok"
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        System.err.println(s"[verify] $name failed: $msg")
+        status += name -> s"err: $msg"
+      }
+      writeManifest()
+    }
+    graft.operators.Caches.releaseAll()
     spark.stop()
   }
 }

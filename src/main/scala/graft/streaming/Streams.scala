@@ -879,8 +879,13 @@ object Streams {
     // Timer-driven emission arrives in a LATER batch than its input, so
     // sync on the sink growing to the expected row count (see the
     // SessionFlush note: processAllAvailable never converges here).
+    // 180 s, not 60: every emission below is monotone-safe under load
+    // (delay only makes timers MORE expired), so on a contended driver
+    // host the right move is to wait longer, never to give up — r13's
+    // driver run lost this key's correctness row to a premature deadline
+    // (VERDICT r13 item 2).
     def awaitRows(target: Long): Unit = {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (s.table(name).count() < target) {
         if (System.nanoTime() > deadline)
           throw new IllegalStateException(

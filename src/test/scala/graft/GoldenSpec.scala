@@ -82,6 +82,30 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 263)
+    assert(SparkEntry.queries.size === 264)
+  }
+
+  test("bench census integrity: streaming classification is explicit") {
+    // VERDICT r13 item 5: Bench.streamingFixed and the census had no
+    // cross-check — a streaming key missing from the set would silently
+    // land in the batch headline, one leaving the census would crash
+    // deep in the bench run. Every streamingFixed key must be declared,
+    // and every stream_* census key must be CONSCIOUSLY classified:
+    // either streaming-fixed (multi-microbatch latency, excluded from
+    // the headline) or on the explicit headline allowlist (single
+    // availableNow runs whose wall time IS data work).
+    val census = SparkEntry.queries.keySet
+    val fixed = Bench.streamingFixed
+    assert((fixed -- census) === Set.empty,
+      s"streamingFixed keys not in the census: ${fixed -- census}")
+    val headlineStream = Set("stream_tumbling", "stream_sliding",
+      "stream_session")
+    val streamKeys = census.filter(_.startsWith("stream_"))
+    val unclassified = streamKeys -- fixed -- headlineStream
+    assert(unclassified === Set.empty,
+      s"stream_* keys neither streaming-fixed nor headline-allowlisted " +
+        s"(classify them in Bench.streamingFixed or here): $unclassified")
+    // and nothing fixed/allowlisted has drifted out of stream_* naming
+    assert((headlineStream -- census) === Set.empty)
   }
 }

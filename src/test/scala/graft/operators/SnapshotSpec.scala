@@ -79,4 +79,49 @@ class SnapshotSpec extends SparkSpec {
       .orderBy("event_id").collect()
     assert(after.toSeq === before.toSeq)
   }
+
+  test("snapshot_concurrent: both writers race the SAME v1 slot, exactly " +
+      "one loses and retries onto v2, the winner's v1 is a consistent " +
+      "single-rewrite snapshot, and v2 carries BOTH rewrites") {
+    val stats = Layout.snapConcBuild(spark, sf)
+    val root = new Path(stats.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // exactly one conflict: the barrier makes both writers attempt v1,
+    // so the winner commits in 1 attempt, the loser in 2 — never 0 or
+    // 2 conflicts
+    assert(stats.committed.values.toSeq.sorted === Seq(1, 2),
+      s"committed=${stats.committed}")
+    assert(stats.attempts.values.toSeq.sorted === Seq(1, 2),
+      s"attempts=${stats.attempts}")
+    val winner = stats.committed.collectFirst { case (p, 1) => p }.get
+    val loser = stats.committed.collectFirst { case (p, 2) => p }.get
+    assert(stats.attempts(winner) === 1 && stats.attempts(loser) === 2)
+
+    val v0 = stats.v0.toSet
+    val v1 = Layout.readManifest(fs, new Path(root, "_graft_log/v1.txt"))
+      .toSet
+    val v2 = Layout.readManifest(fs, new Path(root, "_graft_log/v2.txt"))
+      .toSet
+    def part(files: Set[String], p: String): Set[String] =
+      files.filter(_.startsWith(s"event_type=$p/"))
+
+    // v1 = the winner's single rewrite on base: its partition swapped
+    // to its fresh files, every other file (including the loser's
+    // still-uncommitted partition) shared with v0
+    assert(part(v1, winner) === stats.files(winner).toSet)
+    assert(v1 -- part(v1, winner) === v0 -- part(v0, winner),
+      "v1 must share every untouched file with v0")
+    // v2 = the loser's rebase on v1: BOTH rewrites present, every
+    // untouched partition still shared with v0
+    assert(part(v2, winner) === stats.files(winner).toSet)
+    assert(part(v2, loser) === stats.files(loser).toSet)
+    assert(v2 -- part(v2, winner) -- part(v2, loser)
+      === v0 -- part(v0, winner) -- part(v0, loser))
+    // optimistic concurrency never deletes: all of v0 stays on disk
+    stats.v0.foreach(f =>
+      assert(fs.exists(new Path(root, f)), s"v0 file $f deleted"))
+    // and no version beyond v2 was ever committed
+    assert(!fs.exists(new Path(root, "_graft_log/v3.txt")))
+  }
 }
