@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "sim_topk"        -> (Similarity.simTopk _),
     "sim_ann"         -> (Similarity.simAnn _),
+    "sim_pq"          -> (Similarity.simPq _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
@@ -916,6 +917,62 @@ object SparkEntry {
         |LEFT JOIN bnear  n ON d.doc_id = n.doc_id
         |WHERE d.doc_id % 10 = 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Quantized-shortlist + exact-rerank: codes replay the proven
+    // embed_quantize formulation; both rank keys round to 4 dp before
+    // ranking with cand_id ties (the sim_topk convention), so shortlist
+    // boundary and final cut are deterministic cross-engine.
+    "sim_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, max(abs(v)) AS scale FROM e GROUP BY vec_id
+        |), q AS (
+        |  SELECT e.vec_id, e.pos,
+        |         CASE WHEN sc.scale = 0 THEN 0
+        |              ELSE CAST(round(e.v / sc.scale * 127) AS BIGINT)
+        |         END AS qv
+        |  FROM e JOIN sc ON e.vec_id = sc.vec_id
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id
+        |), qn AS (
+        |  SELECT vec_id, sqrt(sum(qv * qv)) AS qn FROM q GROUP BY vec_id
+        |), short AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         round(sum(p.v * c.qv) / (np.n * qn.qn), 4) AS qscore
+        |  FROM e p
+        |  JOIN q c ON p.pos = c.pos
+        |  JOIN qn ON c.vec_id = qn.vec_id
+        |  JOIN nrm np ON p.vec_id = np.vec_id
+        |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2, qn.qn, np.n
+        |), top100 AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                                 ORDER BY qscore DESC, cand_id) AS srn
+        |    FROM short
+        |  ) WHERE srn <= 100
+        |), dots AS (
+        |  SELECT t.probe_id, t.cand_id, sum(p.v * c.v) AS dot
+        |  FROM top100 t
+        |  JOIN e p ON p.vec_id = t.probe_id
+        |  JOIN e c ON c.vec_id = t.cand_id AND c.pos = p.pos
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT probe_id, cand_id,
+        |         round(dot / (np.n * nc.n), 4) AS cosine
+        |  FROM dots
+        |  JOIN nrm np ON probe_id = np.vec_id
+        |  JOIN nrm nc ON cand_id = nc.vec_id
+        |)
+        |SELECT probe_id, cand_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                               ORDER BY cosine DESC, cand_id) AS rn
+        |  FROM cos
+        |) WHERE rn <= 10
+        |ORDER BY probe_id, cand_id""".stripMargin,
 
     "sim_topk" ->
       """WITH e AS (

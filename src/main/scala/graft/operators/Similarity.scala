@@ -363,6 +363,82 @@ object Similarity {
       // /8·10⁶ normalization is a display concern for the consumer.
       .agg(sum(col("sign") * col("xm")).cast("long").as("y_micro8"))
       .orderBy("vec_id", "j")
+  // `sim_pq` — quantized-shortlist + exact-rerank top-k, the SECOND ANN
+  // regime next to the IVF routing of `sim_ann` (VERDICT r13 stretch 7):
+  // the two compose in production (IVF prunes WHICH lists to read, the
+  // code tier prunes HOW MUCH precision the scan pays — FAISS IVFPQ).
+  // Tier 1 scores every candidate from its int8 CODES (the
+  // embed_quantize formulation: per-vector scale = max|xᵢ|,
+  // qᵢ = round(xᵢ/scale·127)) against the full-precision probe — the
+  // asymmetric-distance shape: at 1B vectors the shortlist pass reads a
+  // 4×-smaller code table and never touches float32 storage. Tier 2
+  // fetches full vectors for ONLY the per-probe top-100 shortlist (a
+  // 1000-row join however big the corpus) and reranks exactly.
+  //
+  // The rank key needs no dequantization: cos(p, ĉ) = Σpᵢqᵢ·(scale/127)
+  // / (‖ĉ‖·‖p‖) where ‖ĉ‖ = (scale/127)·√Σqᵢ² — the per-vector scale
+  // CANCELS, so quantized cosine = cos(p, q) over the raw codes, and
+  // the hot scoring loop is the NATIVE codegen'd CosineSim expression
+  // over the float-cast codes (int8 values are float-exact) — the
+  // sim_ann discipline: no interpreted HOF fold touches the
+  // corpus-sized side (CodegenAuditSpec); the one transform() lambda
+  // left is the map-only code-table build (the embed_quantize
+  // machinery, its approved exemption argument).
+  //
+  // Determinism: the codes are integer-exact cross-engine (the proven
+  // embed_quantize contract); both rank keys round to 4 dp before
+  // ranking with cand_id tie-breaks (the sim_topk convention), so the
+  // shortlist boundary at rank 100 and the final top-10 cut are both
+  // deterministic — which is what makes THIS ANN tier fully
+  // DuckDB-oracleable where sim_ann (trained k-means) cannot be.
+  // SimilaritySpec additionally pins recall@10 vs the exact sim_topk
+  // baseline at ≥ 0.9 — the number that justifies the 4× IO cut.
+  private val ShortList = 100
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // the code table: (vec_id, q) ONLY — the full vector deliberately
+    // does not travel with the shortlist scan (at scale it lives in a
+    // separate 4×-larger store the rerank join fetches from)
+    val codes = emb
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => when(col("scale") === 0.0, lit(0))
+            .otherwise(round(v.cast("double") / col("scale") * 127, 0)
+              .cast("int"))
+            .cast("float"))
+          .as("qf"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+    val short = codes.join(probes, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id").as("cand_id"),
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("qf")), 4)
+          .as("qscore"))
+    val ws = Window.partitionBy("probe_id")
+      .orderBy(col("qscore").desc, col("cand_id"))
+    val shortlist = short.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= ShortList)
+      .select("probe_id", "pe", "cand_id")
+    // rerank fetch: 100 rows per probe join back to full precision
+    val reranked = shortlist
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")),
+        Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    reranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("probe_id", "cand_id", "cosine")
+      .orderBy("probe_id", "cand_id")
+  }
+
   // `embed_matryoshka` — prefix-truncation ranking fidelity (the
   // Matryoshka-representation eval, Kusupati et al. 2022): how much of
   // the FULL 64-dim cosine top-5 survives when ranking by only the

@@ -55,6 +55,9 @@ class CodegenAuditSpec extends SparkSpec {
     "sim_ann" -> ("lambda only in the broadcast probe-side centroid ranking " +
       "(NProbes x k rows); hot candidate scoring is the native codegen'd " +
       "CosineSim expression"),
+    "sim_pq" -> ("transform() only in the map-only int8 code-table build " +
+      "(the embed_quantize machinery); the corpus-sized shortlist scoring " +
+      "and the 1000-row rerank are both the native codegen'd CosineSim"),
     "multimodal_decode" -> ("typed mapPartitions batch decode — the declared " +
       "escape hatch for opaque binary payloads"),
     "seq_pack_greedy" -> ("typed mapGroups first-fit packer — declared escape " +

@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 at sf0.1 = $recall")
   }
 
+  test("sim_pq recall@10 >= 0.9 vs brute force at both scales: the " +
+      "int8 shortlist + exact rerank recovers (nearly) the true top-10") {
+    // The quality number that justifies the 4× IO cut of the code tier:
+    // int8 per-element error ~0.4% barely perturbs a 64-term dot, and
+    // the exact rerank over the top-100 shortlist repairs any ordering
+    // noise INSIDE the shortlist — only a true neighbour pushed below
+    // rank 100 by quantization can be lost. Deterministic (no training).
+    for (d <- Seq(sf, "/root/testdata/sf0.1")
+         if new java.io.File(s"$d/embeddings.parquet").exists()) {
+      val truth = pairSet(Similarity.simTopk(spark, d))
+      val pq    = pairSet(Similarity.simPq(spark, d))
+      val recall = (truth & pq).size.toDouble / truth.size
+      assert(recall >= 0.9, s"sim_pq recall@10 = $recall at $d")
+      // reported cosines for shared pairs are the exact-rerank values
+      val bf = Similarity.simTopk(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Similarity.simPq(spark, d).collect().foreach { r =>
+        bf.get((r.getLong(0), r.getLong(1)))
+          .foreach(c => assert(c === r.getDouble(2)))
+      }
+    }
+  }
+
   test("sim_ann never invents neighbours: every hit is a real vector pair") {
     val ann = Similarity.simAnn(spark, sf)
     assert(ann.count() === 100)
