@@ -295,6 +295,8 @@ object SparkEntry {
     "text_code_detect" -> (TextAnalysis.textCodeDetect _),
     "sample_tiered" -> (TextAnalysis.sampleTiered _),
     "stat_runs" -> (EventAnalytics.statRuns _),
+    "eval_ndcg" -> (TextAnalysis.evalNdcg _),
+    "corpus_budget_cut" -> (TextAnalysis.corpusBudgetCut _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4246,6 +4248,67 @@ object SparkEntry {
 
     // Same quality ranking + md5 qrel draw; metrics are exact integer
     // floor divisions so recall/MRR can never tie-flap cross-engine.
+    // Discount weights/prefix sums are round(1e9/log2(k+1)) BIGINT
+    // literals identical in both engines — no libm call anywhere;
+    // DCG/IDCG/ndcg_micro are exact integer arithmetic.
+    "eval_ndcg" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN CAST('0x' ||
+        |                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                AS BIGINT) < 4 THEN 1 ELSE 0 END AS rel,
+        |         row_number() OVER
+        |           (PARTITION BY lang
+        |            ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang,
+        |         CAST(sum(rel) AS BIGINT) AS n_rel,
+        |         CAST(sum(rel * CASE rank
+        |             WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+        |             WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+        |             WHEN 5 THEN 386852807 WHEN 6 THEN 356207187
+        |             WHEN 7 THEN 333333333 WHEN 8 THEN 315464877
+        |             WHEN 9 THEN 301029996 WHEN 10 THEN 289064826
+        |             ELSE 0 END) AS BIGINT) AS dcg_w
+        |  FROM base GROUP BY lang
+        |), i AS (
+        |  SELECT lang, n_rel, dcg_w,
+        |         CAST(CASE least(n_rel, 10)
+        |             WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929754
+        |             WHEN 3 THEN 2130929754 WHEN 4 THEN 2561606312
+        |             WHEN 5 THEN 2948459119 WHEN 6 THEN 3304666306
+        |             WHEN 7 THEN 3637999639 WHEN 8 THEN 3953464516
+        |             WHEN 9 THEN 4254494512 WHEN 10 THEN 4543559338
+        |             END AS BIGINT) AS idcg_w
+        |  FROM g
+        |)
+        |SELECT lang, n_rel, dcg_w, idcg_w,
+        |       CAST((1000000 * dcg_w) // nullif(idcg_w, 0) AS BIGINT)
+        |         AS ndcg_micro
+        |FROM i
+        |ORDER BY lang""".stripMargin,
+
+    // Exact token_count whitespace convention; the cut compares exact
+    // integer running sums to the literal per-lang budget.
+    "corpus_budget_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |              AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY lang
+        |                           ORDER BY n_chars DESC, doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS cum_toks
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+        |FROM c WHERE cum_toks <= 2000
+        |ORDER BY lang, cum_toks""".stripMargin,
+
     "eval_retrieval" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars,

@@ -1388,6 +1388,83 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `eval_ndcg` — NDCG@10 per query (Järvelin & Kekäläinen 2002), the
+  // graded position-discounted metric completing the retrieval-eval
+  // shelf (eval_retrieval recall/MRR, eval_auc ranking, eval_pr_curve
+  // thresholds — NDCG is what leaderboards actually report). Same
+  // fixture as eval_retrieval: per-lang ranking by (n_chars desc,
+  // doc_id), md5-deterministic binary qrels.
+  //
+  // Determinism — the discounts leave libm entirely (the ln()-ulp
+  // rule): w_k = round(1e9 / log2(k+1)) are exact BIGINT LITERALS
+  // spelled identically in both engines, so DCG@10 = Σ rel_k·w_k is an
+  // exact integer, IDCG is a literal prefix-sum lookup on
+  // least(n_rel, 10), and ndcg_micro = (1e6·dcg) div idcg is an exact
+  // floor division — no float touches the hash surface. 1e9 scale (not
+  // 1e15) keeps 1e6·dcg ≤ 4.6e15, far inside BIGINT.
+  //
+  // Scale shape: the rank window and the per-lang agg share ONE
+  // (lang)-hash exchange (the eval_retrieval shape); query-key
+  // cardinality scales with the eval workload, never the corpus.
+  private val NdcgW = Seq(1000000000L, 630929754L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464877L,
+    301029996L, 289064826L)
+  private val NdcgCum = NdcgW.scanLeft(0L)(_ + _).tail
+  def evalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long") < 4L).cast("long").as("rel"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val wk = (1 to 10).foldLeft(lit(0L)) { (acc, k) =>
+      when(col("rank") === k.toLong, lit(NdcgW(k - 1))).otherwise(acc)
+    }
+    val idcg = (1 to 10).foldLeft(lit(null).cast("long")) { (acc, k) =>
+      when(least(col("n_rel"), lit(10L)) === k.toLong,
+        lit(NdcgCum(k - 1))).otherwise(acc)
+    }
+    ranked
+      .groupBy("lang")
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(col("rel") * wk).as("dcg_w"))
+      .select(col("lang"), col("n_rel"), col("dcg_w"), idcg.as("idcg_w"))
+      .withColumn("ndcg_micro",
+        expr("CAST((1000000 * dcg_w) div nullif(idcg_w, 0) AS BIGINT)"))
+      .orderBy("lang")
+  }
+
+  // `corpus_budget_cut` — greedy token-budget fill per language: rank
+  // docs by quality (here the n_chars proxy, ties doc_id), keep the
+  // best until the lang's token budget is exhausted — the "give me the
+  // best B tokens per language" cut every dataset-mixing recipe runs
+  // when the budget, not a rate, is the contract (corpus_mix draws
+  // rates, sample_* draw probabilities; this one fills a quota in
+  // QUALITY order, which none of them express).
+  //
+  // Scale shape: the running token sum is a window over (lang) —
+  // bounded per-query-key partitions, never a global single-partition
+  // window — and the window and presentation sort share the lang
+  // exchange. Determinism: token counts are the exact token_count
+  // whitespace convention; the cut compares exact integer cumsums to a
+  // literal budget, so membership is integer-decided in both engines.
+  private val LangTokenBudget = 2000L
+  def corpusBudgetCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      // greedy fill: a doc is kept iff it still FITS the remaining
+      // budget in quality order (cum including itself within budget)
+      .filter(col("cum_toks") <= LangTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"))
+      .orderBy("lang", "cum_toks")
+  }
+
   // `sample_tiered` — two-regime quality-tiered sampling: KEEP every
   // document above the quality bar (n_chars ≥ 800), Bernoulli-sample
   // the tail at 10% — the "keep all good, sample the rest" shape

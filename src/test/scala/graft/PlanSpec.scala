@@ -1220,6 +1220,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window ["), p)
   }
 
+  test("eval_ndcg: the rank window and the per-lang DCG agg share ONE " +
+      "lang hash exchange; the discount lookup is literal CASE work — " +
+      "no join, no second corpus pass") {
+    val p = plan(operators.TextAnalysis.evalNdcg(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(lang") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window ["), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "documents.parquet") === 1, p)
+  }
+
+  test("corpus_budget_cut: the running token sum and the budget filter " +
+      "ride ONE lang hash exchange — bounded per-lang window " +
+      "partitions, never a global single-partition window") {
+    val p = plan(operators.TextAnalysis.corpusBudgetCut(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(lang") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window ["), p)
+    assert(count(p, "documents.parquet") === 1, p)
+  }
+
   test("eval_auc: the rank-sum AUC reuses the two-level prefix machinery " +
       "— persisted distinct-score frame, bucket offsets broadcast, " +
       "per-bucket exclusive windows, never one global sort partition") {
