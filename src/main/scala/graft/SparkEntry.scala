@@ -297,6 +297,8 @@ object SparkEntry {
     "stat_runs" -> (EventAnalytics.statRuns _),
     "eval_ndcg" -> (TextAnalysis.evalNdcg _),
     "corpus_budget_cut" -> (TextAnalysis.corpusBudgetCut _),
+    "event_transitions" -> (EventAnalytics.eventTransitions _),
+    "eval_kappa" -> (EventAnalytics.evalKappa _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4528,6 +4530,77 @@ object SparkEntry {
 
     // Four conditional counts + exact-rational metric renders (F1's
     // harmonic mean simplifies to 2tp/(2tp+fp+fn) — an integer ratio).
+    // Per-user lag chain → bounded 5×5 pair agg → exact ppm
+    // conditionals; identical window/order spec in both engines.
+    "event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type, 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type
+        |  FROM events
+        |), cells AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |       CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |         AS row_total,
+        |       CAST((1000000 * n) //
+        |            sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |         AS p_ppm
+        |FROM cells
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    // κ = (N·Σdiag − Σ r_k·c_k) / (N² − Σ r_k·c_k), every term an
+    // exact BIGINT; the Σ r_k·c_k term sums marginal products over the
+    // (always-present) diagonal cells. Numerator positive by fixture
+    // construction, so truncating and flooring division agree.
+    "eval_kappa" ->
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN CAST('0x' || substring(md5('ka:' || event_id),
+        |              1, 6) AS BIGINT) % 1000 < 100
+        |         THEN CASE event_type
+        |              WHEN 'click' THEN 'error'
+        |              WHEN 'error' THEN 'purchase'
+        |              WHEN 'purchase' THEN 'signup'
+        |              WHEN 'signup' THEN 'view'
+        |              ELSE 'click' END
+        |         ELSE event_type END AS a,
+        |    CASE WHEN CAST('0x' || substring(md5('kb:' || event_id),
+        |              1, 6) AS BIGINT) % 1000 < 200
+        |         THEN CASE event_type
+        |              WHEN 'click' THEN 'error'
+        |              WHEN 'error' THEN 'purchase'
+        |              WHEN 'purchase' THEN 'signup'
+        |              WHEN 'signup' THEN 'view'
+        |              ELSE 'click' END
+        |         ELSE event_type END AS b
+        |  FROM events
+        |), cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY a, b
+        |), m AS (
+        |  SELECT a, b, c,
+        |         sum(c) OVER (PARTITION BY a) AS ra,
+        |         sum(c) OVER (PARTITION BY b) AS cb
+        |  FROM cells
+        |), g AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_agree,
+        |         CAST(sum(CASE WHEN a = b THEN ra * cb ELSE 0 END)
+        |              AS BIGINT) AS pe_num
+        |  FROM m
+        |)
+        |SELECT n, n_agree, pe_num,
+        |       CAST((1000000 * (n * n_agree - pe_num)) //
+        |            (n * n - pe_num) AS BIGINT) AS kappa_micro
+        |FROM g""".stripMargin,
+
     "eval_confusion" ->
       """WITH d AS (
         |  SELECT CASE WHEN CAST('0x' || substring(md5('p:' || event_id),

@@ -1550,4 +1550,92 @@ object EventAnalytics {
         (col("cms_est") - col("exact_n")).as("overcount"))
       .orderBy("user_id")
   }
+
+  // `event_transitions` — the full first-order Markov transition
+  // matrix over per-user event streams: P(next_type | prev_type) for
+  // every ordered type pair — the behavioral-analytics summary the
+  // targeted keys (funnel_conversion's one path, seq_pattern's one
+  // regex, event_attribution's credit split) each slice one row of.
+  // Scale shape: ONE (user_id)-hash exchange for the lag window (the
+  // stream never leaves its user partition), then a partial-agg
+  // shuffle onto the BOUNDED |types|² pair space; the row-conditional
+  // normalization is a window over that ≤25-row frame — scalar work.
+  // Determinism: transition counts are exact BIGINTs and the
+  // conditional is an exact ppm floor division — no float anywhere.
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("row_total"),
+        expr("CAST((1000000 * n) div row_total AS BIGINT)").as("p_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  // `eval_kappa` — Cohen's κ inter-annotator agreement (Cohen 1960):
+  // THE label-quality gate for human/model annotation pipelines
+  // (RLHF preference labels, quality tags) — raw agreement corrected
+  // for the agreement two independent raters would reach by chance
+  // from their own marginal label distributions. eval_confusion grades
+  // predictions against truth; κ grades RATERS against each other —
+  // no ground truth anywhere. Two deterministic raters derive from the
+  // fixture: each starts from event_type and md5-flips a disjoint-rate
+  // subset (10% / 20%) to the alphabetically-next class, so agreement
+  // is high but imperfect and both engines construct identical raters.
+  // Exactness: with c_kk the diagonal and r_k/c_k the marginals,
+  //   κ = (N·Σc_kk − Σ r_k·c_k) / (N² − Σ r_k·c_k)
+  // — every term an exact BIGINT (the n-scaled denominator-clearing
+  // trick), rendered once as an exact micro floor division; numerator
+  // is positive by construction (agreement ≫ chance), so Spark's
+  // truncating `div` and an oracle floor division agree. Bounds:
+  // N²·1e6 stays in BIGINT to N ≈ 3·10⁶ rows — beyond that, κ runs on
+  // a uniform slice (it is a RATE; the stat_ttest bound note applies).
+  // Scale shape: one partial-agg shuffle onto the bounded 5×5 cell
+  // space; marginals are windows over the ≤25-row cell frame (the
+  // stat_chi2 pattern); output is one scalar row.
+  def evalKappa(spark: SparkSession, dir: String): DataFrame = {
+    def draw(p: String): Column = pmod(
+      conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(1000L))
+    // alphabetically-next class: click→error→purchase→signup→view→click
+    def rot(c: Column): Column =
+      when(c === "click", "error").when(c === "error", "purchase")
+        .when(c === "purchase", "signup").when(c === "signup", "view")
+        .otherwise("click")
+    val cells = Tables.events(spark, dir)
+      .select(
+        when(draw("ka:") < 100L, rot(col("event_type")))
+          .otherwise(col("event_type")).as("a"),
+        when(draw("kb:") < 200L, rot(col("event_type")))
+          .otherwise(col("event_type")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    cells
+      .withColumn("ra", sum(col("c")).over(wa))
+      .withColumn("cb", sum(col("c")).over(wb))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L)))
+          .as("n_agree"),
+        // Σ r_k·c_k = Σ_cells c·? — NOT expressible per cell; instead
+        // Σ_k r_k·c_k over the distinct diagonal keys: sum the product
+        // once per (a = b = k) cell pair via the marginal columns on
+        // the diagonal cells (every class pair (k,k) exists in this
+        // fixture: the identity mapping dominates both raters)
+        sum(when(col("a") === col("b"), col("ra") * col("cb"))
+          .otherwise(lit(0L))).as("pe_num"))
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        expr("CAST((1000000 * (n * n_agree - pe_num)) div " +
+          "(n * n - pe_num) AS BIGINT)").as("kappa_micro"))
+  }
 }

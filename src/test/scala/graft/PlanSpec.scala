@@ -1242,6 +1242,28 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "documents.parquet") === 1, p)
   }
 
+  test("event_transitions: ONE fact-sized user_id exchange feeds the lag " +
+      "window; the pair agg and row-conditional window run on the " +
+      "bounded |types|^2 space — no join, one scan") {
+    val p = plan(operators.EventAnalytics.eventTransitions(spark, sf))
+    assert(count(p, "Exchange hashpartitioning(user_id") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), p)
+    assert(count(p, "events.parquet") === 1, p)
+  }
+
+  test("eval_kappa: the contingency cells collapse map-side (partial agg " +
+      "before the bounded-key exchange); marginal windows and the scalar " +
+      "render run on the <=25-row cell frame — no join, one scan") {
+    val p = plan(operators.EventAnalytics.evalKappa(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "events.parquet") === 1, p)
+    // the only fact-sized exchange is the (a, b) cell shuffle; marginal
+    // windows ride bounded re-exchanges of the 25-row frame
+    assert(count(p, "Window [") >= 1, p)
+  }
+
   test("eval_auc: the rank-sum AUC reuses the two-level prefix machinery " +
       "— persisted distinct-score frame, bucket offsets broadcast, " +
       "per-bucket exclusive windows, never one global sort partition") {
