@@ -299,6 +299,8 @@ object SparkEntry {
     "corpus_budget_cut" -> (TextAnalysis.corpusBudgetCut _),
     "event_transitions" -> (EventAnalytics.eventTransitions _),
     "eval_kappa" -> (EventAnalytics.evalKappa _),
+    "agg_moments" -> (Analytic.aggMoments _),
+    "dq_referential" -> (Pipeline.dqReferential _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -4530,6 +4532,92 @@ object SparkEntry {
 
     // Four conditional counts + exact-rational metric renders (F1's
     // harmonic mean simplifies to 2tp/(2tp+fp+fn) — an integer ratio).
+    // Raw BIGINT power sums → HUGEINT denominator-cleared central
+    // numerators (A,B,C) → n-free ratios g1=B/A^1.5 (A·sqrt(A), no
+    // pow/libm), g2=C/A²−3, floor(1e6·x) render. Mirrors the Spark
+    // DECIMAL(38,0) arithmetic exactly.
+    "agg_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag
+        |), h AS (
+        |  SELECT l_returnflag, n, s1, s2, s3, s4,
+        |         CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |           - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS a,
+        |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |             * CAST(s3 AS HUGEINT)
+        |           - 3 * CAST(n AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |             * CAST(s2 AS HUGEINT)
+        |           + 2 * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |             * CAST(s1 AS HUGEINT) AS b,
+        |         CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |             * CAST(n AS HUGEINT) * CAST(s4 AS HUGEINT)
+        |           - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |             * CAST(s1 AS HUGEINT) * CAST(s3 AS HUGEINT)
+        |           + 6 * CAST(n AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |             * CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |           - 3 * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |             * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS c
+        |  FROM s
+        |)
+        |SELECT l_returnflag, n, s1, s2, s3, s4,
+        |       CAST(floor(1e6 * CAST(b AS DOUBLE) /
+        |            (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))))
+        |            AS BIGINT) AS skew_micro,
+        |       CAST(floor(1e6 * (CAST(c AS DOUBLE) /
+        |            (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0))
+        |            AS BIGINT) AS kurt_micro
+        |FROM h
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Planted parent deletions (modulo of the parent key) make the
+    // orphan counts nonzero; anti-join replayed flat.
+    "dq_referential" ->
+      """WITH e1 AS (
+        |  SELECT 'orders->customer' AS edge,
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+        |         CAST((SELECT count(*) FROM orders o
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                 WHERE c.c_custkey = o.o_custkey
+        |                   AND c.c_custkey % 97 <> 0)) AS BIGINT)
+        |           AS n_orphan
+        |), e2 AS (
+        |  SELECT 'lineitem->orders' AS edge,
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |         CAST((SELECT count(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                 WHERE o.o_orderkey = l.l_orderkey
+        |                   AND o.o_orderkey % 89 <> 0)) AS BIGINT)
+        |           AS n_orphan
+        |), e3 AS (
+        |  SELECT 'lineitem->part' AS edge,
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |         CAST((SELECT count(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                 WHERE p.p_partkey = l.l_partkey
+        |                   AND p.p_partkey % 83 <> 0)) AS BIGINT)
+        |           AS n_orphan
+        |), u AS (
+        |  SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3
+        |)
+        |SELECT edge, n_child, n_orphan,
+        |       CAST((1000000 * n_orphan) // n_child AS BIGINT)
+        |         AS orphan_ppm
+        |FROM u
+        |ORDER BY edge""".stripMargin,
+
     // Per-user lag chain → bounded 5×5 pair agg → exact ppm
     // conditionals; identical window/order spec in both engines.
     "event_transitions" ->

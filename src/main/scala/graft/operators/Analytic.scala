@@ -305,6 +305,62 @@ object Analytic {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // `agg_moments` — EXACT per-group skewness and excess kurtosis from
+  // raw integer power sums, extending agg_stats' 2nd-moment family to
+  // the 3rd/4th moments distribution-drift monitors chart. The
+  // built-in skewness()/kurtosis() sketches are float AND the two
+  // engines disagree on sample-adjustment conventions, so this key
+  // computes the population moments from first principles:
+  //   S_p = Σ qᵖ (q = exact integer l_quantity, p = 1..4) — BIGINT,
+  //   order-independent, map-side partial;
+  // then denominator-cleared central numerators in DECIMAL(38,0)
+  // (DuckDB HUGEINT — both 128-bit-exact):
+  //   A = n·S2 − S1²                            (= n²·m2)
+  //   B = n²·S3 − 3n·S1·S2 + 2·S1³              (= n³·m3)
+  //   C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴ (= n⁴·m4)
+  // The n-powers CANCEL in the ratios: g1 = m3/m2^1.5 = B/A^1.5 and
+  // g2 = m4/m2² − 3 = C/A² − 3 — no n anywhere in the render. A^1.5
+  // is spelled A·√A (sqrt is IEEE-exact; pow() would call libm), the
+  // exact integers cast to double once, one fixed-order IEEE ratio,
+  // floor(1e6·x) render (floor, not div: g1/g2 go negative, and floor
+  // agrees across engines where truncating div does not). Bounds:
+  // S1⁴ ≤ (50n)⁴ stays inside 38 digits to n ≈ 10⁹ rows/group.
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long") // integral by fixture contract
+    val dec = "decimal(38,0)"
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+        sum(q * q * q * q).as("s4"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        (col("n").cast(dec) * col("s2").cast(dec)
+          - col("s1").cast(dec) * col("s1").cast(dec)).as("a"),
+        (col("n").cast(dec) * col("n").cast(dec) * col("s3").cast(dec)
+          - lit(3).cast(dec) * col("n").cast(dec) * col("s1").cast(dec)
+            * col("s2").cast(dec)
+          + lit(2).cast(dec) * col("s1").cast(dec) * col("s1").cast(dec)
+            * col("s1").cast(dec)).as("b"),
+        (col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec)
+            * col("s4").cast(dec)
+          - lit(4).cast(dec) * col("n").cast(dec) * col("n").cast(dec)
+            * col("s1").cast(dec) * col("s3").cast(dec)
+          + lit(6).cast(dec) * col("n").cast(dec) * col("s1").cast(dec)
+            * col("s1").cast(dec) * col("s2").cast(dec)
+          - lit(3).cast(dec) * col("s1").cast(dec) * col("s1").cast(dec)
+            * col("s1").cast(dec) * col("s1").cast(dec)).as("c"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        floor(lit(1e6) * col("b").cast("double") /
+          (col("a").cast("double") * sqrt(col("a").cast("double"))))
+          .cast("long").as("skew_micro"),
+        floor(lit(1e6) * (col("c").cast("double") /
+          (col("a").cast("double") * col("a").cast("double")) - lit(3.0)))
+          .cast("long").as("kurt_micro"))
+      .orderBy("l_returnflag")
+  }
+
   // `agg_regression` — per-group ordinary-least-squares fit via the
   // SQL-standard regr_* aggregate family (slope, intercept, R²,
   // count, mean-x, mean-y): the one-pass linear-model primitive —

@@ -283,4 +283,47 @@ object Pipeline {
           .as("risk_ppm"))
       .orderBy("nation", "segment", "bal_band")
   }
+
+  // `dq_referential` — referential-integrity audit, the DQ check the
+  // family still lacked (dq_expectations row predicates, dq_profile
+  // column stats, dq_kanonymity privacy): for each FK edge, count
+  // children whose parent is missing and report the orphan rate — the
+  // first audit after any ingest/CDC apply, because a broken FK edge
+  // silently drops rows from every downstream join. TPC-H data is
+  // referentially perfect, so each edge's parent set is PLANTED with
+  // deletions (a deterministic modulo of the parent key — simulating
+  // parents removed by retention/GDPR while children linger), making
+  // the orphan counts nonzero and oracle-checkable.
+  //
+  // Scale shape: one LEFT ANTI join per edge — the exact relational
+  // form of "child without parent" — with the surviving-parent side
+  // reduced to its key column before the join (ReadSchema stays
+  // 1-column); counts collapse map-side, one scalar row per edge, and
+  // the three bounded rows union. Determinism: exact BIGINT counts and
+  // an exact ppm floor division.
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      child.select(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.select(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphan"),
+          expr("CAST((1000000 * n_orphan) div n_child AS BIGINT)")
+            .as("orphan_ppm"))
+    }
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 =!= 0)
+    val ord = Tables.orders(spark, dir)
+    val ordSurv = ord.filter(col("o_orderkey") % 89 =!= 0)
+    val part = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 83 =!= 0)
+    val li = Tables.lineitem(spark, dir)
+    edge("orders->customer", ord, "o_custkey", cust, "c_custkey")
+      .unionByName(
+        edge("lineitem->orders", li, "l_orderkey", ordSurv, "o_orderkey"))
+      .unionByName(
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+      .orderBy("edge")
+  }
 }

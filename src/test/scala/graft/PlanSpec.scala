@@ -1264,6 +1264,27 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window [") >= 1, p)
   }
 
+  test("agg_moments: ONE fact scan, power sums collapse map-side onto " +
+      "the bounded returnflag space — no join, no window, and the " +
+      "decimal moment algebra is scalar work on 3 rows") {
+    val p = plan(operators.Analytic.aggMoments(spark, sf))
+    assert(count(p, "lineitem.parquet") === 1, p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+    assert(count(p, "Exchange hashpartitioning(l_returnflag") === 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("dq_referential: each FK edge is ONE left-anti join (child " +
+      "without surviving parent), no cartesian anywhere, and the " +
+      "parent sides read only their key column") {
+    val p = plan(operators.Pipeline.dqReferential(spark, sf))
+    assert(count(p, "LeftAnti") === 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // parent scans pruned to the single key column
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint>"), p)
+  }
+
   test("eval_auc: the rank-sum AUC reuses the two-level prefix machinery " +
       "— persisted distinct-score frame, bucket offsets broadcast, " +
       "per-bucket exclusive windows, never one global sort partition") {
