@@ -301,6 +301,8 @@ object SparkEntry {
     "eval_kappa" -> (EventAnalytics.evalKappa _),
     "agg_moments" -> (Analytic.aggMoments _),
     "dq_referential" -> (Pipeline.dqReferential _),
+    "ts_decompose" -> (EventAnalytics.tsDecompose _),
+    "write_codecs" -> (Layout.writeCodecs _),
   )
 
   /** The token_bpe_train oracle: all 10 training rounds unrolled as
@@ -1899,6 +1901,48 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
 
     // Gap fill: silent hours must appear as explicit zero rows.
+    // All-integer surface: exact BIGINT hourly sums; trend/seasonal are
+    // floor(double-division of exactly-representable ints) — floor,
+    // not integer div, because detrended sums go negative and Spark's
+    // div truncates where // floors.
+    "ts_decompose" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |           AS v_milli
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT h, event_type, v_milli,
+        |         CAST(floor(
+        |           CAST(sum(v_milli) OVER w AS DOUBLE) /
+        |           count(*) OVER w) AS BIGINT) AS trend_milli
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), se AS (
+        |  SELECT h, event_type, v_milli, trend_milli,
+        |         v_milli - trend_milli AS d,
+        |         CAST(floor(
+        |           CAST(sum(v_milli - trend_milli) OVER s AS DOUBLE) /
+        |           count(*) OVER s) AS BIGINT) AS seas_milli
+        |  FROM tr
+        |  WINDOW s AS (PARTITION BY event_type, hour(h))
+        |)
+        |SELECT h, event_type, v_milli, trend_milli, seas_milli,
+        |       d - seas_milli AS resid_milli
+        |FROM se
+        |ORDER BY event_type, h""".stripMargin,
+
+    // The oracle is the flat slice replay: a green hash certifies the
+    // zstd write/read round-trip is lossless; size ordering across
+    // codecs is SourcesSpec's physical pin.
+    "write_codecs" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_returnflag, l_linestatus, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey % 4 = 0
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+
     "ts_resample" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events

@@ -1551,6 +1551,52 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `ts_decompose` — classic additive time-series decomposition
+  // (trend + seasonal + residual, the moving-average STL-lite every
+  // monitoring stack charts): hourly per-type activity splits into a
+  // centered 25-hour moving-average TREND, a per-(type, hour-of-day)
+  // SEASONAL profile of the detrended series, and the RESIDUAL that
+  // anomaly detectors actually alarm on. ts_seasonal_profile emits the
+  // raw hour-of-day profile; this key completes the decomposition (the
+  // profile of the DETRENDED series, plus trend and residual, with the
+  // additive identity v = trend + seasonal + residual + adjustments
+  // holding exactly in integers).
+  //
+  // Determinism — all-integer surface: hourly v_milli are exact BIGINT
+  // sums; trend/seasonal are floor(sum / count) where the division is
+  // IEEE double over exactly-representable ints (identical both
+  // engines) and floor (not integer div) because detrended sums go
+  // NEGATIVE — Spark's `div` truncates toward zero while a floor
+  // division floors, so div would diverge on negatives; floor() agrees.
+  //
+  // Scale shape: the fact collapses map-side onto the TIME-BOUNDED
+  // (hour × type) grid (744 × 5 rows at any SF — the resampled axis
+  // does not grow with data); both windows and the final render are
+  // scalar work on that bounded frame. One fact-sized exchange total.
+  def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "hod")
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy("h", "event_type")
+      .agg(sum(col("vm")).as("v_milli"))
+      .withColumn("trend_milli",
+        floor(sum(col("v_milli")).over(wT).cast("double") /
+          count(lit(1)).over(wT)).cast("long"))
+      .withColumn("hod", hour(col("h")))
+      .withColumn("d", col("v_milli") - col("trend_milli"))
+      .withColumn("seas_milli",
+        floor(sum(col("d")).over(wS).cast("double") /
+          count(lit(1)).over(wS)).cast("long"))
+      .select(col("h"), col("event_type"), col("v_milli"),
+        col("trend_milli"), col("seas_milli"),
+        (col("d") - col("seas_milli")).as("resid_milli"))
+      .orderBy("event_type", "h")
+  }
+
   // `event_transitions` — the full first-order Markov transition
   // matrix over per-user event streams: P(next_type | prev_type) for
   // every ordered type pair — the behavioral-analytics summary the

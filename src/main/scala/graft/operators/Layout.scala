@@ -354,6 +354,42 @@ object Layout {
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
   }
 
+  // `write_codecs` — compression-codec round-trip, the storage lever
+  // the layout family still lacked (compact_files sizes files,
+  // layout_sorted/zorder order them, write_rebalance balances them —
+  // none choose the CODEC, and at 100 TB the zstd-vs-snappy decision
+  // is a double-digit-% storage/scan-cost lever). The same slice is
+  // written uncompressed, snappy, and zstd; the declared result is the
+  // ZSTD read-back (oracle = flat slice replay: a green hash certifies
+  // the codec round-trips losslessly through write AND read), and
+  // SourcesSpec pins the physical claims the oracle can't see: the
+  // on-disk size ordering uncompressed > snappy > zstd and
+  // byte-identical row content across all three codecs. Codec choice
+  // is per-write here (the `compression` option), which is how a real
+  // pipeline mixes codecs per table tier (hot=snappy/lz4, cold=zstd).
+  private[graft] val WriteCodecNames =
+    Seq("uncompressed", "snappy", "zstd")
+  // modulo slice: the key pays THREE writes of its input, so it writes
+  // a quarter of the fact — the codec contrast is about byte patterns,
+  // not volume, and the slice keeps the key inside the per-key budget
+  private[graft] def codecSlice(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice"), col("l_shipdate"))
+  private[graft] def codecPath(c: String, dir: String): String =
+    graft.sources.FormatSources.exportPath(s"codec_$c", dir)
+  def writeCodecs(spark: SparkSession, dir: String): DataFrame = {
+    val slice = codecSlice(spark, dir)
+    WriteCodecNames.foreach { c =>
+      slice.write.mode("overwrite").option("compression", c)
+        .parquet(codecPath(c, dir))
+    }
+    spark.read.parquet(codecPath("zstd", dir))
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  }
+
   def writePartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.FormatSources.exportPath("dynpart", dir)
     dynpartBase(spark, dir)

@@ -1285,6 +1285,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<p_partkey:bigint>"), p)
   }
 
+  test("ts_decompose: the fact collapses map-side onto the time-bounded " +
+      "(hour x type) grid before any window; both decomposition windows " +
+      "run on bounded per-type partitions — no single-partition window, " +
+      "no join, one scan") {
+    val p = plan(operators.EventAnalytics.tsDecompose(spark, sf))
+    assert(count(p, "events.parquet") === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(count(p, "Window [") >= 2, p)
+    assert(p.contains("partial"), p) // map-side collapse before exchange
+  }
+
   test("eval_auc: the rank-sum AUC reuses the two-level prefix machinery " +
       "— persisted distinct-score frame, bucket offsets broadcast, " +
       "per-bucket exclusive windows, never one global sort partition") {

@@ -205,6 +205,30 @@ class SourcesSpec extends SparkSpec {
       s"rebalanced files should be near-even, got $sizes")
   }
 
+  test("write_codecs: on-disk size orders uncompressed > snappy > zstd " +
+      "and every codec round-trips the identical rows") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    operators.Layout.writeCodecs(spark, sf).count()
+    def dataBytes(c: String): Long =
+      Files.list(Paths.get(operators.Layout.codecPath(c, sf)))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size(_)).sum
+    val Seq(raw, snappy, zstd) =
+      operators.Layout.WriteCodecNames.map(dataBytes)
+    assert(raw > snappy && snappy > zstd,
+      s"codec size ordering violated: raw=$raw snappy=$snappy zstd=$zstd")
+    // lossless across codecs: identical content whatever the codec
+    val reads = operators.Layout.WriteCodecNames.map { c =>
+      spark.read.parquet(operators.Layout.codecPath(c, sf))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .collect().toSeq
+    }
+    assert(reads(0) === reads(1))
+    assert(reads(1) === reads(2))
+  }
+
   test("scan_parquet_bloom: footer carries a bloom filter on o_custkey " +
       "(the enable option silently no-ops on typos — this pins it took)") {
     import java.nio.file.{Files, Paths}
