@@ -125,7 +125,13 @@ object SemiStructured {
   // Q32 `json_funcs` — JSON path extraction from events.props, both the
   // path form (get_json_object) and the schema form (from_json).
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    // narrow sort first, interpreted JSON work above it (the
+    // variant_explode/json_variant lesson: get_json_object/from_json
+    // are CodegenFallback, and under the sort the range-partitioner
+    // sample pass evaluates them twice)
     Tables.events(spark, dir)
+      .select(col("event_id"), col("props"))
+      .orderBy("event_id")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_path"),
@@ -133,7 +139,6 @@ object SemiStructured {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType))))
           .getField("k").as("k_schema"))
-      .orderBy("event_id")
 
   // `json_variant` — Spark 4's VARIANT type (the flagship
   // semi-structured feature): parse_json materializes a binary
@@ -154,7 +159,15 @@ object SemiStructured {
       (k.cast("long") * 2).cast("string"),
       lit("],\"meta\":{\"t\":\""), col("event_type"),
       lit("\"},\"nil\":null}"))
+    // Narrow sort FIRST, interpreted variant work ABOVE it (the r13
+    // variant_explode lesson, applied here in r14: orderBy's
+    // range-partitioner SAMPLES its child plan, so the two parse_json
+    // + five variant consumers — none codegen-able yet — executed
+    // twice when they sat under the sort; a Project above Sort
+    // preserves ordering, no exchange between them).
     Tables.events(spark, dir)
+      .select(col("event_id"), col("props"), col("event_type"))
+      .orderBy("event_id")
       .select(col("event_id"),
         parse_json(col("props")).as("v"),
         parse_json(nestedJson).as("nested"))
@@ -168,7 +181,8 @@ object SemiStructured {
         // path: $.nil is a variant-NULL (true), not a SQL NULL
         is_variant_null(variant_get(col("nested"), "$.nil", "variant"))
           .as("nil_is_null"))
-      .orderBy("event_id")
+    // no terminal orderBy: the pre-projection sort's order flows
+    // through the order-preserving Projects (no exchange above it)
   }
 
   // `url_funcs` — URL parsing (`parse_url` + `url_decode`), the
