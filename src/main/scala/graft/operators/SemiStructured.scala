@@ -255,7 +255,13 @@ object SemiStructured {
     // replacing the six independent parse_url regex runs the r12 plan
     // audit flagged; single-key query params come from one
     // str_to_map over the already-extracted query string.
+    // narrow sort first, the whole build+parse chain above it (the
+    // json_variant lesson: the chain starts with an interpreted
+    // get_json_object, and under the sort the range-partitioner
+    // sample pass evaluated all of it twice)
     Tables.events(spark, dir)
+      .select(col("event_id"), col("props"), col("event_type"))
+      .orderBy("event_id")
       .select(col("event_id"), url.as("url"))
       .select(col("event_id"),
         graft.functions.UrlParts.urlParts(col("url")).as("u"))
@@ -272,6 +278,5 @@ object SemiStructured {
         col("u.ref").as("fragment"),
         // registrable-domain slice: drop the subdomain label
         element_at(split(col("u.host"), "\\."), 2).as("domain"))
-      .orderBy("event_id")
   }
 }
