@@ -44,9 +44,35 @@ object FormatSources {
     * local mode that failure stops the SparkContext and cascades into
     * every later key). Per-process paths make the collision
     * impossible instead of merely unlikely. */
-  private[graft] def exportPath(fmt: String, dir: String): String =
-    Paths.get(System.getProperty("java.io.tmpdir"),
+  private[graft] def exportPath(fmt: String, dir: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${fmt}_${graft.Util.pathTag(dir)}_p${ProcessHandle.current().pid()}").toString
+    exportDirs.add(p)
+    p
+  }
+
+  // Export dirs are per-PID scratch: without exit cleanup every JVM
+  // invocation leaks its set (r14: 2,609 stale dirs / 4 GB had
+  // accumulated in /tmp across a round's bench+verify runs). The hook
+  // deletes only THIS process's dirs — per-PID naming means no other
+  // live JVM can be using them.
+  private val exportDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      exportDirs.asScala.foreach { p =>
+        try {
+          val f = new java.io.File(p)
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm))
+            x.delete(); ()
+          }
+          rm(f)
+        } catch { case _: Exception => () } // best-effort scratch sweep
+      }
+    }, "graft-export-cleanup"))
+  }
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
