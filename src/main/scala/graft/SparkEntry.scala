@@ -4617,10 +4617,12 @@ object SparkEntry {
         |)
         |SELECT l_returnflag, n, s1, s2, s3, s4,
         |       CAST(floor(1e6 * CAST(b AS DOUBLE) /
-        |            (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))))
+        |            (CAST(nullif(a, 0) AS DOUBLE)
+        |             * sqrt(CAST(nullif(a, 0) AS DOUBLE))))
         |            AS BIGINT) AS skew_micro,
         |       CAST(floor(1e6 * (CAST(c AS DOUBLE) /
-        |            (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0))
+        |            (CAST(nullif(a, 0) AS DOUBLE)
+        |             * CAST(nullif(a, 0) AS DOUBLE)) - 3.0))
         |            AS BIGINT) AS kurt_micro
         |FROM h
         |ORDER BY l_returnflag""".stripMargin,
@@ -4712,26 +4714,27 @@ object SparkEntry {
         |              ELSE 'click' END
         |         ELSE event_type END AS b
         |  FROM events
-        |), cells AS (
+        |), cells AS MATERIALIZED (
         |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
         |  FROM r GROUP BY a, b
-        |), m AS (
-        |  SELECT a, b, c,
-        |         sum(c) OVER (PARTITION BY a) AS ra,
-        |         sum(c) OVER (PARTITION BY b) AS cb
-        |  FROM cells
+        |), ra AS (
+        |  SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a
+        |), cb AS (
+        |  SELECT b AS k, sum(c) AS cb FROM cells GROUP BY b
+        |), pe AS (
+        |  SELECT CAST(coalesce(sum(ra.ra * cb.cb), 0) AS BIGINT)
+        |           AS pe_num
+        |  FROM ra JOIN cb USING (k)
         |), g AS (
         |  SELECT CAST(sum(c) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
-        |           AS n_agree,
-        |         CAST(sum(CASE WHEN a = b THEN ra * cb ELSE 0 END)
-        |              AS BIGINT) AS pe_num
-        |  FROM m
+        |           AS n_agree
+        |  FROM cells
         |)
         |SELECT n, n_agree, pe_num,
         |       CAST((1000000 * (n * n_agree - pe_num)) //
         |            (n * n - pe_num) AS BIGINT) AS kappa_micro
-        |FROM g""".stripMargin,
+        |FROM g, pe""".stripMargin,
 
     "eval_confusion" ->
       """WITH d AS (

@@ -352,11 +352,19 @@ object Analytic {
             * col("s1").cast(dec) * col("s1").cast(dec)).as("c"))
       .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
         col("s3"), col("s4"),
+        // nullif(a,0) guard (ADVICE r14): a zero-variance group makes
+        // A = 0 and the ratios 0/0 — Spark's non-ANSI float path and
+        // DuckDB's CAST('nan') diverge; rendering NULL identically in
+        // both engines removes the latent cross-engine split. The
+        // fixture has no constant-quantity group today; the guard is
+        // for the day one appears.
         floor(lit(1e6) * col("b").cast("double") /
-          (col("a").cast("double") * sqrt(col("a").cast("double"))))
+          (expr("CAST(nullif(a, 0) AS DOUBLE)") *
+            sqrt(expr("CAST(nullif(a, 0) AS DOUBLE)"))))
           .cast("long").as("skew_micro"),
         floor(lit(1e6) * (col("c").cast("double") /
-          (col("a").cast("double") * col("a").cast("double")) - lit(3.0)))
+          (expr("CAST(nullif(a, 0) AS DOUBLE)") *
+            expr("CAST(nullif(a, 0) AS DOUBLE)")) - lit(3.0)))
           .cast("long").as("kurt_micro"))
       .orderBy("l_returnflag")
   }

@@ -1646,8 +1646,9 @@ object EventAnalytics {
   // N²·1e6 stays in BIGINT to N ≈ 3·10⁶ rows — beyond that, κ runs on
   // a uniform slice (it is a RATE; the stat_ttest bound note applies).
   // Scale shape: one partial-agg shuffle onto the bounded 5×5 cell
-  // space; marginals are windows over the ≤25-row cell frame (the
-  // stat_chi2 pattern); output is one scalar row.
+  // space; marginals fold the cached ≤25-row cell frame (a marginal
+  // JOIN over the distinct classes, not the diagonal shortcut — see
+  // in-code note); output is one scalar row.
   def evalKappa(spark: SparkSession, dir: String): DataFrame = {
     def draw(p: String): Column = pmod(
       conv(substring(md5(concat(lit(p), col("event_id").cast("string"))),
@@ -1657,29 +1658,38 @@ object EventAnalytics {
       when(c === "click", "error").when(c === "error", "purchase")
         .when(c === "purchase", "signup").when(c === "signup", "view")
         .otherwise("click")
-    val cells = Tables.events(spark, dir)
+    // The ≤25-row cell frame is cached: n/n_agree, the a-marginals and
+    // the b-marginals all fold it, and without the cache each branch
+    // would re-scan events (the one place a bounded cache beats the
+    // one-pass window trick — see below).
+    val cells = Caches.register(Tables.events(spark, dir)
       .select(
         when(draw("ka:") < 100L, rot(col("event_type")))
           .otherwise(col("event_type")).as("a"),
         when(draw("kb:") < 200L, rot(col("event_type")))
           .otherwise(col("event_type")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val wa = org.apache.spark.sql.expressions.Window.partitionBy("a")
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("b")
+      .persist())
+    // Σ_k r_k·c_k from a marginal join over the distinct classes —
+    // NOT the earlier diagonal shortcut (sum ra·cb over a=b cells),
+    // which silently dropped a class's marginal product whenever its
+    // (k,k) cell was absent (ADVICE r14: the fixture guarantees
+    // presence, but nothing enforced it — a fixture change would have
+    // skewed P_e identically in both engines and the oracle would not
+    // have caught it). A class present in only one rater's labels
+    // contributes r_k·c_k = 0, so the inner join is exact.
+    val ra = cells.groupBy(col("a").as("k"))
+      .agg(sum(col("c")).as("ra"))
+    val cb = cells.groupBy(col("b").as("k"))
+      .agg(sum(col("c")).as("cb"))
+    val pe = ra.join(cb, "k")
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_num"))
     cells
-      .withColumn("ra", sum(col("c")).over(wa))
-      .withColumn("cb", sum(col("c")).over(wb))
       .agg(
         sum(col("c")).as("n"),
         sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L)))
-          .as("n_agree"),
-        // Σ r_k·c_k = Σ_cells c·? — NOT expressible per cell; instead
-        // Σ_k r_k·c_k over the distinct diagonal keys: sum the product
-        // once per (a = b = k) cell pair via the marginal columns on
-        // the diagonal cells (every class pair (k,k) exists in this
-        // fixture: the identity mapping dominates both raters)
-        sum(when(col("a") === col("b"), col("ra") * col("cb"))
-          .otherwise(lit(0L))).as("pe_num"))
+          .as("n_agree"))
+      .crossJoin(pe) // two 1-row frames
       .select(col("n"), col("n_agree"), col("pe_num"),
         expr("CAST((1000000 * (n * n_agree - pe_num)) div " +
           "(n * n - pe_num) AS BIGINT)").as("kappa_micro"))

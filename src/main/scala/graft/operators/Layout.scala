@@ -644,12 +644,13 @@ object Layout {
   // writer in the fleet and a retry-as-rewrite would double IO under
   // contention.
   //
-  // The exclusivity primitive is POSIX O_CREAT|O_EXCL (java.nio
-  // createFile) — the local-FS stand-in for HDFS create-no-overwrite /
-  // an object store's conditional PUT. Claim and body are two steps in
-  // this emulation, so manifest readers spin the microsecond claim→body
-  // gap (readManifestWait); a production store makes the whole PUT
-  // conditional in one call.
+  // The exclusivity primitive is a POSIX hard link of a pre-written
+  // temp file (java.nio createLink) — it fails on an existing target
+  // exactly like O_CREAT|O_EXCL and publishes the FULL body in one
+  // atomic step, the local-FS stand-in for HDFS create-no-overwrite /
+  // an object store's conditional PUT. readManifestWait's existence
+  // spin only covers the loser polling for the winner's commit; a
+  // visible manifest is always complete.
   //
   // Determinism for the oracle: the writers rewrite DISJOINT partitions
   // ('click' cents ×2, 'view' cents ×3), so the FINAL state v2 is
@@ -717,15 +718,24 @@ object Layout {
       }
       out
     }
-    // O_CREAT|O_EXCL claim on the version file; false when taken.
+    // Atomic publish (ADVICE r14): body first to a private temp file,
+    // then hard-link it to the version slot — createLink fails with
+    // FileAlreadyExistsException exactly like O_CREAT|O_EXCL, and the
+    // full body appears in ONE step. The previous claim-then-write
+    // (createFile, then Files.write) left a gap where a racing reader's
+    // len>0 check could observe a partially-visible body and the loser
+    // would rebase on a truncated manifest.
     def tryCommit(v: Int, files: Seq[String]): Boolean = {
       val p = java.nio.file.Paths.get(manifestPath(root, v).toUri.getPath)
-      try java.nio.file.Files.createFile(p)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => return false
-      }
-      java.nio.file.Files.write(p,
+      val tmp = p.resolveSibling(s".v$v-${Thread.currentThread().getId}.tmp")
+      java.nio.file.Files.write(tmp,
         files.sorted.mkString("\n").getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(p, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp); return false
+      }
+      java.nio.file.Files.deleteIfExists(tmp)
       true
     }
 

@@ -1253,15 +1253,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("eval_kappa: the contingency cells collapse map-side (partial agg " +
-      "before the bounded-key exchange); marginal windows and the scalar " +
-      "render run on the <=25-row cell frame — no join, one scan") {
+      "before the bounded-key exchange) into ONE cached <=25-row cell " +
+      "frame; marginals, totals and the P_e join all fold that cache — " +
+      "the fact is scanned once, and both joins are broadcast over " +
+      "bounded class/scalar frames, never a fact-sized shuffle join") {
     val p = plan(operators.EventAnalytics.evalKappa(spark, sf))
     assert(p.contains("HashAggregate"), p)
-    assert(!p.contains("Join"), p)
-    assert(count(p, "events.parquet") === 1, p)
-    // the only fact-sized exchange is the (a, b) cell shuffle; marginal
-    // windows ride bounded re-exchanges of the 25-row frame
-    assert(count(p, "Window [") >= 1, p)
+    // three consumers of the cached cell frame: a-marginals, b-marginals
+    // and the n/n_agree totals (the printer inlines the cache-build
+    // lineage under each scan — count the scans, not the parquet path)
+    assert(count(p, "InMemoryTableScan") === 3, p)
+    // marginal join + the 1-row cross join are both broadcast
+    assert(count(p, "BroadcastHashJoin") + count(p, "BroadcastNestedLoopJoin") === 2,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("agg_moments: ONE fact scan, power sums collapse map-side onto " +
