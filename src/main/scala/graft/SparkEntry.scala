@@ -1151,14 +1151,48 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // The oracle replays the header ARITHMETIC (the fields are md5-hex
+    // functions of doc_id); Spark earns the same numbers by round-
+    // tripping real container bytes through the pure-JVM parser — a
+    // decoder bug (offset, endianness, CRC) breaks the hash. The CASE
+    // ladder mirrors the malformation classes: %17 truncation kills
+    // every format, %23 CRC poisoning kills ONLY PNG (f=0; BMP/WAV
+    // carry no checksum), and WAV has no width/height by nature.
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |       16 + ascii(substr(text, 1, 1)) % 64 AS width,
-        |       16 + ascii(substr(text, 2, 1)) % 48 AS height,
-        |       CASE WHEN octet_length(encode(text)) % 2 = 0
-        |            THEN 'png' ELSE 'jpeg' END AS format,
-        |       octet_length(encode(text)) AS blob_len
-        |FROM documents
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5('mm:' || doc_id) AS hx,
+        |         least(octet_length(encode(text)), 24) AS plen
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, plen,
+        |         doc_id % 3 AS f,
+        |         doc_id % 17 = 0 AS trunc,
+        |         doc_id % 23 = 0 AND doc_id % 3 = 0 AS badcrc,
+        |         16 + CAST('0x' || substring(hx, 1, 6) AS BIGINT) % 1000 AS w,
+        |         16 + CAST('0x' || substring(hx, 7, 6) AS BIGINT) % 800 AS ht,
+        |         CAST('0x' || substring(hx, 13, 2) AS BIGINT) % 2 AS bit
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN trunc OR badcrc THEN NULL
+        |            WHEN f = 0 THEN 'png' WHEN f = 1 THEN 'bmp'
+        |            ELSE 'wav' END AS format,
+        |       CASE WHEN trunc OR badcrc OR f = 2 THEN NULL
+        |            ELSE w END AS width,
+        |       CASE WHEN trunc OR badcrc OR f = 2 THEN NULL
+        |            ELSE ht END AS height,
+        |       CASE WHEN trunc OR badcrc THEN NULL
+        |            WHEN f = 0 THEN 8 WHEN f = 1 THEN 24
+        |            ELSE 16 END AS depth,
+        |       CASE WHEN trunc OR badcrc THEN NULL
+        |            WHEN f = 0 THEN 3 + bit WHEN f = 1 THEN 3
+        |            ELSE 1 + bit END AS channels,
+        |       CASE WHEN trunc THEN 6
+        |            WHEN f = 0 THEN 33
+        |            WHEN f = 1 THEN 54 + plen
+        |            ELSE 44 + plen END AS blob_len
+        |FROM p
         |ORDER BY doc_id""".stripMargin,
 
     // The text-format scans round-trip the projection through CSV/JSONL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -14,24 +14,36 @@ import graft.Tables
   * columns.
   *
   * This container has no media files or codec libraries, so the corpus
-  * is simulated: `documents.text` is cast to its UTF-8 bytes as the
-  * opaque blob. The DECODE STEP IS A DETERMINISTIC FAKE (clearly marked
-  * below) — it stands in for "call the image library on blob bytes".
-  * Everything around it — the binary column, the typed metadata struct
-  * schema, the per-partition batch iteration, the partition-preserving
-  * plan shape — is the real Spark plumbing and is what this operator
-  * demonstrates and tests.
+  * is synthesized: each document deterministically becomes a REAL
+  * media container — a PNG signature + IHDR chunk with a genuine
+  * CRC-32 (computed by `crc32()` at synthesis, verified by
+  * `java.util.zip.CRC32` at decode), a BMP file header +
+  * BITMAPINFOHEADER, or a WAV RIFF/fmt chunk — built entirely from
+  * codegen'd expressions (`unhex`/`lpad(hex(...))` int-to-byte
+  * plumbing), with the document's text bytes as payload. The decode
+  * step (VERDICT r14 item 3 — previously a marked FAKE) is a real
+  * pure-JVM header parser: magic-byte dispatch, big-endian PNG /
+  * little-endian BMP+WAV field reads, structural validation, and a
+  * real CRC check; a blob that fails any check survives as a row with
+  * NULL metadata (the scan_corrupt_records discipline applied to
+  * binary). Two malformation classes are planted: doc_id % 17 = 0
+  * truncates the blob to 6 bytes, and doc_id % 23 = 0 stores a
+  * provably-wrong IHDR CRC (+1 mod 2³²) — the latter poisons ONLY the
+  * PNG rows, which is what proves the decoder's CRC verification is
+  * real (a parser that skipped it would emit values where the oracle
+  * says NULL and hash-mismatch).
   *
   * Two surfaces:
   *  - `multimodalMeta`   — pure-expression metadata over the binary
   *    column (octet length, sha-256, header bytes): codegen'd, exact
   *    DuckDB oracle over the same bytes;
   *  - `multimodalDecode` — the mapPartitions decode pattern: typed
-  *    batch iteration per partition emitting a (doc_id, width, height,
-  *    format, blob_len) record; the fake decode is arithmetic on blob
-  *    bytes so it is SQL-reproducible and therefore oracle-checkable
-  *    end-to-end, which is exactly what you want before swapping the
-  *    real codec in.
+  *    batch iteration per partition emitting a (doc_id, format, width,
+  *    height, depth, channels, blob_len) record. The header fields are
+  *    deterministic functions of doc_id (md5-hex windows), so the
+  *    DuckDB oracle replays the header ARITHMETIC while Spark earns
+  *    the same numbers by round-tripping real container bytes — a
+  *    decoder bug anywhere (offsets, endianness, CRC) breaks the hash.
   *
   * Scale notes: both are map-only (no shuffle); the blob never moves
   * through an exchange — only extracted metadata does. At 100 TB the
@@ -41,8 +53,9 @@ import graft.Tables
 /** Typed rows for the decode path (top-level: Dataset encoders generate
   * code that must access these from outside the enclosing object). */
 case class MediaBlob(doc_id: Long, blob: Array[Byte])
-case class MediaMeta(doc_id: Long, width: Int, height: Int,
-    format: String, blob_len: Long)
+case class MediaMeta(doc_id: Long, format: Option[String],
+    width: Option[Long], height: Option[Long], depth: Option[Long],
+    channels: Option[Long], blob_len: Long)
 
 object Multimodal {
 
@@ -84,41 +97,130 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---- expression-side int→bytes plumbing (codegen'd, no UDF) ----
+  /** 4 bytes big-endian of a non-negative long < 2³². */
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  /** 4 bytes little-endian. */
+  private def le4(c: Column): Column = {
+    val p = lpad(hex(c), 8, "0")
+    concat(unhex(substring(p, 7, 2)), unhex(substring(p, 5, 2)),
+      unhex(substring(p, 3, 2)), unhex(substring(p, 1, 2)))
+  }
+  /** 2 bytes little-endian. */
+  private def le2(c: Column): Column = {
+    val p = lpad(hex(c), 4, "0")
+    concat(unhex(substring(p, 3, 2)), unhex(substring(p, 1, 2)))
+  }
+
+  /** The synthesized media corpus: (doc_id, blob) where blob is a REAL
+    * container (doc_id % 3: 0→PNG sig+IHDR, 1→BMP headers+payload,
+    * 2→WAV RIFF/fmt/data), header fields deterministic md5-hex
+    * functions of doc_id, payload = first 24 text bytes (images: PNG
+    * stops at IHDR — 33 bytes exactly — so the CRC is the LAST byte and
+    * the corrupt-CRC class below is unambiguous). Malformations:
+    * doc_id % 17 = 0 truncates to 6 bytes; doc_id % 23 = 0 stores
+    * crc+1 mod 2³² (provably wrong, and only material for PNG — BMP/WAV
+    * carry no checksum, which the oracle's CASE replays). */
+  private[operators] def mediaBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val hx = md5(concat(lit("mm:"), col("doc_id").cast("string")))
+    def hw(s: Int, l: Int) = conv(substring(hx, s, l), 16, 10).cast("long")
+    val w    = lit(16L) + hw(1, 6) % 1000L
+    val h    = lit(16L) + hw(7, 6) % 800L
+    val bit  = hw(13, 2) % 2L           // PNG colour type / WAV channels selector
+    val rate = lit(8000L) + (hw(15, 5) % 40L) * 1000L
+    val ch   = lit(1L) + bit
+    val pay  = substring(col("text").cast("binary"), 1, 24)
+    val plen = octet_length(pay).cast("long")
+    // PNG: signature + one IHDR chunk (len 13, type, data, CRC-32 over
+    // type+data — computed by the engine's own crc32())
+    val ihdrTd = concat(lit("IHDR").cast("binary"), be4(w), be4(h),
+      unhex(lit("08")),                                    // bit depth
+      when(bit === 0L, unhex(lit("02"))).otherwise(unhex(lit("06"))), // colour type
+      unhex(lit("000000")))                 // compression, filter, interlace
+    val crcOk = crc32(ihdrTd)
+    val crcV = when(col("doc_id") % 23 === 0, (crcOk + 1L) % lit(4294967296L))
+      .otherwise(crcOk)
+    val png = concat(unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D")),
+      ihdrTd, be4(crcV))
+    // BMP: 14-byte file header + 40-byte BITMAPINFOHEADER + payload
+    val bmp = concat(lit("BM").cast("binary"), le4(lit(54L) + plen),
+      unhex(lit("00000000")), le4(lit(54L)),
+      le4(lit(40L)), le4(w), le4(h), le2(lit(1L)), le2(lit(24L)),
+      le4(lit(0L)), le4(plen), le4(lit(2835L)), le4(lit(2835L)),
+      le4(lit(0L)), le4(lit(0L)), pay)
+    // WAV: RIFF header + 16-byte PCM fmt chunk + data chunk
+    val wav = concat(lit("RIFF").cast("binary"), le4(lit(36L) + plen),
+      lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le4(lit(16L)),
+      le2(lit(1L)), le2(ch), le4(rate), le4(rate * ch * lit(2L)),
+      le2(ch * lit(2L)), le2(lit(16L)),
+      lit("data").cast("binary"), le4(plen), pay)
+    val wellFormed = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, bmp)
+      .otherwise(wav)
+    val blob = when(col("doc_id") % 17 === 0, substring(wellFormed, 1, 6))
+      .otherwise(wellFormed)
+    Tables.documents(spark, dir).select(col("doc_id"), blob.as("blob"))
+  }
+
+  // ---- the pure-JVM header parser (the real decode) ----
+  private def beI(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def leI(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def leS(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+  private def tag(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val NoMedia: (Option[String], Option[Long], Option[Long],
+    Option[Long], Option[Long]) = (None, None, None, None, None)
+
+  /** Parse (format, width, height, depth, channels) out of a container
+    * header; any structural failure — short blob, wrong magic, wrong
+    * chunk length, non-PCM fmt, BAD IHDR CRC — yields all-None. */
+  private[operators] def parseMedia(b: Array[Byte]):
+      (Option[String], Option[Long], Option[Long], Option[Long], Option[Long]) = {
+    if (b.length >= 33 && b.view.take(8).sameElements(PngSig)) {
+      if (beI(b, 8) != 13L || tag(b, 12, 4) != "IHDR") return NoMedia
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17) // chunk type + 13-byte IHDR data
+      if (crc.getValue != beI(b, 29)) return NoMedia // corrupt header
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L
+        case 4 => 2L; case 6 => 4L; case _ => return NoMedia
+      }
+      (Some("png"), Some(beI(b, 16)), Some(beI(b, 20)),
+        Some((b(24) & 0xff).toLong), Some(channels))
+    } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      if (leI(b, 14) != 40L || leS(b, 26) != 1L) return NoMedia
+      val bpp = leS(b, 28)
+      (Some("bmp"), Some(leI(b, 18)), Some(leI(b, 22)),
+        Some(bpp), Some(bpp / 8))
+    } else if (b.length >= 44 && tag(b, 0, 4) == "RIFF" &&
+        tag(b, 8, 4) == "WAVE" && tag(b, 12, 4) == "fmt ") {
+      if (leI(b, 16) != 16L || leS(b, 20) != 1L) return NoMedia
+      (Some("wav"), None, None, Some(leS(b, 34)), Some(leS(b, 22)))
+    } else NoMedia
+  }
+
   // `multimodal_decode` — the batch-decode pattern over opaque blobs.
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .as[MediaBlob]
+    val blobs = mediaBlobs(spark, dir).as[MediaBlob]
     // mapPartitions = one iterator per partition: the real pattern for
     // amortizing per-batch decoder setup (codec init, model load) —
-    // the analogue of a pandas UDF batch in PySpark.
+    // the analogue of a pandas UDF batch in PySpark. The parse itself
+    // is a real header decode (magic dispatch, BE/LE field reads,
+    // CRC-32 verify) — see parseMedia.
     val decoded = blobs.mapPartitions { it =>
-      // >>> FAKE DECODE — STUB <<<
-      // A real deployment calls the media library here, e.g.
-      //   val img = ImageIO.read(new ByteArrayInputStream(b.blob))
-      // This container has no codecs, so dimensions are derived
-      // deterministically from the first bytes (SQL-reproducible so the
-      // whole pipeline stays oracle-checkable). NOTE: the oracle reads
-      // CHARACTER codepoints (ascii(substr(...))) — identical to these
-      // byte reads only because the corpus is pure ASCII (verified for
-      // all sf dirs), same assumption as multimodalMeta's header_hex.
-      it.map { b =>
-        val len = b.blob.length.toLong
-        val b0 = if (len > 0) b.blob(0) & 0xff else 0
-        val b1 = if (len > 1) b.blob(1) & 0xff else 0
-        MediaMeta(
-          doc_id = b.doc_id,
-          width  = 16 + b0 % 64,
-          height = 16 + b1 % 48,
-          format = if (len % 2 == 0) "png" else "jpeg",
-          blob_len = len)
+      it.map { m =>
+        val (fmt, w, h, d, c) = parseMedia(m.blob)
+        MediaMeta(m.doc_id, fmt, w, h, d, c, m.blob.length.toLong)
       }
     }
-    decoded.toDF()
-      .select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("format"),
-        col("blob_len"))
-      .orderBy("doc_id")
+    decoded.toDF().orderBy("doc_id")
   }
 }

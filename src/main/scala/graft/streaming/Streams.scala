@@ -405,14 +405,19 @@ object Streams {
   // each key in the state store only until the watermark passes it —
   // the streaming half of Q37's exact dedup, and the only dedup that
   // works on an unbounded stream (plain dropDuplicates would grow
-  // state forever). Deterministic 3-batch MemoryStream run:
-  //   batch1: ids 1,2                     → both emitted
-  //   batch2: id 1 again (dup, within watermark) + id 3 → only 3 emitted
-  //   batch3: id 99 at 12:00 → emitted; the batch advances the
-  //           watermark to 11:50, EXPIRING id 1's state
-  //   batch4: id 1 at 12:30 → emits AGAIN (state was evicted):
-  //           within-watermark exactness with bounded state, not
-  //           global exactness — that is the trade
+  // state forever). Deterministic MemoryStream run, 3 rounds (VERDICT
+  // r14 item 7 consolidated the old rounds 2+3 — the duplicate is
+  // dropped by STATE from round 1, so it shares a round with the
+  // watermark-dragger deterministically; round 1 must stay separate or
+  // "first per key" would depend on intra-batch row order):
+  //   round 1: ids 1,2 → both emitted, state established
+  //   round 2: id 1 again at 10:02 (dup, within watermark — dropped
+  //            against round 1's state) + id 3 (emitted) + id 99 at
+  //            12:00 (emitted; advances the watermark to 11:50,
+  //            EXPIRING id 1's state)
+  //   round 3: id 1 at 12:30 → emits AGAIN (state was evicted):
+  //            within-watermark exactness with bounded state, not
+  //            global exactness — that is the trade
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val s = demoSession(spark)
     import s.implicits._
@@ -433,7 +438,6 @@ object Streams {
       input.addData((1L, t("10:00"), 1.0), (2L, t("10:01"), 2.0))
       q.processAllAvailable()
       input.addData((1L, t("10:02"), 99.0), (3L, t("10:03"), 3.0))
-      q.processAllAvailable()
       input.addData((99L, t("12:00"), 9.0))
       q.processAllAvailable()
       input.addData((1L, t("12:30"), 4.0))
@@ -447,7 +451,7 @@ object Streams {
   // sides and a time-range condition (clicks within 30 minutes after
   // their impression). Both states are watermark-bounded: an
   // impression can be dropped once no in-range click can still arrive.
-  // Deterministic 2-batch MemoryStream run; the late out-of-range
+  // Deterministic single-round MemoryStream run; the late out-of-range
   // click (id 2 at +45min) must NOT join.
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val s = demoSession(spark)
@@ -473,9 +477,15 @@ object Streams {
       .option("checkpointLocation", ckpt.toString)
       .start()
     try {
+      // ONE processAllAvailable round (VERDICT r14 item 7): inner-join
+      // matches emit as soon as both sides are present in a batch —
+      // no watermark advance is needed for emission (only for state
+      // EVICTION), so splitting these rows across two rounds bought
+      // nothing but a second multi-micro-batch cycle (~1.8 s of the
+      // key's 4.0 s). The time-range semantics are batch-independent:
+      // ad 2's +45 min click is excluded by the join condition itself.
       impressions.addData((1L, t("10:00")), (2L, t("10:05")), (3L, t("10:10")))
-      clicks.addData((1L, t("10:20")))                 // in range for ad 1
-      q.processAllAvailable()
+      clicks.addData((1L, t("10:20")))                  // in range for ad 1
       clicks.addData((2L, t("10:50")), (3L, t("10:15"))) // ad 2 out of range
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(ckpt) }
@@ -546,13 +556,14 @@ object Streams {
   // returned rows are the windows the sink emitted — n=2 for the first
   // window proves the late third event did not update it.
   //
-  // Batch plan (deterministic, self-contained — `dir` unused):
-  //   batch1: 10:01 v=1.0, 10:05 v=2.0            (window 10:00)
-  //   batch2: 10:12 v=4.0, 10:25 v=8.0            → watermark 10:15,
-  //                                                  emits window 10:00
-  //   batch3: 10:03 v=100.0 (LATE — dropped), 10:45 v=16.0
-  //                                               → watermark 10:35,
-  //                                                  emits 10:10, 10:20
+  // Batch plan (deterministic, self-contained — `dir` unused; two
+  // rounds since r15 — window aggregates are order-independent, so the
+  // watermark-establishing rows share round 1):
+  //   round 1: 10:01 v=1.0, 10:05 v=2.0 (window 10:00) + 10:12 v=4.0,
+  //            10:25 v=8.0 → watermark 10:15, emits window 10:00 (n=2)
+  //   round 2: 10:03 v=100.0 (LATE — watermark already at 10:15,
+  //            dropped), 10:45 v=16.0 → watermark 10:35,
+  //            emits 10:10, 10:20
   def lateData(spark: SparkSession, dir: String): DataFrame = {
     val s = demoSession(spark)
     import s.implicits._
@@ -575,8 +586,11 @@ object Streams {
       .option("checkpointLocation", ckpt.toString)
       .start()
     try {
+      // consolidated (VERDICT r14 item 7): window counts are order-
+      // independent aggregates, so the watermark-establishing rows
+      // share round 1 — the late-drop semantic only needs the 10:03
+      // row to arrive AFTER the watermark reached 10:15, i.e. round 2
       input.addData((t("10:01"), 1.0), (t("10:05"), 2.0))
-      q.processAllAvailable()
       input.addData((t("10:12"), 4.0), (t("10:25"), 8.0))
       q.processAllAvailable()
       input.addData((t("10:03"), 100.0), (t("10:45"), 16.0)) // 10:03 is late
@@ -696,17 +710,21 @@ object Streams {
   // and only the watermark can license it. State on both sides stays
   // watermark-bounded exactly as in the inner `stream_join`.
   //
-  // Batch plan (deterministic):
-  //  batch 1: imps 1,2,3 at 10:00/10:05/10:10; click ad 1 at 10:20 —
-  //           the match emits; ads 2,3 are HELD (window still open);
-  //  batch 2: click ad 3 at 10:15 (in range — late but within its
-  //           watermark) emits; far-future rows on BOTH streams (the
-  //           GLOBAL watermark is the min across inputs — advancing
-  //           only the click side licenses nothing) drag the
-  //           watermark past every join window;
-  //  batch 3: another far-future impression forces one more
-  //           micro-batch — the watermark computed at batch N's END
-  //           gates emission in batch N+1 → ad 2's null row emits.
+  // Batch plan (deterministic; consolidated to TWO rounds, VERDICT
+  // r14 item 7 — matches need no watermark, so they share the first
+  // round with the far-future watermark-draggers):
+  //  round 1: imps 1,2,3 at 10:00/10:05/10:10; clicks ad 1 at 10:20
+  //           and ad 3 at 10:15 (both in range — their matches emit
+  //           as soon as both sides are present); far-future rows on
+  //           BOTH streams (the GLOBAL watermark is the min across
+  //           inputs — advancing only the click side licenses
+  //           nothing) drag the watermark past every join window.
+  //           Ad 2 is HELD: the watermark computed at a batch's END
+  //           gates emission in the NEXT micro-batch;
+  //  round 2: another far-future impression forces that next
+  //           micro-batch → ad 2's null row emits — still strictly
+  //           AFTER the watermark passed its window, which is the
+  //           semantic under test.
   // The far-future rows themselves stay HELD in state (their own
   // windows never close before q.stop), so they never reach the sink.
   // The spec pins all three row classes and that the null row does
@@ -738,11 +756,10 @@ object Streams {
     try {
       impressions.addData((1L, t("10:00")), (2L, t("10:05")), (3L, t("10:10")))
       clicks.addData((1L, t("10:20")))
-      q.processAllAvailable()
       clicks.addData((3L, t("10:15")), (99L, t("12:00")))
       impressions.addData((98L, t("12:00")))
       q.processAllAvailable()
-      // one more micro-batch applies the batch-2 watermark → null flush
+      // one more micro-batch applies the round-1 watermark → null flush
       impressions.addData((97L, t("12:01")))
       q.processAllAvailable()
     } finally { q.stop(); deleteRecursively(ckpt) }
