@@ -84,6 +84,7 @@ object SparkEntry {
     "sim_topk"        -> (Similarity.simTopk _),
     "sim_ann"         -> (Similarity.simAnn _),
     "sim_pq"          -> (Similarity.simPq _),
+    "sim_ivfpq"       -> (Similarity.simIvfPq _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
@@ -217,6 +218,7 @@ object SparkEntry {
     "table_snapshot" -> (Layout.tableSnapshot _),
     "dedup_url" -> (Dedup.dedupUrl _),
     "snapshot_expire" -> (Layout.snapshotExpire _),
+    "snapshot_skipping" -> (Layout.snapshotSkipping _),
     "snapshot_concurrent" -> (Layout.snapshotConcurrent _),
     "join_grid_2d" -> (Relational.joinGrid2d _),
     "agg_retract" -> (EventAnalytics.aggRetract _),
@@ -3298,6 +3300,24 @@ object SparkEntry {
         |            ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
         |       event_type
         |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // The kept-file union filtered to the manifest-derived [lo, hi]
+    // must equal the plain predicate over the source — a pruning bug
+    // that drops a boundary file breaks the hash. lo/hi replay the
+    // manifest's global min/max as scalar subqueries (footer stats are
+    // exact for INT64); the files-read < files-live physical claim is
+    // SnapshotSpec's, not the oracle's.
+    "snapshot_skipping" ->
+      """WITH b AS (
+        |  SELECT min(event_id) AS mn, max(event_id) AS mx FROM events
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(round(value * 100) AS BIGINT) AS cents,
+        |       event_type
+        |FROM events, b
+        |WHERE event_id >= mn + (mx - mn) // 4
+        |  AND event_id <= mn + 3 * (mx - mn) // 8
         |ORDER BY event_id""".stripMargin,
 
     // The racing writers rewrite DISJOINT partitions (click ×2,

@@ -537,20 +537,72 @@ object Layout {
     out.toSeq.sorted
   }
 
+  /** Manifest writer. Since r15 a line may carry per-file column stats
+    * (`relpath\tmin\tmax` — the Delta/Iceberg file-level min/max that
+    * lets a snapshot read prune files BEFORE listing them, VERDICT r14
+    * item 6); stat-less lines stay plain relpaths, so every existing
+    * manifest and every stats-free writer (snapshot_concurrent's
+    * racing commits) remains readable by the same parser. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, files: Seq[String]): Unit = {
+      p: org.apache.hadoop.fs.Path, files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
     val os = fs.create(p, true)
-    os.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    val lines = files.sorted.map { f =>
+      stats.get(f).map { case (mn, mx) => s"$f\t$mn\t$mx" }.getOrElse(f)
+    }
+    os.write(lines.mkString("\n").getBytes("UTF-8"))
     os.close()
   }
 
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Seq[String] = {
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readManifestStats(fs, p).map(_._1)
+
+  /** Manifest lines as (relpath, optional (min, max) stats). */
+  private[graft] def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Option[(Long, Long)])] = {
     val in = fs.open(p)
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     in.readFully(bytes)
     in.close()
     new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(f, mn, mx) => f -> Some((mn.toLong, mx.toLong))
+          case _ => line.takeWhile(_ != '\t') -> None
+        }
+      }
+  }
+
+  /** Per-file (min, max) of a BIGINT column read from the parquet
+    * FOOTERS — no data scan. The local stand-in for stats a real
+    * engine's write tasks return with their commit message; reading
+    * footers at commit time is what Delta's stats-collection backfill
+    * and Iceberg's `add_files` do for pre-existing files. */
+  private def footerStats(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, files: Seq[String],
+      column: String): Map[String, (Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(root, f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column) {
+              val st = c.getStatistics
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].longValue)
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].longValue)
+            }
+          }
+        }
+        require(mn <= mx, s"no $column statistics in $f")
+        f -> (mn, mx)
+      } finally r.close()
+    }.toMap
   }
 
   /** Snapshot read: the manifest's file list, partition columns
@@ -623,6 +675,83 @@ object Layout {
     vacuumBelow(spark, path, keep = 1)
     readSnapshot(spark, path, 1)
       .selectExpr("event_id", "user_id", "cents", "event_type")
+      .orderBy("event_id")
+  }
+
+  // -------------------------------------------------------------------
+  // `snapshot_skipping` — file-level data skipping on snapshot reads,
+  // the read-path lever the lakehouse triple lacked (VERDICT r14 item
+  // 6): the commit-log manifest carries per-file min/max for a value
+  // column (here event_id — captured from the parquet FOOTERS at
+  // commit time, the Delta stats-collection / Iceberg metrics shape),
+  // and a range query prunes the FILE LIST before Spark ever lists or
+  // opens anything. This is different from (and multiplies with)
+  // parquet's own footer skipping: footer pruning still pays one
+  // open+footer-read per file — at 100 TB with 10⁵-10⁶ files, per-file
+  // metadata IO is itself the bottleneck, which is why every lakehouse
+  // format hoists min/max into the manifest. The write lays files out
+  // by repartitionByRange on the stats column, so file ranges are
+  // disjoint and a quartile-wide predicate prunes ~all of them
+  // (layout_sorted's clustering argument applied to the manifest tier).
+  //
+  // Oracle: the kept-file union filtered to [lo, hi] must equal the
+  // plain predicate over the source table — a pruning bug that drops a
+  // boundary file (min/max off by one) breaks the hash. lo/hi derive
+  // from the MANIFEST's own global min/max (no extra scan; replayed in
+  // SQL via scalar subqueries). SnapshotSpec pins the physical claim
+  // the oracle can't see: files-read < files-live, the scan's numFiles
+  // metric equals the pruned count, and pruned ≡ unpruned row-for-row.
+  // -------------------------------------------------------------------
+  private[graft] def snapshotSkipBuild(spark: SparkSession,
+      dir: String): String = {
+    val path = graft.sources.FormatSources.exportPath("snapskip", dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_type"))
+      .repartitionByRange(8, col("event_id"))
+      .write.parquet(path)
+    val v0 = dataFiles(fs, root)
+    writeManifest(fs, manifestPath(root, 0), v0,
+      footerStats(spark, root, v0, "event_id"))
+    path
+  }
+
+  /** Stats-pruned snapshot read: keep only files whose [min, max]
+    * overlaps [lo, hi]. A stat-less manifest line is NEVER prunable
+    * (kept unconditionally) — missing stats must degrade to correct,
+    * not to silently-dropped data. Returns (frame, files read, files
+    * live) so specs can pin the pruning arithmetic. */
+  private[graft] def readSnapshotPruned(spark: SparkSession, path: String,
+      v: Int, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = readManifestStats(fs, manifestPath(root, v))
+    val kept = entries.collect {
+      case (f, st) if st.forall { case (mn, mx) => mx >= lo && mn <= hi } => f
+    }
+    val df = spark.read.option("basePath", path)
+      .parquet(kept.map(f => s"$path/$f"): _*)
+    (df, kept.size, entries.size)
+  }
+
+  def snapshotSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = snapshotSkipBuild(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = readManifestStats(fs, manifestPath(root, 0)).flatMap(_._2)
+    val (mn, mx) = (stats.map(_._1).min, stats.map(_._2).max)
+    // quartile-wide slice [mn + span/4, mn + 3·span/8] — scale-free, and
+    // derived from the manifest alone (truncating div: both bounds
+    // positive, so Spark div ≡ DuckDB // in the oracle's replay)
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + 3L * (mx - mn) / 8
+    val (df, _, _) = readSnapshotPruned(spark, path, 0, lo, hi)
+    df.filter(col("event_id") >= lo && col("event_id") <= hi)
+      .select("event_id", "user_id", "cents", "event_type")
       .orderBy("event_id")
   }
 

@@ -439,6 +439,93 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
+  // `sim_ivfpq` — the two ANN tiers COMPOSED (VERDICT r14 item 4): IVF
+  // list routing prunes WHICH vectors the scan reads (sim_ann's
+  // machinery — trained k-means lists, probes score only their
+  // NProbePq nearest lists by the same Euclidean metric the assignment
+  // used) and the int8 code tier prunes HOW MUCH precision that scan
+  // pays (sim_pq's machinery — asymmetric full-precision-probe ×
+  // quantized-candidate scoring, per-vector scale cancelling out of
+  // the cosine). Shortlist → exact top-100 rerank → top-10. This is
+  // the FAISS IVFPQ shape: at 1B vectors the shortlist pass reads
+  // NProbePq/NLists of a 4×-smaller code table — both pruning ratios
+  // multiply — and only ~100 rows per probe ever touch float32.
+  //
+  // nprobe = 16 of 32 (vs sim_ann's 8): the composed key's contract is
+  // recall@10 ≥ 0.9 (the production bar that justifies deploying the
+  // composition), and this corpus is weakly clustered — true
+  // neighbours sit at cosine 0.24-0.49, so routing must cast a wider
+  // net than the 0.7-recall demo tier. That is exactly how production
+  // IVFPQ is tuned: nprobe is THE recall/cost dial, set per-corpus
+  // against a brute-force sample. Probing half the lists still halves
+  // the scan, and the code tier keeps its full 4× on top.
+  //
+  // Trained k-means ⇒ approximate regime, no SQL oracle by design
+  // (the sim_ann class); SimilaritySpec pins recall@10 ≥ 0.9 vs the
+  // exact sim_topk baseline at sf0.001 AND sf0.1, plus that reported
+  // cosines are the exact-rerank values.
+  private val NProbePq = 16
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (model, listed) = ivfIndex(spark, dir)
+    // code table WITH the list id: (vec_id, list_id, qf) — the
+    // embed_quantize formulation; the full vector deliberately does
+    // not travel with the shortlist scan
+    val codes = listed
+      .select(col("vec_id"), col("list_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"), col("list_id"),
+        transform(col("embedding"),
+          v => when(col("scale") === 0.0, lit(0))
+            .otherwise(round(v.cast("double") / col("scale") * 127, 0)
+              .cast("int"))
+            .cast("float"))
+          .as("qf"))
+    val spark2 = spark
+    import spark2.implicits._
+    val centroids = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("list_id", "centroid"))
+    val probes = listed.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cn2 = aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x)
+    val wc = Window.partitionBy("probe_id")
+      .orderBy(col("cdist").asc, col("list_id"))
+    val probeLists = broadcast(
+      probes.crossJoin(centroids)
+        .withColumn("cdist", cn2 - lit(2.0) * dot(col("pe"), col("centroid")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= NProbePq)
+        .select("probe_id", "pe", "list_id"))
+    // tier 1: quantized asymmetric scoring, probed lists only
+    // (broadcast-hash join on the list id — the candidate side never
+    // shuffles); the hot loop is the native codegen'd CosineSim
+    val short = codes.join(probeLists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id").as("cand_id"),
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("qf")), 4)
+          .as("qscore"))
+    val ws = Window.partitionBy("probe_id")
+      .orderBy(col("qscore").desc, col("cand_id"))
+    val shortlist = short.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= ShortList)
+      .select("probe_id", "pe", "cand_id")
+    // tier 2: exact rerank — ≤100 full-precision fetches per probe
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val reranked = shortlist.join(emb, Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    reranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("probe_id", "cand_id", "cosine")
+      .orderBy("probe_id", "cand_id")
+  }
+
   // `embed_matryoshka` — prefix-truncation ranking fidelity (the
   // Matryoshka-representation eval, Kusupati et al. 2022): how much of
   // the FULL 64-dim cosine top-5 survives when ranking by only the

@@ -8,6 +8,51 @@ import org.apache.hadoop.fs.Path
   * superseded files, and snapshot isolation of the v0 read. */
 class SnapshotSpec extends SparkSpec {
 
+  test("snapshot_skipping: every manifest line carries footer stats, " +
+      "a quartile-wide range query reads FEWER files than live (the " +
+      "scan's numFiles metric = the pruned count), and the pruned " +
+      "read equals the unpruned filter row-for-row") {
+    val path = Layout.snapshotSkipBuild(spark, sf)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = Layout.readManifestStats(fs, new Path(root, "_graft_log/v0.txt"))
+    assert(entries.nonEmpty && entries.forall(_._2.isDefined),
+      "every committed file must carry min/max stats")
+    val stats = entries.flatMap(_._2)
+    val (mn, mx) = (stats.map(_._1).min, stats.map(_._2).max)
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + 3L * (mx - mn) / 8
+
+    val (pruned, nRead, nLive) = Layout.readSnapshotPruned(spark, path, 0, lo, hi)
+    assert(nRead < nLive, s"pruning must skip files: read $nRead of $nLive")
+    assert(nRead >= 1, "the slice overlaps at least one file")
+
+    val prunedRows = pruned
+      .filter(s"event_id >= $lo AND event_id <= $hi")
+      .orderBy("event_id").collect()
+    // physical pin: the scan was PLANNED over only the kept files
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }
+    assert(scanned === Seq(nRead),
+      s"scan file count $scanned must equal the pruned count $nRead")
+    // correctness pin: pruning lost nothing a full read would return
+    val full = spark.read.parquet(path)
+      .filter(s"event_id >= $lo AND event_id <= $hi")
+      .orderBy("event_id").collect()
+    assert(prunedRows.toSeq === full.toSeq)
+
+    // degrade-to-correct: a stat-less manifest line is never pruned
+    val plain = entries.map(_._1)
+    val p2 = new Path(root, "_graft_log/v99.txt")
+    val os = fs.create(p2, true)
+    os.write(plain.mkString("\n").getBytes("UTF-8"))
+    os.close()
+    val (_, nRead2, nLive2) = Layout.readSnapshotPruned(spark, path, 99, lo, hi)
+    assert(nRead2 === nLive2, "missing stats must keep every file")
+  }
+
   test("table_snapshot: v1 shares every untouched partition file with " +
       "v0 (copy-on-write), superseded click files stay on disk, and " +
       "the v0 read after the v1 commit is still exactly the base state") {
