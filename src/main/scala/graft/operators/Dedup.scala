@@ -325,7 +325,17 @@ object Dedup {
       .join(hsh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
-    jaccardFilter(inter, cnt, minJ)
+    // The verified pair set is PERSISTED (VERDICT r14 item 2): it is
+    // the hashedShingles convention one stage further up — the pair
+    // frame is tiny (O(near-dup pairs), ~25 rows at every measured sf;
+    // at 100 TB it is O(duplication), never O(corpus)) and it is THE
+    // shared input of the whole decision tier: dedup_components,
+    // dedup_keep_best and graph_pagerank all re-derive it otherwise.
+    // CacheManager dedups the identical plan subtree, so one entry
+    // serves every consumer in a session; Caches releases it at the
+    // harness boundary like every other operator cache.
+    Caches.register(jaccardFilter(inter, cnt, minJ)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   // `dedup_components` — connected components over the near-dup pair

@@ -58,6 +58,10 @@ class CodegenAuditSpec extends SparkSpec {
     "sim_pq" -> ("transform() only in the map-only int8 code-table build " +
       "(the embed_quantize machinery); the corpus-sized shortlist scoring " +
       "and the 1000-row rerank are both the native codegen'd CosineSim"),
+    "sim_ivfpq" -> ("the sim_pq code-table transform() plus sim_ann's " +
+      "broadcast probe-side centroid-ranking lambda (NProbes x k rows) — " +
+      "the composed key inherits both approved exemptions; every " +
+      "corpus-sized score is the native codegen'd CosineSim"),
     "multimodal_decode" -> ("typed mapPartitions batch decode — the declared " +
       "escape hatch for opaque binary payloads"),
     "seq_pack_greedy" -> ("typed mapGroups first-fit packer — declared escape " +
