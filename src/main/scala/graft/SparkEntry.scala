@@ -469,13 +469,19 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // Exact-integer money sums (r15 mult-10 find): float Σ ep·(1−disc)
+    // reaches 4.8e10 at 6M rows where round(·,4) sits at ulp scale.
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice), 4) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS DOUBLE) / 100, 4) AS sum_base_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |                  AS DOUBLE) / 10000, 4) AS sum_disc_price,
         |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS DOUBLE) / 100 / count(*), 4) AS avg_price,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price,
         |       count(*) AS count_order
@@ -542,10 +548,16 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // Ordered array_agg replays the deterministic tie-break (smallest
+    // orderkey on an exact price tie — the r15 mult-10 find).
     "agg_argmax" ->
       """SELECT o_orderpriority,
-        |       arg_max(o_orderkey, o_totalprice) AS best_order,
-        |       arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |       (array_agg(o_orderkey
+        |                  ORDER BY o_totalprice DESC, o_orderkey ASC))[1]
+        |         AS best_order,
+        |       (array_agg(o_orderkey
+        |                  ORDER BY o_totalprice ASC, o_orderkey ASC))[1]
+        |         AS worst_order,
         |       round(max(o_totalprice), 4) AS best_price
         |FROM orders
         |GROUP BY o_orderpriority

@@ -523,16 +523,22 @@ object Analytic {
 
   // `agg_argmax` — the argmax family: max_by/min_by pick the orderkey
   // at the extreme price per group in ONE pass (no self-join-back, no
-  // window): a (value, key) struct-max merged map-side. Prices are
-  // continuous doubles → no max ties in this data; both engines
-  // document last-write-wins on exact ties, so a tie would be the only
-  // nondeterminism source.
+  // window): a (value, key) struct-max merged map-side. EXACT-TIE
+  // handling (r15, caught by the full-census mult-10 sweep): at 1.5M
+  // orders the generated prices DO collide at the group extremes, and
+  // engines document last-write-wins on ties — order-dependent. The
+  // ordering struct therefore carries the unique orderkey as a
+  // deterministic tie-break: on equal price, both extremes resolve to
+  // the SMALLEST orderkey (ties are exact bit-equal doubles read from
+  // the same parquet, so both engines see the identical tie set).
   def aggArgmax(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
-        expr("max_by(o_orderkey, o_totalprice)").as("best_order"),
-        expr("min_by(o_orderkey, o_totalprice)").as("worst_order"),
+        expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))")
+          .as("best_order"),
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("worst_order"),
         round(max(col("o_totalprice")), 4).as("best_price"))
       .orderBy("o_orderpriority")
 

@@ -595,20 +595,33 @@ object Relational {
   // Q12 `agg_group` — TPC-H Q1 shape: grouped sum/avg/min/max/count with
   // automatic partial+final aggregation (reference analogue: the scalar
   // accumulator, TpchQuery6.java:21,32 — generalized to grouped).
-  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+  //
+  // Money sums are EXACT-INTEGER (r15, caught by the full-census
+  // mult-10 sweep): at 6M rows sum_disc_price reaches 4.8·10¹⁰ where
+  // ulp ≈ 8·10⁻⁶ — a float sum's 4th decimal is summation-order noise
+  // and round(·,4) flipped between engines. l_extendedprice is 2-dp
+  // and l_discount 2-dp by fixture, so cents × (100−pct) is an exact
+  // BIGINT surface; the renders are identity divisions (integer/10^k,
+  // k ≤ round digits — the proven cross-engine-safe class).
+  def aggGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val dpct = round(col("l_discount") * 100).cast("long")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(cents).cast("double") / 100, 4).as("sum_base_price"),
+        round(sum(cents * (lit(100L) - dpct)).cast("double") / 10000, 4)
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(sum(cents).cast("double") / 100 / count(lit(1)), 4)
+          .as("avg_price"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   // Q13 `agg_distinct` — exact distinct aggregation (expands to a
   // two-phase aggregate in Spark; scales via the shuffle on the group key
