@@ -85,6 +85,7 @@ object SparkEntry {
     "sim_ann"         -> (Similarity.simAnn _),
     "sim_pq"          -> (Similarity.simPq _),
     "sim_ivfpq"       -> (Similarity.simIvfPq _),
+    "sim_nndescent"   -> (Similarity.simNndescent _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),

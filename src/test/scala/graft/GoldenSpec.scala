@@ -70,7 +70,7 @@ class GoldenSpec extends SparkSpec {
     // stream_join / stream_join_outer / stream_static_join /
     // stream_update_mode → StreamingSpec.
     assert(noOracle === Set(
-      "agg_approx_distinct", "sim_ann", "sim_ivfpq",
+      "agg_approx_distinct", "sim_ann", "sim_ivfpq", "sim_nndescent",
       "agg_sketch_rollup", "token_bpe",
       "stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_update_mode",
@@ -82,7 +82,7 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 275)
+    assert(SparkEntry.queries.size === 276)
   }
 
   test("bench census integrity: streaming classification is explicit") {
