@@ -629,7 +629,13 @@ object Layout {
         col("event_type"))
     base.write.partitionBy("event_type").parquet(path)
     val v0 = dataFiles(fs, root)
-    writeManifest(fs, manifestPath(root, 0), v0)
+    // every committed manifest carries per-file event_id min/max (r15:
+    // the snapshot_skipping stats scheme applied across the whole
+    // lakehouse triple — one manifest format, not a special case);
+    // snapshot_concurrent's racing commits stay stats-less, which the
+    // reader tolerates by contract (stat-less lines never prune)
+    writeManifest(fs, manifestPath(root, 0), v0,
+      footerStats(spark, root, v0, "event_id"))
 
     // v1: copy-on-write rewrite of the 'click' partition (cents
     // doubled), recomputed from the source — appended as NEW files;
@@ -638,9 +644,10 @@ object Layout {
       .withColumn("cents", col("cents") * 2)
       .write.mode("append").partitionBy("event_type").parquet(path)
     val after = dataFiles(fs, root)
-    val appended = after.toSet -- v0.toSet
+    val appended = (after.toSet -- v0.toSet).toSeq.sorted
     val v1 = v0.filterNot(_.startsWith("event_type=click/")) ++ appended
-    writeManifest(fs, manifestPath(root, 1), v1)
+    writeManifest(fs, manifestPath(root, 1), v1,
+      footerStats(spark, root, v1, "event_id"))
     path
   }
 

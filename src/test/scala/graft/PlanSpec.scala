@@ -1568,6 +1568,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("sim_ivfpq: probe-lists broadcast, the corpus-sized code scan " +
+      "joins on list_id as a broadcast-hash join — no cartesian, no " +
+      "sort-merge over float32 storage in the shortlist tier") {
+    val p = plan(operators.Similarity.simIvfPq(spark, sf))
+    // the ONLY unconditioned join is the deliberate probes × centroids
+    // cross (10 × 32 rows, the probe-list build — sim_ann's shape);
+    // nothing corpus-sized ever meets a nested loop or a sort-merge
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p)
+    // centroid table + probe-list frame both broadcast
+    assert(count(p, "BroadcastExchange") >= 2, p)
+    // the tier-1 scan joins the broadcast probe lists on the list id
+    assert(p.contains("BroadcastHashJoin [list_id"), 
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("snapshot_skipping: the residual range predicate is PUSHED to " +
+      "the (already manifest-pruned) parquet scan — the two skipping " +
+      "tiers compose instead of one replacing the other") {
+    val p = plan(operators.Layout.snapshotSkipping(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), " +
+      "GreaterThanOrEqual(event_id"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("multimodal_decode: ONE documents scan, container synthesis and " +
+      "the typed mapPartitions parse are map-only — the only exchange " +
+      "is the terminal sort's range partitioning") {
+    val p = plan(operators.Multimodal.multimodalDecode(spark, sf))
+    assert(count(p, "documents.parquet") === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(count(p, "Exchange hashpartitioning") === 0, p)
+    assert(count(p, "Exchange rangepartitioning") === 1, p)
+  }
+
   test("census meta: every SURVEY §2B row promising a PlanSpec pin has a " +
       "matching named PlanSpec test") {
     // The census test (GoldenSpec) stops KEY-count drift; nothing
