@@ -353,8 +353,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // exact 1e-4-unit integer sum (r15 flip-class audit — identical
+    // expression in the Spark formulation)
     "q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount
+        |                               * 1e4) AS BIGINT)) AS DOUBLE)
+        |             / 1e4, 4) AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -392,7 +396,9 @@ object SparkEntry {
 
     "join_multiway" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                                 * 1e4) AS BIGINT)) AS DOUBLE)
+        |             / 1e4, 4) AS revenue,
         |       count(*) AS n_items
         |FROM region
         |JOIN nation   ON r_regionkey = n_regionkey
@@ -512,7 +518,8 @@ object SparkEntry {
     "agg_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       round(sum(o_totalprice), 4) AS sum_price,
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  AS DOUBLE) / 100, 4) AS sum_price,
         |       count(*) AS n_orders,
         |       GROUPING(o_orderstatus, o_orderpriority) AS gid
         |FROM orders
@@ -566,9 +573,15 @@ object SparkEntry {
 
     "pivot_status" ->
       """SELECT o_orderpriority,
-        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4), 0.0) AS f_total,
-        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4), 0.0) AS o_total,
-        |       coalesce(round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4), 0.0) AS p_total
+        |       round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                           FILTER (o_orderstatus = 'F'), 0) AS DOUBLE)
+        |             / 100, 4) AS f_total,
+        |       round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                           FILTER (o_orderstatus = 'O'), 0) AS DOUBLE)
+        |             / 100, 4) AS o_total,
+        |       round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                           FILTER (o_orderstatus = 'P'), 0) AS DOUBLE)
+        |             / 100, 4) AS p_total
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -1760,7 +1773,8 @@ object SparkEntry {
     "join_bloom" ->
       """SELECT year(l_shipdate) AS ship_year,
         |       count(*) AS n_rows,
-        |       round(sum(l_extendedprice), 4) AS revenue
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                  AS DOUBLE) / 100, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
@@ -2700,8 +2714,10 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT o_orderpriority AS p,
         |         CAST(count(*) AS DOUBLE) AS n_orders,
-        |         round(sum(o_totalprice), 4) AS total_price,
-        |         round(avg(o_totalprice), 4) AS avg_price
+        |         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS DOUBLE) / 100, 4) AS total_price,
+        |         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS DOUBLE) / 100 / count(*), 4) AS avg_price
         |  FROM orders GROUP BY o_orderpriority
         |)
         |SELECT 'avg_price' AS metric,

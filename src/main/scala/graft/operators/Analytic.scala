@@ -55,7 +55,10 @@ object Analytic {
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
-        round(sum(col("o_totalprice")), 4).as("sum_price"),
+        // exact cents (r15 flip-class audit: the grand-total cell sums
+        // EVERY order into one double)
+        round(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("double") / 100, 4).as("sum_price"),
         count(lit(1)).as("n_orders"),
         grouping_id().as("gid"))
       .select(
@@ -550,12 +553,16 @@ object Analytic {
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum(col("o_totalprice")), 4))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
       .select(
         col("o_orderpriority"),
-        coalesce(col("F"), lit(0.0)).as("f_total"),
-        coalesce(col("O"), lit(0.0)).as("o_total"),
-        coalesce(col("P"), lit(0.0)).as("p_total"))
+        // exact cents per cell (r15 flip-class audit), identity render
+        round(coalesce(col("F"), lit(0L)).cast("double") / 100, 4)
+          .as("f_total"),
+        round(coalesce(col("O"), lit(0L)).cast("double") / 100, 4)
+          .as("o_total"),
+        round(coalesce(col("P"), lit(0L)).cast("double") / 100, 4)
+          .as("p_total"))
       .orderBy("o_orderpriority")
 
   // `win_extra` — the remaining window family: percent_rank, cume_dist,
@@ -1096,8 +1103,11 @@ object Analytic {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).cast("double").as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("total_price"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        // exact cents; avg renders from the same exact sum (r15 audit)
+        round(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("double") / 100, 4).as("total_price"),
+        round(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("double") / 100 / count(lit(1)), 4).as("avg_price"))
       .orderBy("o_orderpriority")
       .transpose()
       .withColumnRenamed("key", "metric")

@@ -45,7 +45,15 @@ object Relational {
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        // exact-integer money (r15 flip-class audit): ep·disc has
+        // exactly 4 decimals (2dp × 2dp), so the sum is an exact
+        // BIGINT in 1e-4 units and the render is the identity
+        // division — a float sum here reaches ~1e10 with O(√n·ulp)
+        // summation-order error, the class the mult-10 sweep caught
+        // on agg_group
+        round(sum(expr(
+          "CAST(round(l_extendedprice * l_discount * 1e4) AS BIGINT)"))
+          .cast("double") / 1e4, 4).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   // Q02 `scan_project` — parquet scan + named projection; Catalyst
@@ -110,7 +118,9 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        // exact 1e-4-unit integer sum (r15 flip-class audit)
+        round(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) " +
+          "* 1e4) AS BIGINT)")).cast("double") / 1e4, 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
@@ -321,7 +331,10 @@ object Relational {
       .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("l_shipdate")).as("ship_year"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"))
+        // exact cents (r15 flip-class audit: ~7 year groups × a fifth
+        // of lineitem each)
+        round(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("double") / 100, 4).as("revenue"))
   }
 
   /** Scoped runtime-bloom-filter confs: thresholds sized for this
