@@ -537,15 +537,31 @@ object Similarity {
   // probably my neighbor" — each round is pure joins/aggregations, the
   // MapReduce-able graph build (the paper's own framing).
   //
-  // Round shape (all shuffles on vector ids, volume O(n·k²) per round):
-  //  1. symmetrize the current graph (forward ∪ reverse edges), cap
-  //     each adjacency list at 2k by score (the paper's reverse-sample
-  //     ρ — an unbounded hub would otherwise quadratically blow up its
-  //     pivot);
-  //  2. neighbors-of-neighbors: self-join the adjacency list on the
-  //     pivot → candidate pairs (a, b), distinct;
-  //  3. score candidates with the native codegen'd CosineSim, union
-  //     with the current edges, keep top-k per vertex.
+  // Round shape — the paper's own MapReduce formulation (§4 of Dong et
+  // al.), which scores candidate pairs AT THE PIVOT instead of joining
+  // embeddings onto an exploded pair list:
+  //  1. symmetrize the current graph (forward ∪ reverse edges), attach
+  //     each member's embedding (one bounded hash join of 2n·k rows
+  //     against the corpus), and collect a per-pivot adjacency ARRAY
+  //     capped at 2k by score (the paper's reverse-sample ρ — an
+  //     unbounded hub would otherwise quadratically blow up its pivot;
+  //     the cap is an array_sort+slice inside the agg, no window sort);
+  //  2. neighbors-of-neighbors: a positional double-explode of the
+  //     adjacency array emits each unordered pair once and scores it
+  //     IN PLACE with the native codegen'd CosineSim over the carried
+  //     vectors — map-only, zero joins, and the embeddings drop out of
+  //     the row immediately after the fused scoring expression;
+  //     the paper's INCREMENTAL rule prunes the volume: a pair whose
+  //     endpoints were both already neighbors of this pivot in an
+  //     earlier round (fresh=false ∧ fresh=false) was already generated
+  //     the round one of them arrived, so only fresh×any pairs ship;
+  //  3. merge the skinny (v,w,cos) candidates with the current edges in
+  //     ONE exchange: repartition by v, then groupBy(v,w) max (hash
+  //     partitioning on v satisfies the (v,w) clustering — no second
+  //     shuffle) dedupes multi-pivot hits and computes the next fresh
+  //     flag as min(fresh) (an edge seen from the current graph wins
+  //     false; a truly new edge is unanimously true), then groupBy(v)
+  //     keeps top-k via array_sort — again inside the same exchange.
   // 3 rounds at BUILD degree 20 converge on this corpus — recall
   // 1.0 / 0.95 at sf0.001 / sf0.1, pinned ≥ 0.9 in SimilaritySpec.
   // The degree is the convergence lever: at degree 10 recall plateaued
@@ -561,84 +577,121 @@ object Similarity {
   // output is the approximate-graph regime, so no SQL oracle (the
   // sim_ann class; the declared result is the probes' adjacency).
   //
-  // 100 TB shape: candidate volume is linear in n (n·4k² pairs/round);
-  // every stage is a hash join / bounded window — no sequential insert
-  // order, no driver state beyond the init modulus. At 1B vectors this
-  // is how production builds the graph (NN-Descent/GraphBLAS variants);
-  // the query tier then greedy-searches it — a bounded-iteration join
-  // loop of the dedup_components shape.
+  // 100 TB shape: candidate volume is linear in n (n·4k² pairs/round,
+  // cut further by the incremental rule as the graph converges); every
+  // stage is a bounded hash join or a single-exchange agg — no
+  // sequential insert order, no driver state beyond the init modulus.
+  // At 1B vectors this is how production builds the graph (NN-Descent/
+  // GraphBLAS variants); the query tier greedy-searches it
+  // (`sim_graph_search`). The adjacency array carries one 64-dim
+  // embedding per member (2k·dim per pivot through one shuffle/round) —
+  // the deliberate trade from the edge-join formulation: the 4k²-pair
+  // candidate stream never touches a join, and the per-pivot state is
+  // a constant ~20 KB regardless of corpus size.
   private val NndRounds = 3
   private val GraphK = 20 // build degree (output truncates to K=10)
   def simNndescent(spark: SparkSession, dir: String): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
     val n = emb.count()
-    // SHUFFLE_HASH on every join: the round frames are stat-less
-    // localCheckpoint outputs, so the CBO would sort-merge everything
-    // (the graph_kcore lesson) — hash joins on the id keys are the
-    // scale-safe fix (broadcast would be illegal: emb IS the corpus)
-    def scoreEdges(pairs: DataFrame): DataFrame =
-      pairs
-        .join(emb.select(col("vec_id").as("v"), col("embedding").as("ev"))
-          .hint("shuffle_hash"), Seq("v"))
-        .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"))
-          .hint("shuffle_hash"), Seq("w"))
-        .select(col("v"), col("w"),
-          round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
-            .as("cos"))
-    def topK(edges: DataFrame, k: Int): DataFrame = {
-      val wk = Window.partitionBy("v")
-        .orderBy(col("cos").desc, col("w"))
-      edges.withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= k).drop("rn")
-    }
+    // deterministic desc-by-cos, asc-by-id comparator for array_sort —
+    // the sim_topk ranking convention, applied inside the agg so the
+    // per-vertex cap never needs a window sort
+    val byCosDesc = (l: Column, r: Column) =>
+      when(l("cos") > r("cos"), -1).when(l("cos") < r("cos"), 1)
+        .when(l("w") < r("w"), -1).when(l("w") > r("w"), 1).otherwise(0)
+    // SHUFFLE_HASH on the embedding joins: the round frames are
+    // stat-less localCheckpoint outputs, so the CBO would sort-merge
+    // everything (the graph_kcore lesson) — and broadcast would be
+    // illegal at scale: emb IS the corpus.
+    val embV = emb.select(col("vec_id").as("v"), col("embedding").as("ev"))
+    val embW = emb.select(col("vec_id").as("w"), col("embedding").as("ew"))
     // k md5-derived init neighbors per vertex (self-hits drop; a vertex
-    // starts with ≥ k-1 — the first round's reverse union refills)
+    // starts with ≥ k-1 — the first round's reverse union refills),
+    // scored by the one edge-level embedding join of the whole build
     val init = emb.select(col("vec_id").as("v"),
         explode(sequence(lit(0), lit(GraphK - 1))).as("i"))
       .select(col("v"),
         pmod(conv(substring(md5(concat(lit("nnd:"), col("v"), lit(":"),
           col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("w"))
       .filter(col("v") =!= col("w")).distinct()
+      .join(embV.hint("shuffle_hash"), Seq("v"))
+      .join(embW.hint("shuffle_hash"), Seq("w"))
+      .select(col("v"), col("w"),
+        round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
+          .as("cos"),
+        lit(true).as("fresh"))
+    // merge → dedupe → top-k in ONE exchange: hash partitioning on v
+    // satisfies both the (v,w) and the (v) clustering, so the pair-level
+    // max/min agg and the per-vertex array cap share the repartition
+    def topK(edges: DataFrame, k: Int): DataFrame =
+      edges.repartition(col("v"))
+        .groupBy(col("v"), col("w"))
+        .agg(max(col("cos")).as("cos"), min(col("fresh")).as("fresh"))
+        .groupBy(col("v"))
+        .agg(slice(array_sort(
+          collect_list(struct(col("cos"), col("w"), col("fresh"))),
+          byCosDesc), 1, k).as("top"))
+        .select(col("v"), explode(col("top")).as("e"))
+        .select(col("v"), col("e.w").as("w"), col("e.cos").as("cos"),
+          col("e.fresh").as("fresh"))
     // Per-round eager localCheckpoint — the iterative-loop discipline
     // (dedup_components, pagerank): each round's frame feeds the next
-    // round THREE times (symmetrize twice + merge once), so without a
-    // lineage cut the logical plan grows 3^rounds and the optimizer/
-    // codegen pass OOMs (measured: a persist-only variant of this loop
-    // exhausted an 8 GB driver heap at round 3). The barriers cost
-    // ~1-2 s/round of materialization at bench scale — that is the
-    // price of the cut, paid knowingly; the key is an index BUILD
-    // (one-time, amortized over every query against the corpus).
-    var graph = topK(scoreEdges(init), GraphK).localCheckpoint(true)
+    // round twice (symmetrize) plus the merge, so without a lineage cut
+    // the logical plan grows geometrically and the optimizer/codegen
+    // pass OOMs (measured: a persist-only variant of this loop
+    // exhausted an 8 GB driver heap at round 3). The key is an index
+    // BUILD (one-time, amortized over every query against the corpus).
+    var graph = topK(init, GraphK).localCheckpoint(true)
     var lastCk = graph
     for (_ <- 1 to NndRounds) {
-      // symmetrized adjacency, capped at 2k per vertex by score
-      val undirected = topK(
-        graph.select(col("v"), col("w"), col("cos"))
-          .union(graph.select(col("w").as("v"), col("v").as("w"), col("cos")))
-          .groupBy("v", "w").agg(max(col("cos")).as("cos")),
-        2 * GraphK).persist(lvl)
-      // neighbor-of-neighbor candidates through each pivot; duplicate
-      // pairs fall out in the merge aggregation, so no distinct here
-      val cand = undirected.select(col("v").as("pivot"), col("w").as("a"))
-        .join(undirected.select(col("v").as("pivot"), col("w").as("b"))
-          .hint("shuffle_hash"), Seq("pivot"))
-        .filter(col("a") < col("b"))
-        .select(col("a").as("v"), col("b").as("w"))
-      // score both directions, merge with the current graph, keep top-k
-      val scored = scoreEdges(cand)
+      // symmetrized adjacency with carried member embeddings, capped at
+      // 2k per pivot by score inside the agg (the reverse-sample ρ)
+      // mutual edges appear in both directions — dedupe by (v,w) before
+      // the member agg (a duplicate member would both waste cap slots
+      // and emit self-pairs (x,x) at cos 1.0 into the merge); the
+      // repartition(v) lets the (v,w) dedupe and the per-pivot collect
+      // share one exchange, and a membership is fresh if EITHER
+      // contributing direction is new (max = bool OR)
+      val adj = graph.select(col("v"), col("w"), col("cos"), col("fresh"))
+        .union(graph.select(col("w").as("v"), col("v").as("w"),
+          col("cos"), col("fresh")))
+        .join(embW.hint("shuffle_hash"), Seq("w"))
+        .repartition(col("v"))
+        .groupBy(col("v"), col("w"))
+        .agg(max(col("cos")).as("cos"), max(col("fresh")).as("fresh"),
+          first(col("ew")).as("ew"))
+        .groupBy(col("v"))
+        .agg(slice(array_sort(
+          collect_list(struct(col("cos"), col("w"), col("fresh"), col("ew"))),
+          byCosDesc), 1, 2 * GraphK).as("members"))
+      // each unordered neighbor pair once via positional explode; score
+      // in place over the carried vectors; the incremental rule drops
+      // old×old pairs (already generated the round one endpoint arrived)
+      val cand = adj
+        .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("members"), col("i") + lit(2), lit(2 * GraphK)))
+            .as("b"))
+        .filter(col("a.fresh") || col("b.fresh"))
+        .select(col("a.w").as("v"), col("b.w").as("w"),
+          round(graft.functions.CosineSim.cosineSim(col("a.ew"), col("b.ew")), 4)
+            .as("cos"))
+      // both directions, merged with the current edges (entering as
+      // fresh=false so min(fresh) marks exactly the never-seen edges)
       val merged = graph
-        .union(scored)
-        .union(scored.select(col("w").as("v"), col("v").as("w"), col("cos")))
-        .groupBy("v", "w").agg(max(col("cos")).as("cos"))
+        .select(col("v"), col("w"), col("cos"), lit(false).as("fresh"))
+        .union(cand.select(col("v"), col("w"), col("cos"), lit(true).as("fresh")))
+        .union(cand.select(col("w").as("v"), col("v").as("w"), col("cos"),
+          lit(true).as("fresh")))
       graph = topK(merged, GraphK).localCheckpoint(true)
-      undirected.unpersist(false)
       Caches.releaseCheckpoint(lastCk)
       lastCk = graph
     }
-    topK(graph, K).filter(col("v") < NProbes)
+    val wk = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
+    graph.filter(col("v") < NProbes)
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
       .select(col("v").as("probe_id"), col("w").as("cand_id"), col("cos").as("cosine"))
       .orderBy("probe_id", "cand_id")
   }
