@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_pq"          -> (Similarity.simPq _),
     "sim_ivfpq"       -> (Similarity.simIvfPq _),
     "sim_nndescent"   -> (Similarity.simNndescent _),
+    "sim_graph_search" -> (Similarity.simGraphSearch _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),

@@ -19,6 +19,20 @@ object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val checkpoints = scala.collection.mutable.ArrayBuffer
     .empty[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
+  private val releaseHooks = scala.collection.mutable.ArrayBuffer
+    .empty[() => Unit]
+
+  /** Register a callback to run at every `releaseAll()` — for operator
+    * MEMOS that hold a checkpoint-backed frame by strong reference
+    * (e.g. the k-NN graph index in `Similarity.knnGraph`). The weak
+    * checkpoint registry alone is not enough for those: the memo keeps
+    * the backing RDD reachable, and after release the memoized frame's
+    * blocks are unrecomputable, so the memo itself must be dropped at
+    * the same harness boundary. The hook stays registered for the JVM's
+    * lifetime (it clears a map; running it twice is a no-op). */
+  private[graft] def onRelease(hook: () => Unit): Unit = synchronized {
+    releaseHooks += hook
+  }
 
   private[graft] def register[T <: Dataset[_]](df: T): T = synchronized {
     frames += df; df
@@ -60,6 +74,7 @@ object Caches {
     }
 
   def releaseAll(): Unit = synchronized {
+    releaseHooks.foreach(_.apply())
     frames.foreach(_.unpersist(false))
     frames.clear()
     // entries already GC-cleared were reclaimed by ContextCleaner.

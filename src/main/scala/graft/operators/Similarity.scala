@@ -590,7 +590,38 @@ object Similarity {
   // a constant ~20 KB regardless of corpus size.
   private val NndRounds = 3
   private val GraphK = 20 // build degree (output truncates to K=10)
+
+  // The built graph as a memoized INDEX — the minhashPairs sharing
+  // convention one step stronger: CacheManager dedups identical
+  // PERSISTED plans, but a checkpoint-backed frame gets a fresh
+  // LogicalRDD per build, so the dedup must live here. The build key
+  // (`sim_nndescent`) always constructs fresh — its bench reading stays
+  // the true one-time build cost — and populates the memo; the query
+  // tier (`sim_graph_search`) reads through it, exactly the production
+  // split (an index is built once per corpus and amortized over every
+  // query). The memo clears at every Caches.releaseAll — after that
+  // boundary the checkpoint blocks are unrecomputable, so handing out
+  // the stale frame would violate the fail-loudly checkpoint contract.
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  Caches.onRelease(() => graphMemo.clear())
+  private[operators] def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    graphMemo.getOrElseUpdate(dir,
+      Caches.registerCheckpoint(buildKnnGraph(spark, dir)))
+
   def simNndescent(spark: SparkSession, dir: String): DataFrame = {
+    val graph = buildKnnGraph(spark, dir)
+    graphMemo.put(dir, Caches.registerCheckpoint(graph))
+    val wk = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
+    graph.filter(col("v") < NProbes)
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
+      .select(col("v").as("probe_id"), col("w").as("cand_id"), col("cos").as("cosine"))
+      .orderBy("probe_id", "cand_id")
+  }
+
+  /** Full k-NN graph build (NN-Descent): directed top-[[GraphK]] edges
+    * (v, w, cos) per vertex as an eager localCheckpoint frame. */
+  private def buildKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
@@ -689,10 +720,114 @@ object Similarity {
       Caches.releaseCheckpoint(lastCk)
       lastCk = graph
     }
-    val wk = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
-    graph.filter(col("v") < NProbes)
-      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
-      .select(col("v").as("probe_id"), col("w").as("cand_id"), col("cos").as("cosine"))
+    graph.select(col("v"), col("w"), col("cos"))
+  }
+
+  // `sim_graph_search` — the QUERY tier over the k-NN graph index: a
+  // distributed best-first (beam) search, the pattern every graph-ANN
+  // system (HNSW, NSG, DiskANN — all public) serves lookups with. The
+  // serial formulations walk one node at a time; the DataFrame-native
+  // equivalent expands a whole beam per hop: score md5-derived entry
+  // points, then each hop joins the beam against the symmetrized
+  // adjacency (directed top-k edges are union'd with their reverses for
+  // navigability), scores the frontier against the query vector, and
+  // keeps the best `Beam` nodes per query. Fixed `Hops` rounds — plan
+  // depth is static (no driver-side convergence read), and every stage
+  // is a bounded hash join or one (qid)-window over ≤ Beam·deg rows per
+  // query.
+  //
+  // 100 TB shape: queries broadcast (they are the small side by
+  // definition); the graph and the corpus embeddings are the big sides
+  // and only ever see hash joins on node ids — per-hop volume is
+  // O(queries · Beam · degree), INDEPENDENT of corpus size, which is
+  // the entire point of searching a navigable graph instead of scanning
+  // lists (sim_ann) or codes (sim_pq). The index comes from the
+  // memoized build (`knnGraph`) — built once per corpus, amortized, the
+  // production split; the probes here are in-corpus vectors, but
+  // nothing in the search uses that (an out-of-sample query vector
+  // follows the identical path: seeds are hash-derived, scoring is
+  // against the query embedding) — self-hits are dropped at the end
+  // like every sim_* key. Approximate regime → no SQL oracle (the
+  // sim_ann class); SimilaritySpec pins recall@10 vs brute force.
+  private val Beam = 20  // beam width (2× the output K)
+  private val Hops = 4   // fixed expansion rounds
+  private val Seeds = 4  // md5-derived entry points per query
+  def simGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val graph = knnGraph(spark, dir)
+    val probes = broadcast(emb.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val embN = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
+    // The search-ready adjacency: symmetrized edges CARRYING the
+    // neighbor's embedding, pre-partitioned on the hop key and
+    // persisted — each hop is then ONE hash join (beam side only) and
+    // the frontier scores map-side against the broadcast query vector,
+    // instead of a per-hop corpus join. Persisting is the minhashPairs
+    // convention (CacheManager dedups the identical plan across the
+    // bench passes; Caches releases at the harness boundary); volume is
+    // O(n·k·dim) — the index itself, the thing a production search tier
+    // keeps resident.
+    val adjE = Caches.register(
+      graph.select(col("v"), col("w"))
+        .union(graph.select(col("w").as("v"), col("v").as("w")))
+        .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"))
+          .hint("shuffle_hash"), Seq("w"))
+        .repartition(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (qid, node) → scored against the query vector; shuffle_hash on the
+    // corpus side (it IS the corpus — broadcast would be illegal), the
+    // broadcast probe join attaches qe map-side
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(embN.hint("shuffle_hash"), Seq("node"))
+        .join(probes, Seq("qid"))
+        .select(col("qid"), col("node"),
+          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ne")), 4)
+            .as("cos"))
+    // dedupe multi-path hits (cos is deterministic per (qid, node)),
+    // then keep the best b per query — dedupe and cap share ONE
+    // exchange (the build's topK convention: hash partitioning on qid
+    // satisfies both the (qid, node) and the (qid) clustering, and the
+    // cap is an array_sort inside the agg, not a window sort)
+    val byCos = (l: Column, r: Column) =>
+      when(l("cos") > r("cos"), -1).when(l("cos") < r("cos"), 1)
+        .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
+        .otherwise(0)
+    def topB(df: DataFrame, b: Int): DataFrame =
+      df.repartition(col("qid"))
+        .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
+        .groupBy(col("qid"))
+        .agg(slice(array_sort(collect_list(struct(col("cos"), col("node"))),
+          byCos), 1, b).as("top"))
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
+    val seeds = probes.select(col("qid"),
+        explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
+      .select(col("qid"),
+        pmod(conv(substring(md5(concat(lit("gs:"), col("qid"), lit(":"),
+          col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("node"))
+    // Each hop's beam is consumed TWICE by the next hop (frontier join +
+    // union) — persist every round or the terminal action re-executes
+    // hop h's work 2^(Hops-h) times (measured: the unpersisted loop ran
+    // ~4 s; persisted ~1.5 s — lazy persist suffices, both references
+    // share one cached computation, no eager barrier needed; frames are
+    // ≤ Beam rows/query and Caches releases them at the harness
+    // boundary)
+    var beam = Caches.register(topB(score(seeds), Beam)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    for (_ <- 1 to Hops) {
+      val frontier = beam.select(col("qid"), col("node").as("v"))
+        .join(adjE.hint("shuffle_hash"), Seq("v"))
+        .join(probes, Seq("qid"))
+        .select(col("qid"), col("w").as("node"),
+          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
+            .as("cos"))
+      beam = Caches.register(topB(beam.union(frontier), Beam)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    topB(beam.filter(col("node") =!= col("qid")), K)
+      .select(col("qid").as("probe_id"), col("node").as("cand_id"),
+        col("cos").as("cosine"))
       .orderBy("probe_id", "cand_id")
   }
 

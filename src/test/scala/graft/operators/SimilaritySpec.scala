@@ -120,6 +120,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_graph_search recall@10 >= 0.9 vs brute force at both scales: " +
+      "beam search over the memoized k-NN graph finds the true neighbours") {
+    // The query tier of the graph-ANN pair: 4 md5-derived entry points,
+    // 4 expansion hops at beam 20 over the symmetrized NN-Descent
+    // graph. Recall is bounded above by the graph's own quality
+    // (1.0 / 0.95 at the two scales) — the pin asserts the SEARCH loses
+    // nothing the index can represent. Deterministic end to end.
+    for (d <- Seq(sf, "/root/testdata/sf0.1")
+         if new java.io.File(s"$d/embeddings.parquet").exists()) {
+      val truth = pairSet(Similarity.simTopk(spark, d))
+      val got   = pairSet(Similarity.simGraphSearch(spark, d))
+      val recall = (truth & got).size.toDouble / truth.size
+      info(s"sim_graph_search recall@10 = $recall at $d")
+      assert(recall >= 0.9, s"sim_graph_search recall@10 = $recall at $d")
+    }
+  }
+
   test("sim_ann never invents neighbours: every hit is a real vector pair") {
     val ann = Similarity.simAnn(spark, sf)
     assert(ann.count() === 100)
