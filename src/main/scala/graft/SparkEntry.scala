@@ -208,6 +208,7 @@ object SparkEntry {
     "text_ngram_colloc" -> (TextAnalysis.textNgramColloc _),
     "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
     "ts_ewma" -> (EventAnalytics.tsEwma _),
+    "ts_forecast_holt" -> (EventAnalytics.tsForecastHolt _),
     "text_html_strip" -> (TextAnalysis.textHtmlStrip _),
     "scan_parquet_bloom" -> (graft.sources.FormatSources.scanParquetBloom _),
     "agg_quantile_bucket" -> (Analytic.aggQuantileBucket _),
@@ -300,6 +301,7 @@ object SparkEntry {
     "sample_tiered" -> (TextAnalysis.sampleTiered _),
     "stat_runs" -> (EventAnalytics.statRuns _),
     "eval_ndcg" -> (TextAnalysis.evalNdcg _),
+    "eval_bleu" -> (TextAnalysis.evalBleu _),
     "corpus_budget_cut" -> (TextAnalysis.corpusBudgetCut _),
     "event_transitions" -> (EventAnalytics.eventTransitions _),
     "eval_kappa" -> (EventAnalytics.evalKappa _),
@@ -3061,6 +3063,34 @@ object SparkEntry {
 
     // α = 1/2: every weight an exact power of two, addition order
     // written identically — bitwise-deterministic cross-engine
+    "ts_forecast_holt" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS i,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id % 20 = 0
+        |), nn AS (
+        |  SELECT user_id, max(i) AS n FROM seq GROUP BY 1
+        |), rec AS (
+        |  SELECT user_id, i, CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, s.i,
+        |         (CAST(s.c AS DOUBLE) + (r.l + r.b)) / 2 AS l,
+        |         (((CAST(s.c AS DOUBLE) + (r.l + r.b)) / 2) - r.l) / 2
+        |           + r.b / 2 AS b
+        |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+        |)
+        |SELECT r.user_id, CAST(nn.n AS BIGINT) AS n,
+        |       CAST(floor(1e6 * r.l) AS BIGINT) AS level_micro,
+        |       CAST(floor(1e6 * r.b) AS BIGINT) AS trend_micro,
+        |       CAST(floor(1e6 * (r.l + 1.0 * r.b)) AS BIGINT) AS f1_micro,
+        |       CAST(floor(1e6 * (r.l + 2.0 * r.b)) AS BIGINT) AS f2_micro,
+        |       CAST(floor(1e6 * (r.l + 3.0 * r.b)) AS BIGINT) AS f3_micro
+        |FROM rec r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n
+        |ORDER BY r.user_id""".stripMargin,
+
     "ts_ewma" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, value
@@ -4383,6 +4413,81 @@ object SparkEntry {
     // Discount weights/prefix sums are round(1e9/log2(k+1)) BIGINT
     // literals identical in both engines — no libm call anywhere;
     // DCG/IDCG/ndcg_micro are exact integer arithmetic.
+    "eval_bleu" ->
+      """WITH pairs AS (
+        |  SELECT c.doc_id AS pid, c.lang, c.text AS ctext, r.text AS rtext
+        |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id % 2 = 0
+        |), ctoks AS (
+        |  SELECT pid,
+        |         unnest(string_split_regex(trim(lower(ctext)), '\s+')) AS tok,
+        |         generate_subscripts(
+        |           string_split_regex(trim(lower(ctext)), '\s+'), 1) AS pos
+        |  FROM pairs
+        |), rtoks AS (
+        |  SELECT pid,
+        |         unnest(string_split_regex(trim(lower(rtext)), '\s+')) AS tok,
+        |         generate_subscripts(
+        |           string_split_regex(trim(lower(rtext)), '\s+'), 1) AS pos
+        |  FROM pairs
+        |), cg AS (
+        |  SELECT pid, g, count(*) AS cc FROM (
+        |    SELECT pid, tok AS g FROM ctoks
+        |    UNION ALL
+        |    SELECT pid, tok || ' ' ||
+        |           lead(tok) OVER (PARTITION BY pid ORDER BY pos) AS g
+        |    FROM ctoks QUALIFY g IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), rg AS (
+        |  SELECT pid, g, count(*) AS rc FROM (
+        |    SELECT pid, tok AS g FROM rtoks
+        |    UNION ALL
+        |    SELECT pid, tok || ' ' ||
+        |           lead(tok) OVER (PARTITION BY pid ORDER BY pos) AS g
+        |    FROM rtoks QUALIFY g IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT pid,
+        |    sum(CASE WHEN instr(g, ' ') = 0 THEN cc ELSE 0 END) AS tot1,
+        |    sum(CASE WHEN instr(g, ' ') > 0 THEN cc ELSE 0 END) AS tot2
+        |  FROM cg GROUP BY 1
+        |), mat AS (
+        |  SELECT cg.pid,
+        |    sum(CASE WHEN instr(cg.g, ' ') = 0
+        |             THEN least(cg.cc, rg.rc) ELSE 0 END) AS m1,
+        |    sum(CASE WHEN instr(cg.g, ' ') > 0
+        |             THEN least(cg.cc, rg.rc) ELSE 0 END) AS m2
+        |  FROM cg JOIN rg ON cg.pid = rg.pid AND cg.g = rg.g
+        |  GROUP BY 1
+        |), lens AS (
+        |  SELECT pid, lang,
+        |    CAST(len(string_split_regex(trim(lower(ctext)), '\s+'))
+        |         AS BIGINT) AS clen,
+        |    CAST(len(string_split_regex(trim(lower(rtext)), '\s+'))
+        |         AS BIGINT) AS rlen
+        |  FROM pairs
+        |), pooled AS (
+        |  SELECT lang, count(*) AS n_pairs,
+        |    CAST(sum(coalesce(m1, 0)) AS BIGINT) AS match1,
+        |    CAST(sum(tot1) AS BIGINT) AS total1,
+        |    CAST(sum(coalesce(m2, 0)) AS BIGINT) AS match2,
+        |    CAST(sum(tot2) AS BIGINT) AS total2,
+        |    CAST(sum(clen) AS BIGINT) AS c_len,
+        |    CAST(sum(rlen) AS BIGINT) AS r_len
+        |  FROM lens JOIN tot USING (pid) LEFT JOIN mat USING (pid)
+        |  GROUP BY 1
+        |)
+        |SELECT lang, n_pairs, match1, total1, match2, total2, c_len, r_len,
+        |  CAST((1000000 * match1) // nullif(total1, 0) AS BIGINT) AS p1_micro,
+        |  CAST((1000000 * match2) // nullif(total2, 0) AS BIGINT) AS p2_micro,
+        |  CAST(floor(1e6 * sqrt(
+        |    (CAST(match1 AS DOUBLE) / CAST(nullif(total1, 0) AS DOUBLE)) *
+        |    (CAST(match2 AS DOUBLE) / CAST(nullif(total2, 0) AS DOUBLE))
+        |  )) AS BIGINT) AS bleu2_micro,
+        |  CAST((1000000 * r_len) // nullif(c_len, 0) AS BIGINT)
+        |    AS len_ratio_micro
+        |FROM pooled ORDER BY lang""".stripMargin,
+
     "eval_ndcg" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars,

@@ -822,6 +822,66 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  // `ts_forecast_holt` — Holt's linear-trend double exponential
+  // smoothing (Holt 1957 / Hyndman & Athanasopoulos FPP, public): the
+  // level+trend recursion l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}),
+  // b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}, with h-step forecasts
+  // ŷ_{T+h} = l_T + h·b_T — the first real FORECASTER in the ts_*
+  // family (ts_ewma smooths, ts_seasonal_profile averages; this one
+  // extrapolates, the capacity-planning primitive).
+  //
+  // Unlike ts_ewma's single recursion, Holt's TWO-state recursion has
+  // complex eigenvalues (|λ| = √½ at α=β=½), so no truncated lag chain
+  // is faithful; instead the fold runs EXACTLY, per series, inside one
+  // codegen'd `aggregate` higher-order function over the sorted
+  // (ts, event_id, cents) array — sequential by construction, which is
+  // precisely what a recursion needs, and the per-series array is the
+  // bounded per-entity state any production forecaster holds anyway
+  // (series length scales with the entity's history, never the
+  // corpus). Scale shape: one (user_id) partial-agg shuffle, then the
+  // fold and every render are map-side — embarrassingly parallel
+  // across series at 100 TB.
+  //
+  // Determinism: α=β=½ makes every update a halving (exponent shift)
+  // of sums written in a FIXED order — l' = (y + (l + b)) / 2,
+  // b' = ((l' − l) / 2) + (b / 2) — spelled identically in the Spark
+  // lambda and the oracle's recursive CTE, so every intermediate IEEE
+  // double is bit-identical cross-engine (the ts_ewma α=½ rule
+  // extended to a 2-state fold); values enter as exact BIGINT cents
+  // (the stat_ttest recipe), init (l₁, b₁) = (y₁, 0), renders are
+  // floor(10⁶·x) on those identical doubles. The oracle replays the
+  // whole trajectory with a recursive CTE (the token_bpe_train
+  // whole-trajectory convention) — one iteration per step, all series
+  // advancing together.
+  def tsForecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && pmod(col("user_id"), lit(20)) === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("c")))).as("s"))
+    sorted.select(col("user_id"), size(col("s")).cast("long").as("n"),
+        expr("""aggregate(
+          slice(s, 2, size(s)),
+          struct(CAST(element_at(s, 1).c AS DOUBLE) AS l,
+                 CAST(0.0 AS DOUBLE) AS b),
+          (acc, x) -> struct(
+            (CAST(x.c AS DOUBLE) + (acc.l + acc.b)) / 2 AS l,
+            (((CAST(x.c AS DOUBLE) + (acc.l + acc.b)) / 2) - acc.l) / 2
+              + acc.b / 2 AS b))""").as("st"))
+      .select(col("user_id"), col("n"),
+        floor(lit(1e6) * col("st.l")).cast("long").as("level_micro"),
+        floor(lit(1e6) * col("st.b")).cast("long").as("trend_micro"),
+        floor(lit(1e6) * (col("st.l") + lit(1.0) * col("st.b")))
+          .cast("long").as("f1_micro"),
+        floor(lit(1e6) * (col("st.l") + lit(2.0) * col("st.b")))
+          .cast("long").as("f2_micro"),
+        floor(lit(1e6) * (col("st.l") + lit(3.0) * col("st.b")))
+          .cast("long").as("f3_micro"))
+      .orderBy("user_id")
+  }
+
   // `stat_ttest` — Welch's unequal-variance two-sample t-test between
   // the user-parity halves, completing the hypothesis quartet
   // (stat_chi2 categorical, stat_ks shape, stat_mannwhitney rank

@@ -1388,6 +1388,103 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // `eval_bleu` — corpus-level BLEU-2 (Papineni et al. 2002): clipped
+  // modified n-gram precision between candidate/reference text pairs —
+  // the text-GENERATION metric missing from the eval shelf (the others
+  // grade rankings and classifiers). Pairing is deterministic: each
+  // even doc_id is a candidate, doc_id+1 its reference (production
+  // feeds real (hypothesis, reference) pairs through the identical
+  // shape). Per pair: unigram and bigram candidate counts CLIPPED by
+  // the reference's counts (Σ min(c_cand, c_ref) — the "modified"
+  // precision that stops a degenerate candidate repeating one
+  // high-frequency reference word from scoring 1.0), then corpus-level
+  // sums per lang (BLEU is defined corpus-level: numerators and
+  // denominators pool BEFORE the ratio).
+  //
+  // Determinism — the exp/log trap: textbook BLEU = BP·exp(Σ ln p_n /
+  // N) with BP = exp(1 − r/c); exp/ln are NOT correctly-rounded
+  // across libm implementations (the text_ngram_colloc rule), so both
+  // are banished: the geometric mean of TWO precisions is written
+  // sqrt(p1·p2) (IEEE sqrt IS correctly rounded — the stat_ttest
+  // precedent; p1/p2 are quotients of exact BIGINTs, identical op
+  // order both engines) and the brevity side is reported as the exact
+  // integer ratio 10⁶·r_len div c_len for the consumer to threshold,
+  // never folded through exp. Renders: floor(10⁶·x) on identical
+  // doubles plus exact floor-division micros — no round() halfway
+  // exposure anywhere.
+  //
+  // Scale shape: the pair join is one doc_id-keyed hash join (pairs
+  // persist — both gram streams and the length pass consume the
+  // frame); gram counts are (pid, gram) partial-agg shuffles; the
+  // clip is an inner hash join on (pid, gram); everything pools into
+  // a bounded per-lang agg with map-side partials. Nothing
+  // corpus-global, no window over unbounded keys — embarrassingly
+  // parallel at 100 TB. Unigrams and bigrams ride ONE gram stream
+  // (the text_repetition trick: a token never contains a space, a
+  // bigram always does).
+  def evalBleu(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Caches.register(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("doc_id").as("pid"), col("lang"), col("text").as("ctext"))
+        .join(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select((col("doc_id") - 1L).as("pid"), col("text").as("rtext")),
+          Seq("pid"))
+        .persist())
+    // unigram + bigram stream per side (bound token array first — the
+    // Dedup.shingleArray lambda-capture rule)
+    def gramCounts(text: Column, cnt: String): DataFrame = {
+      val w = col("w")
+      pairs.select(col("pid"), Dedup.tokens(text).as("w"))
+        .select(col("pid"),
+          explode(concat(w,
+            when(size(w) >= 2,
+              transform(sequence(lit(0), size(w) - 2),
+                i => concat_ws(" ", slice(w, i + lit(1), lit(2)))))
+              .otherwise(array()))).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).as(cnt))
+    }
+    val cg = gramCounts(col("ctext"), "cc")
+    val rg = gramCounts(col("rtext"), "rc")
+    val isBg = instr(col("g"), " ") > 0
+    // candidate totals (denominators) and clipped matches (numerators)
+    val tot = cg.groupBy("pid").agg(
+      sum(when(!isBg, col("cc")).otherwise(0L)).as("tot1"),
+      sum(when(isBg, col("cc")).otherwise(0L)).as("tot2"))
+    val mat = cg.join(rg.hint("shuffle_hash"), Seq("pid", "g"))
+      .groupBy("pid").agg(
+        sum(when(!isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
+        sum(when(isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m2"))
+    val lens = pairs.select(col("pid"), col("lang"),
+      size(Dedup.tokens(col("ctext"))).cast("long").as("clen"),
+      size(Dedup.tokens(col("rtext"))).cast("long").as("rlen"))
+    val pooled = lens
+      .join(tot, Seq("pid"))
+      .join(mat, Seq("pid"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("m1"), lit(0L))).as("match1"),
+        sum(col("tot1")).as("total1"),
+        sum(coalesce(col("m2"), lit(0L))).as("match2"),
+        sum(col("tot2")).as("total2"),
+        sum(col("clen")).as("c_len"),
+        sum(col("rlen")).as("r_len"))
+    pooled.select(col("lang"), col("n_pairs"),
+        col("match1"), col("total1"), col("match2"), col("total2"),
+        col("c_len"), col("r_len"),
+        expr("CAST((1000000 * match1) div nullif(total1, 0) AS BIGINT)")
+          .as("p1_micro"),
+        expr("CAST((1000000 * match2) div nullif(total2, 0) AS BIGINT)")
+          .as("p2_micro"),
+        expr("CAST(floor(1e6 * sqrt(" +
+          "(CAST(match1 AS DOUBLE) / CAST(nullif(total1, 0) AS DOUBLE)) * " +
+          "(CAST(match2 AS DOUBLE) / CAST(nullif(total2, 0) AS DOUBLE))" +
+          ")) AS BIGINT)").as("bleu2_micro"),
+        expr("CAST((1000000 * r_len) div nullif(c_len, 0) AS BIGINT)")
+          .as("len_ratio_micro"))
+      .orderBy("lang")
+  }
+
   // `eval_ndcg` — NDCG@10 per query (Järvelin & Kekäläinen 2002), the
   // graded position-discounted metric completing the retrieval-eval
   // shelf (eval_retrieval recall/MRR, eval_auc ranking, eval_pr_curve

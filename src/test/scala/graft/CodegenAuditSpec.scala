@@ -47,6 +47,13 @@ class CodegenAuditSpec extends SparkSpec {
     "dedup_simhash" -> "64-vote fingerprint agg over HOF-built shingle hashes",
     "text_fingerprint" -> "rolling-hash fingerprint transform() over per-doc shingles",
     "text_repetition" -> "n-gram repetition-ratio HOFs over the shared tokenization",
+    "eval_bleu" -> ("bigram construction is the text_repetition transform() " +
+      "over per-pair token arrays — bounded per doc; counts, the clip join " +
+      "and the per-lang pool all stay codegen"),
+    "ts_forecast_holt" -> ("the Holt 2-state fold IS an aggregate() lambda " +
+      "by design — a recursion needs sequential evaluation, and the " +
+      "interpreted fold runs once per series over the bounded per-entity " +
+      "array (one (user_id) shuffle; everything else map-side)"),
     "text_quality" -> ("stopword-ratio exists() HOF; the regex ratios ride the " +
       "same projection, so the whole stage is interpreted — cost measured " +
       "0.6 s/sf0.1, linear per doc"),
