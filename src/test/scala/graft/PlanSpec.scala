@@ -244,6 +244,39 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Generate") === 1, "expected exactly one explode")
   }
 
+  test("eval_bleu: one generator per side, clip join is hash-partitionable, " +
+      "no cartesian") {
+    val p = plan(operators.TextAnalysis.evalBleu(spark, sf))
+    // candidate grams + reference grams = exactly two explodes (the
+    // text_repetition fused-stream rule per side); the length pass is
+    // plain projection, no third Generate
+    assert(count(p, "Generate") === 2, "expected exactly two explodes")
+    assert(p.contains("ShuffledHashJoin"), "clip join must stay hashed")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "pair machinery went all-pairs")
+  }
+
+  test("ts_forecast_holt: one series exchange, fold is map-side — " +
+      "no join, no window") {
+    val p = plan(operators.EventAnalytics.tsForecastHolt(spark, sf))
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "the (user_id) series agg must be the only hash exchange")
+    assert(!p.contains("Join"), "the fold needs no join")
+    assert(!p.contains("Window"), "the fold needs no window")
+  }
+
+  test("sim_graph_search: hops are hash joins over the cached index — " +
+      "no cartesian, no sort-merge") {
+    val p = plan(operators.Similarity.simGraphSearch(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), "frontier expansion must stay hashed")
+    assert(p.contains("InMemoryTableScan"),
+      "persisted index/beam frames must be consumed from cache")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "beam expansion went all-pairs")
+    assert(!p.contains("SortMergeJoin"),
+      "stat-less iterative frames must not fall to sort-merge")
+  }
+
   test("scan_partitioned: partition filter prunes to the o_year=1998 directory") {
     withoutAQE {
     val df = sources.FormatSources.scanPartitioned(spark, sf)

@@ -45,6 +45,26 @@ class CheckpointContractSpec extends SparkSpec {
     Caches.releaseAll() // leave the JVM-shared session clean for other suites
   }
 
+  test("knnGraph memo: one build per corpus until releaseAll, fresh and " +
+      "readable after") {
+    // The k-NN graph index memo (Similarity.knnGraph) holds a
+    // checkpoint-backed frame by STRONG reference, so it registers a
+    // Caches.onRelease hook: after releaseAll the blocks are
+    // unrecomputable and the memo entry MUST drop with them — a stale
+    // entry would hand out a dead frame (the fail-loudly contract
+    // above, violated silently).
+    val g1 = Similarity.knnGraph(spark, sf)
+    assert(Similarity.knnGraph(spark, sf) eq g1,
+      "second call must hit the memo — one build per corpus dir")
+    assert(g1.count() > 0)
+    Caches.releaseAll()
+    val g2 = Similarity.knnGraph(spark, sf)
+    assert(!(g2 eq g1),
+      "memo must clear at releaseAll — the old frame's blocks are gone")
+    assert(g2.count() > 0, "rebuilt index must be fully readable")
+    Caches.releaseAll()
+  }
+
   test("after releaseAll a held frame fails loudly — never a silent unscoped recompute") {
     val held = Relational.joinBloom(spark, sf)
     assert(held.collect().nonEmpty)
