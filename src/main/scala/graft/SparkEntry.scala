@@ -291,6 +291,7 @@ object SparkEntry {
     "pipeline_events" -> (Pipeline.pipelineEvents _),
     "embed_matryoshka" -> (Similarity.embedMatryoshka _),
     "graph_kcore" -> (Graph.graphKcore _),
+    "graph_communities" -> (Graph.graphCommunities _),
     "ts_interarrival" -> (EventAnalytics.tsInterarrival _),
     "text_ttr" -> (TextAnalysis.textTtr _),
     "stat_gini_impurity" -> (EventAnalytics.statGiniImpurity _),
@@ -1546,6 +1547,61 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle,
+
+    "graph_communities" ->
+      """WITH ebase AS MATERIALIZED (
+        |  SELECT least(user_id, prev) AS a, greatest(user_id, prev) AS b,
+        |         count(*) AS w
+        |  FROM (
+        |    SELECT user_id,
+        |           lag(user_id) OVER (PARTITION BY event_type,
+        |                              date_trunc('day', ts)
+        |                              ORDER BY ts, event_id) AS prev
+        |    FROM events
+        |  )
+        |  WHERE prev IS NOT NULL AND prev <> user_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |), edges AS MATERIALIZED (
+        |  SELECT a AS u, b AS v, w FROM ebase
+        |  UNION ALL
+        |  SELECT b AS u, a AS v, w FROM ebase
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT u AS node, u AS label FROM edges
+        |), l1 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT e.u, l.label, sum(e.w) AS sw,
+        |           row_number() OVER (PARTITION BY e.u
+        |                              ORDER BY sum(e.w) DESC, l.label) AS rn
+        |    FROM edges e JOIN l0 l ON l.node = e.v GROUP BY e.u, l.label
+        |  ) WHERE rn = 1
+        |), l2 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT e.u, l.label, sum(e.w) AS sw,
+        |           row_number() OVER (PARTITION BY e.u
+        |                              ORDER BY sum(e.w) DESC, l.label) AS rn
+        |    FROM edges e JOIN l1 l ON l.node = e.v GROUP BY e.u, l.label
+        |  ) WHERE rn = 1
+        |), l3 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT e.u, l.label, sum(e.w) AS sw,
+        |           row_number() OVER (PARTITION BY e.u
+        |                              ORDER BY sum(e.w) DESC, l.label) AS rn
+        |    FROM edges e JOIN l2 l ON l.node = e.v GROUP BY e.u, l.label
+        |  ) WHERE rn = 1
+        |), l4 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT e.u, l.label, sum(e.w) AS sw,
+        |           row_number() OVER (PARTITION BY e.u
+        |                              ORDER BY sum(e.w) DESC, l.label) AS rn
+        |    FROM edges e JOIN l3 l ON l.node = e.v GROUP BY e.u, l.label
+        |  ) WHERE rn = 1
+        |)
+        |SELECT l4.node AS user_id, l4.label AS community, s.comm_size
+        |FROM l4 JOIN (
+        |  SELECT label, count(*) AS comm_size FROM l4 GROUP BY 1
+        |) s USING (label)
+        |ORDER BY l4.node""".stripMargin,
 
     // binaryFile raw-file ingest: the files hold exactly the UTF-8
     // text bytes keyed by doc_id, so the oracle replays identity,
