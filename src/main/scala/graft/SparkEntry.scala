@@ -95,6 +95,7 @@ object SparkEntry {
     "text_langid"     -> (TextAnalysis.textLangid _),
     "text_fingerprint"-> (TextAnalysis.textFingerprint _),
     "udf_suite"       -> (UdfSuite.udfSuite _),
+    "sql_udf"         -> (UdfSuite.sqlUdf _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_decode" -> (Multimodal.multimodalDecode _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
@@ -1160,6 +1161,25 @@ object SparkEntry {
         |       coalesce(sk.sketch, '') AS sketch
         |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "sql_udf" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |              WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END
+        |           AS tier,
+        |         l_returnflag,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                             * 100) AS BIGINT)) AS BIGINT)
+        |           AS net_cents
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT tier, l_returnflag, n, net_cents,
+        |       CAST(h AS BIGINT) AS half,
+        |       CASE WHEN h = 0 THEN net_cents // 2
+        |            ELSE net_cents - net_cents // 2 END AS part_cents
+        |FROM t, (SELECT unnest([0, 1]) AS h)
+        |ORDER BY tier, l_returnflag, half""".stripMargin,
 
     "udf_suite" ->
       """WITH t AS (

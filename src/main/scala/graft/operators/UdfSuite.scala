@@ -81,4 +81,53 @@ object UdfSuite {
         col("total_tokens"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
       .orderBy("lang")
   }
+
+  // `sql_udf` — Spark 4 SQL-DEFINED functions (CREATE FUNCTION …
+  // RETURNS, the SQL-standard SQL/PSM subset): the declarative cousin
+  // of the JVM escape hatches above, and the extension path that costs
+  // NOTHING at scale — the body is INLINED into the Catalyst plan at
+  // resolution time, so a SQL UDF keeps pushdown, codegen and partial
+  // aggregation exactly as if the expression were written in place
+  // (this key carries NO CodegenAuditSpec exemption — that audit
+  // passing IS the inlining proof; a JVM scalar udf() would need one).
+  // Three surfaces:
+  //  - a scalar function (exact-cents net price, the standing money
+  //    recipe) used inside an aggregate;
+  //  - a scalar function COMPOSED with the first (tier labeling calls
+  //    nothing at runtime — both bodies collapse into one projection);
+  //  - a TABLE function (RETURNS TABLE) consumed as a lateral source,
+  //    the SQL-native generator (vs udf_suite's array-UDF + explode).
+  // Oracle: the bodies inlined by hand — if Spark's resolution-time
+  // inlining ever diverged from textual substitution, the hash would
+  // catch it.
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("squ_lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION squ_net_cents(
+        |  price DOUBLE, disc DOUBLE) RETURNS BIGINT
+        |RETURN CAST(round(price * (1 - disc) * 100) AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION squ_qty_tier(q DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN q < 10 THEN 'low'
+        |            WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION squ_halves(cents BIGINT)
+        |RETURNS TABLE(half BIGINT, part BIGINT)
+        |RETURN SELECT h, CASE WHEN h = 0 THEN cents div 2
+        |                      ELSE cents - cents div 2 END
+        |       FROM (SELECT explode(sequence(0, 1)) AS h)""".stripMargin)
+    spark.sql(
+      """SELECT t.tier, t.l_returnflag, t.n, t.net_cents, h.half,
+        |       h.part AS part_cents
+        |FROM (
+        |  SELECT squ_qty_tier(l_quantity) AS tier, l_returnflag,
+        |         count(*) AS n,
+        |         sum(squ_net_cents(l_extendedprice, l_discount))
+        |           AS net_cents
+        |  FROM squ_lineitem
+        |  GROUP BY 1, 2
+        |) t, LATERAL squ_halves(t.net_cents) h
+        |ORDER BY tier, l_returnflag, half""".stripMargin)
+  }
 }
