@@ -265,10 +265,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the fold needs no window")
   }
 
-  test("sim_graph_search: hops are hash joins over the cached index — " +
+  test("sim_graph_search: beam broadcasts, the index never shuffles — " +
       "no cartesian, no sort-merge") {
+    // The mult-100 lesson: a shuffle_hash hint on the frontier join
+    // re-shuffled the whole index every hop (~790 s + executor OOM at
+    // 200k vectors). The beam is ≤ queries·Beam rows by construction,
+    // so it broadcasts and the cached index is scanned map-side.
     val p = plan(operators.Similarity.simGraphSearch(spark, sf))
-    assert(p.contains("ShuffledHashJoin"), "frontier expansion must stay hashed")
+    assert(p.contains("BroadcastHashJoin"), "beam must broadcast")
     assert(p.contains("InMemoryTableScan"),
       "persisted index/beam frames must be consumed from cache")
     assert(!p.contains("CartesianProduct") &&
