@@ -291,6 +291,7 @@ object SparkEntry {
     "dq_profile" -> (Pipeline.dqProfile _),
     "pipeline_events" -> (Pipeline.pipelineEvents _),
     "embed_matryoshka" -> (Similarity.embedMatryoshka _),
+    "embed_pca_power" -> (Similarity.embedPcaPower _),
     "graph_kcore" -> (Graph.graphKcore _),
     "graph_communities" -> (Graph.graphCommunities _),
     "ts_interarrival" -> (EventAnalytics.tsInterarrival _),
@@ -1882,6 +1883,239 @@ object SparkEntry {
     // Integer-exact code aggregates; x/scale*127 is the identical
     // left-to-right double expression in both engines (no summation
     // reassociation), so round() picks the same int8 code.
+    "embed_pca_power" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q
+        |), su AS MATERIALIZED (
+        |  SELECT i, CAST(sum(v) AS HUGEINT) AS s FROM (
+        |    SELECT generate_subscripts(q, 1) AS i, unnest(q) AS v FROM q)
+        |  GROUP BY 1
+        |), pp AS MATERIALIZED (
+        |  SELECT e.s['i'] AS i, e.s['j'] AS j, CAST(sum(e.s['p']) AS HUGEINT) AS sp
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, 65), i ->
+        |      list_transform(range(i, 65), j ->
+        |        {'i': i, 'j': j, 'p': q[i] * q[j]})))) AS s
+        |    FROM q) e
+        |  GROUP BY 1, 2
+        |), cfull AS MATERIALIZED (
+        |  SELECT p.i, p.j, nn.n * p.sp - si.s * sj.s AS c
+        |  FROM (SELECT i, j, sp FROM pp
+        |        UNION ALL
+        |        SELECT j AS i, i AS j, sp FROM pp WHERE i <> j) p, nn
+        |  JOIN su si ON si.i = p.i
+        |  JOIN su sj ON sj.i = p.j
+        |), v0 AS (
+        |  SELECT CAST(t.range AS BIGINT) AS i, CAST(1 AS HUGEINT) AS v
+        |  FROM range(1, 65) t
+        |), mv1 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v0 v ON v.i = c.j GROUP BY 1
+        |), v1 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv1) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv1), mv2 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v1 v ON v.i = c.j GROUP BY 1
+        |), v2 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv2) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv2), mv3 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v2 v ON v.i = c.j GROUP BY 1
+        |), v3 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv3) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv3), mv4 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v3 v ON v.i = c.j GROUP BY 1
+        |), v4 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv4) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv4), mv5 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v4 v ON v.i = c.j GROUP BY 1
+        |), v5 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv5) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv5), mv6 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v5 v ON v.i = c.j GROUP BY 1
+        |), v6 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv6) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv6), mv7 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v6 v ON v.i = c.j GROUP BY 1
+        |), v7 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv7) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv7), mv8 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v7 v ON v.i = c.j GROUP BY 1
+        |), v8 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv8) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv8), mv9 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v8 v ON v.i = c.j GROUP BY 1
+        |), v9 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv9) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv9), mv10 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v9 v ON v.i = c.j GROUP BY 1
+        |), v10 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv10) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv10), mv11 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v10 v ON v.i = c.j GROUP BY 1
+        |), v11 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv11) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv11), mv12 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v11 v ON v.i = c.j GROUP BY 1
+        |), v12 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv12) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv12), mv13 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v12 v ON v.i = c.j GROUP BY 1
+        |), v13 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv13) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv13), mv14 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v13 v ON v.i = c.j GROUP BY 1
+        |), v14 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv14) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv14), mv15 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v14 v ON v.i = c.j GROUP BY 1
+        |), v15 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv15) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv15), mv16 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v15 v ON v.i = c.j GROUP BY 1
+        |), v16 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv16) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv16), mv17 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v16 v ON v.i = c.j GROUP BY 1
+        |), v17 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv17) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv17), mv18 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v17 v ON v.i = c.j GROUP BY 1
+        |), v18 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv18) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv18), mv19 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v18 v ON v.i = c.j GROUP BY 1
+        |), v19 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv19) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv19), mv20 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v19 v ON v.i = c.j GROUP BY 1
+        |), v20 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv20) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv20), mv21 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v20 v ON v.i = c.j GROUP BY 1
+        |), v21 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv21) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv21), mv22 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v21 v ON v.i = c.j GROUP BY 1
+        |), v22 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv22) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv22), mv23 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v22 v ON v.i = c.j GROUP BY 1
+        |), v23 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv23) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv23), mv24 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v23 v ON v.i = c.j GROUP BY 1
+        |), v24 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv24) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv24), mv25 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v24 v ON v.i = c.j GROUP BY 1
+        |), v25 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv25) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv25), mv26 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v25 v ON v.i = c.j GROUP BY 1
+        |), v26 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv26) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv26), mv27 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v26 v ON v.i = c.j GROUP BY 1
+        |), v27 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv27) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv27), mv28 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v27 v ON v.i = c.j GROUP BY 1
+        |), v28 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv28) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv28), mv29 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v28 v ON v.i = c.j GROUP BY 1
+        |), v29 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv29) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv29), mv30 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v29 v ON v.i = c.j GROUP BY 1
+        |), v30 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv30) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv30), mv31 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v30 v ON v.i = c.j GROUP BY 1
+        |), v31 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv31) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv31), mv32 AS MATERIALIZED (
+        |  SELECT c.i, sum(c.c * v.v) AS mv
+        |  FROM cfull c JOIN v31 v ON v.i = c.j GROUP BY 1
+        |), v32 AS MATERIALIZED (
+        |  SELECT i, mv // greatest(CAST(1 AS HUGEINT),
+        |    (SELECT max(abs(mv)) FROM mv32) // CAST(1048576 AS HUGEINT)) AS v
+        |  FROM mv32
+        |), sgn AS (
+        |  SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg
+        |  FROM v32 ORDER BY abs(v) DESC, i LIMIT 1
+        |), nrm AS (
+        |  SELECT sqrt(CAST((SELECT sum(v * v) FROM v32) AS DOUBLE)) AS norm
+        |)
+        |SELECT CAST(v32.i AS INT) AS dim,
+        |       CAST(floor(1e6 * sgn.sg * CAST(v32.v AS DOUBLE) / nrm.norm) AS BIGINT)
+        |         AS loading_micro
+        |FROM v32, sgn, nrm
+        |ORDER BY dim""".stripMargin,
+
     "embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

