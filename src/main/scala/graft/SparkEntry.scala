@@ -210,6 +210,7 @@ object SparkEntry {
     "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
     "ts_ewma" -> (EventAnalytics.tsEwma _),
     "ts_forecast_holt" -> (EventAnalytics.tsForecastHolt _),
+    "ts_holt_winters" -> (EventAnalytics.tsHoltWinters _),
     "text_html_strip" -> (TextAnalysis.textHtmlStrip _),
     "scan_parquet_bloom" -> (graft.sources.FormatSources.scanParquetBloom _),
     "agg_quantile_bucket" -> (Analytic.aggQuantileBucket _),
@@ -3373,6 +3374,8 @@ object SparkEntry {
 
     // α = 1/2: every weight an exact power of two, addition order
     // written identically — bitwise-deterministic cross-engine
+    "ts_holt_winters" -> holtWintersOracle,
+
     "ts_forecast_holt" ->
       """WITH RECURSIVE seq AS (
         |  SELECT user_id,
@@ -5798,6 +5801,54 @@ object SparkEntry {
         |WHERE n >= 20
         |ORDER BY user_id""".stripMargin,
   )
+
+  /** Additive Holt-Winters whole-trajectory replay: the same 3-state
+    * α=β=γ=½ recursion as the operator's aggregate() fold, one
+    * recursive-CTE iteration per series step, the 8 seasonal slots as
+    * named columns updated through the IDENTICAL CASE spelling. */
+  private def holtWintersOracle: String = {
+    val sPrev = "(CASE (r.i % 8) " +
+      (0 until 8).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+    val lNew = s"((CAST(s.c AS DOUBLE) - $sPrev) + (r.l + r.b)) / 2"
+    val sFields = (0 until 8).map(k =>
+      s"CASE WHEN r.i % 8 = $k THEN ((CAST(s.c AS DOUBLE) - ($lNew)) " +
+        s"+ r.s$k) / 2 ELSE r.s$k END AS s$k").mkString(",\n       ")
+    val zeros = (0 until 8).map(k => s"CAST(0.0 AS DOUBLE) AS s$k")
+      .mkString(", ")
+    def sAt(h: Int): String =
+      "(CASE ((r.i + " + (h - 1) + ") % 8) " +
+        (0 until 8).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT user_id,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS i,
+       |         CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE value IS NOT NULL AND user_id % 20 = 0
+       |), nn AS (
+       |  SELECT user_id, max(i) AS n FROM seq GROUP BY 1
+       |), rec AS (
+       |  SELECT user_id, i, CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+       |         $zeros
+       |  FROM seq WHERE i = 1
+       |  UNION ALL
+       |  SELECT r.user_id, s.i,
+       |       $lNew AS l,
+       |       ((($lNew) - r.l) / 2) + r.b / 2 AS b,
+       |       $sFields
+       |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+       |)
+       |SELECT r.user_id, CAST(nn.n AS BIGINT) AS n,
+       |       CAST(floor(1e6 * r.l) AS BIGINT) AS level_micro,
+       |       CAST(floor(1e6 * r.b) AS BIGINT) AS trend_micro,
+       |       CAST(floor(1e6 * (r.l + 1.0 * r.b + ${sAt(1)})) AS BIGINT)
+       |         AS f1_micro,
+       |       CAST(floor(1e6 * (r.l + 2.0 * r.b + ${sAt(2)})) AS BIGINT)
+       |         AS f2_micro,
+       |       CAST(floor(1e6 * (r.l + 3.0 * r.b + ${sAt(3)})) AS BIGINT)
+       |         AS f3_micro
+       |FROM rec r JOIN nn ON r.user_id = nn.user_id AND r.i = nn.n
+       |ORDER BY r.user_id""".stripMargin
+  }
 
   /** 3-round k-core peel (k = 2) over the same exact J ≥ 0.8 edge set,
     * unrolled as chained CTE stages (the pagerank multi-round-oracle

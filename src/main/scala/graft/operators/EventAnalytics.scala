@@ -882,6 +882,74 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  // `ts_holt_winters` — additive Holt-Winters triple exponential
+  // smoothing (Winters 1960 / Hyndman & Athanasopoulos FPP, public):
+  // level + trend + SEASONAL state, completing the classical
+  // forecasting triad (ts_ewma smooths, ts_forecast_holt trends, this
+  // one repeats — the capacity curve with a daily/weekly cycle).
+  // Season here is POSITIONAL with period 8 over each series' ordered
+  // steps (production resamples to the calendar grain first —
+  // ts_resample — and sets the period to the cycle length; the
+  // mechanics are identical).
+  //
+  // Recursion at α=β=γ=½ (every update a halving of sums in fixed
+  // order, the ts_forecast_holt rule extended to three states):
+  //   l' = ((y − s_idx) + (l + b)) / 2
+  //   b' = ((l' − l) / 2) + b / 2
+  //   s_idx' = ((y − l') + s_idx) / 2        (other 7 slots carried)
+  // with idx = (t − 1) mod 8, init (l₁, b₁, s·) = (y₁, 0, 0⃗) — the
+  // flat-zero seasonal init needs NO division, so exactness never
+  // depends on the period. The 8 seasonal slots are NAMED STRUCT
+  // FIELDS (s0..s7) updated through an explicit CASE in both the
+  // Spark aggregate() lambda and the oracle's recursive CTE — the one
+  // representation whose element selection is spelled identically in
+  // both engines (array indexing is 0-based in Spark, 1-based in
+  // DuckDB — a named field cannot off-by-one). Forecasts ŷ_{T+h} =
+  // l + h·b + s_{(T+h−1) mod 8}, h = 1..3. Scale shape: identical to
+  // ts_forecast_holt — one (user_id) partial-agg shuffle, fold and
+  // renders map-side, per-series state is 10 doubles.
+  def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val sPrev = "(CASE (acc.t % 8) " +
+      (0 until 8).map(k => s"WHEN $k THEN acc.s$k").mkString(" ") + " END)"
+    val lNew = s"((CAST(x.c AS DOUBLE) - $sPrev) + (acc.l + acc.b)) / 2"
+    val sFields = (0 until 8).map(k =>
+      s"CASE WHEN acc.t % 8 = $k THEN ((CAST(x.c AS DOUBLE) - ($lNew)) " +
+        s"+ acc.s$k) / 2 ELSE acc.s$k END AS s$k").mkString(",\n            ")
+    val sorted = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && pmod(col("user_id"), lit(20)) === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("c")))).as("s"))
+    val zeros = (0 until 8).map(k =>
+      s"CAST(0.0 AS DOUBLE) AS s$k").mkString(", ")
+    val folded = sorted.select(col("user_id"),
+      size(col("s")).cast("long").as("n"),
+      expr(s"""aggregate(
+        slice(s, 2, size(s)),
+        struct(CAST(element_at(s, 1).c AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b, $zeros, 1 AS t),
+        (acc, x) -> struct(
+          $lNew AS l,
+          ((($lNew) - acc.l) / 2) + acc.b / 2 AS b,
+          $sFields,
+          acc.t + 1 AS t))""").as("st"))
+    val sAt = (h: Int) => // s_{(T+h-1) mod 8}: T = st.t (1-based last step)
+      "(CASE ((st.t + " + (h - 1) + ") % 8) " +
+        (0 until 8).map(k => s"WHEN $k THEN st.s$k").mkString(" ") + " END)"
+    folded.select(col("user_id"), col("n"),
+      floor(lit(1e6) * col("st.l")).cast("long").as("level_micro"),
+      floor(lit(1e6) * col("st.b")).cast("long").as("trend_micro"),
+      expr(s"CAST(floor(1e6 * (st.l + 1.0 * st.b + ${sAt(1)})) AS BIGINT)")
+        .as("f1_micro"),
+      expr(s"CAST(floor(1e6 * (st.l + 2.0 * st.b + ${sAt(2)})) AS BIGINT)")
+        .as("f2_micro"),
+      expr(s"CAST(floor(1e6 * (st.l + 3.0 * st.b + ${sAt(3)})) AS BIGINT)")
+        .as("f3_micro"))
+      .orderBy("user_id")
+  }
+
   // `stat_ttest` — Welch's unequal-variance two-sample t-test between
   // the user-parity halves, completing the hypothesis quartet
   // (stat_chi2 categorical, stat_ks shape, stat_mannwhitney rank

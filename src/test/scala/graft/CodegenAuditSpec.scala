@@ -54,6 +54,8 @@ class CodegenAuditSpec extends SparkSpec {
       "by design — a recursion needs sequential evaluation, and the " +
       "interpreted fold runs once per series over the bounded per-entity " +
       "array (one (user_id) shuffle; everything else map-side)"),
+    "ts_holt_winters" -> ("the 3-state seasonal fold — same aggregate() " +
+      "recursion class as ts_forecast_holt, per-series bounded"),
     "text_quality" -> ("stopword-ratio exists() HOF; the regex ratios ride the " +
       "same projection, so the whole stage is interpreted — cost measured " +
       "0.6 s/sf0.1, linear per doc"),
