@@ -306,6 +306,7 @@ object SparkEntry {
     "stat_runs" -> (EventAnalytics.statRuns _),
     "eval_ndcg" -> (TextAnalysis.evalNdcg _),
     "eval_bleu" -> (TextAnalysis.evalBleu _),
+    "eval_rouge" -> (TextAnalysis.evalRouge _),
     "corpus_budget_cut" -> (TextAnalysis.corpusBudgetCut _),
     "event_transitions" -> (EventAnalytics.eventTransitions _),
     "eval_kappa" -> (EventAnalytics.evalKappa _),
@@ -4799,6 +4800,80 @@ object SparkEntry {
         |  )) AS BIGINT) AS bleu2_micro,
         |  CAST((1000000 * r_len) // nullif(c_len, 0) AS BIGINT)
         |    AS len_ratio_micro
+        |FROM pooled ORDER BY lang""".stripMargin,
+
+    "eval_rouge" ->
+      """WITH pairs AS (
+        |  SELECT c.doc_id AS pid, c.lang, c.text AS ctext, r.text AS rtext
+        |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id % 2 = 0
+        |), ctoks AS (
+        |  SELECT pid,
+        |         unnest(string_split_regex(trim(lower(ctext)), '\s+')) AS tok,
+        |         generate_subscripts(
+        |           string_split_regex(trim(lower(ctext)), '\s+'), 1) AS pos
+        |  FROM pairs
+        |), rtoks AS (
+        |  SELECT pid,
+        |         unnest(string_split_regex(trim(lower(rtext)), '\s+')) AS tok,
+        |         generate_subscripts(
+        |           string_split_regex(trim(lower(rtext)), '\s+'), 1) AS pos
+        |  FROM pairs
+        |), cg AS (
+        |  SELECT pid, g, count(*) AS cc FROM (
+        |    SELECT pid, tok AS g FROM ctoks
+        |    UNION ALL
+        |    SELECT pid, tok || ' ' ||
+        |           lead(tok) OVER (PARTITION BY pid ORDER BY pos) AS g
+        |    FROM ctoks QUALIFY g IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), rg AS (
+        |  SELECT pid, g, count(*) AS rc FROM (
+        |    SELECT pid, tok AS g FROM rtoks
+        |    UNION ALL
+        |    SELECT pid, tok || ' ' ||
+        |           lead(tok) OVER (PARTITION BY pid ORDER BY pos) AS g
+        |    FROM rtoks QUALIFY g IS NOT NULL
+        |  ) GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT pid,
+        |    sum(CASE WHEN instr(g, ' ') = 0 THEN cc ELSE 0 END) AS tot1,
+        |    sum(CASE WHEN instr(g, ' ') > 0 THEN cc ELSE 0 END) AS tot2
+        |  FROM cg GROUP BY 1
+        |), rtot AS (
+        |  SELECT pid,
+        |    sum(CASE WHEN instr(g, ' ') = 0 THEN rc ELSE 0 END) AS rtot1,
+        |    sum(CASE WHEN instr(g, ' ') > 0 THEN rc ELSE 0 END) AS rtot2
+        |  FROM rg GROUP BY 1
+        |), mat AS (
+        |  SELECT cg.pid,
+        |    sum(CASE WHEN instr(cg.g, ' ') = 0
+        |             THEN least(cg.cc, rg.rc) ELSE 0 END) AS m1,
+        |    sum(CASE WHEN instr(cg.g, ' ') > 0
+        |             THEN least(cg.cc, rg.rc) ELSE 0 END) AS m2
+        |  FROM cg JOIN rg ON cg.pid = rg.pid AND cg.g = rg.g
+        |  GROUP BY 1
+        |), pooled AS (
+        |  SELECT lang, count(*) AS n_pairs,
+        |    CAST(sum(coalesce(m1, 0)) AS BIGINT) AS match1,
+        |    CAST(sum(tot1) AS BIGINT) AS total1,
+        |    CAST(sum(rtot1) AS BIGINT) AS rtotal1,
+        |    CAST(sum(coalesce(m2, 0)) AS BIGINT) AS match2,
+        |    CAST(sum(tot2) AS BIGINT) AS total2,
+        |    CAST(sum(rtot2) AS BIGINT) AS rtotal2
+        |  FROM pairs JOIN tot USING (pid) JOIN rtot USING (pid)
+        |       LEFT JOIN mat USING (pid)
+        |  GROUP BY 1
+        |)
+        |SELECT lang, n_pairs, match1, rtotal1, match2, rtotal2,
+        |  CAST((1000000 * match1) // nullif(rtotal1, 0) AS BIGINT)
+        |    AS r1_micro,
+        |  CAST((1000000 * match2) // nullif(rtotal2, 0) AS BIGINT)
+        |    AS r2_micro,
+        |  CAST((2000000 * match1) // nullif(total1 + rtotal1, 0) AS BIGINT)
+        |    AS f1_micro,
+        |  CAST((2000000 * match2) // nullif(total2 + rtotal2, 0) AS BIGINT)
+        |    AS f2_micro
         |FROM pooled ORDER BY lang""".stripMargin,
 
     "eval_ndcg" ->

@@ -1422,7 +1422,28 @@ object TextAnalysis {
   // parallel at 100 TB. Unigrams and bigrams ride ONE gram stream
   // (the text_repetition trick: a token never contains a space, a
   // bigram always does).
-  def evalBleu(spark: SparkSession, dir: String): DataFrame = {
+  def evalBleu(spark: SparkSession, dir: String): DataFrame =
+    genPairPooled(spark, dir).select(col("lang"), col("n_pairs"),
+        col("match1"), col("total1"), col("match2"), col("total2"),
+        col("c_len"), col("r_len"),
+        expr("CAST((1000000 * match1) div nullif(total1, 0) AS BIGINT)")
+          .as("p1_micro"),
+        expr("CAST((1000000 * match2) div nullif(total2, 0) AS BIGINT)")
+          .as("p2_micro"),
+        expr("CAST(floor(1e6 * sqrt(" +
+          "(CAST(match1 AS DOUBLE) / CAST(nullif(total1, 0) AS DOUBLE)) * " +
+          "(CAST(match2 AS DOUBLE) / CAST(nullif(total2, 0) AS DOUBLE))" +
+          ")) AS BIGINT)").as("bleu2_micro"),
+        expr("CAST((1000000 * r_len) div nullif(c_len, 0) AS BIGINT)")
+          .as("len_ratio_micro"))
+      .orderBy("lang")
+
+  /** Shared candidate/reference pair machinery for the text-generation
+    * metric pair (`eval_bleu` precision side, `eval_rouge` recall
+    * side): per-lang pooled clipped-match counters with BOTH candidate
+    * and reference n-gram totals. See the eval_bleu block comment for
+    * the pairing, gram-stream and determinism story. */
+  private def genPairPooled(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = Caches.register(
       docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
@@ -1447,10 +1468,14 @@ object TextAnalysis {
     val cg = gramCounts(col("ctext"), "cc")
     val rg = gramCounts(col("rtext"), "rc")
     val isBg = instr(col("g"), " ") > 0
-    // candidate totals (denominators) and clipped matches (numerators)
+    // candidate totals (BLEU denominators), reference totals (ROUGE
+    // denominators) and clipped matches (shared numerators)
     val tot = cg.groupBy("pid").agg(
       sum(when(!isBg, col("cc")).otherwise(0L)).as("tot1"),
       sum(when(isBg, col("cc")).otherwise(0L)).as("tot2"))
+    val rtot = rg.groupBy("pid").agg(
+      sum(when(!isBg, col("rc")).otherwise(0L)).as("rtot1"),
+      sum(when(isBg, col("rc")).otherwise(0L)).as("rtot2"))
     val mat = cg.join(rg.hint("shuffle_hash"), Seq("pid", "g"))
       .groupBy("pid").agg(
         sum(when(!isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
@@ -1458,32 +1483,43 @@ object TextAnalysis {
     val lens = pairs.select(col("pid"), col("lang"),
       size(Dedup.tokens(col("ctext"))).cast("long").as("clen"),
       size(Dedup.tokens(col("rtext"))).cast("long").as("rlen"))
-    val pooled = lens
+    lens
       .join(tot, Seq("pid"))
+      .join(rtot, Seq("pid"))
       .join(mat, Seq("pid"), "left")
       .groupBy("lang").agg(
         count(lit(1)).as("n_pairs"),
         sum(coalesce(col("m1"), lit(0L))).as("match1"),
         sum(col("tot1")).as("total1"),
+        sum(col("rtot1")).as("rtotal1"),
         sum(coalesce(col("m2"), lit(0L))).as("match2"),
         sum(col("tot2")).as("total2"),
+        sum(col("rtot2")).as("rtotal2"),
         sum(col("clen")).as("c_len"),
         sum(col("rlen")).as("r_len"))
-    pooled.select(col("lang"), col("n_pairs"),
-        col("match1"), col("total1"), col("match2"), col("total2"),
-        col("c_len"), col("r_len"),
-        expr("CAST((1000000 * match1) div nullif(total1, 0) AS BIGINT)")
-          .as("p1_micro"),
-        expr("CAST((1000000 * match2) div nullif(total2, 0) AS BIGINT)")
-          .as("p2_micro"),
-        expr("CAST(floor(1e6 * sqrt(" +
-          "(CAST(match1 AS DOUBLE) / CAST(nullif(total1, 0) AS DOUBLE)) * " +
-          "(CAST(match2 AS DOUBLE) / CAST(nullif(total2, 0) AS DOUBLE))" +
-          ")) AS BIGINT)").as("bleu2_micro"),
-        expr("CAST((1000000 * r_len) div nullif(c_len, 0) AS BIGINT)")
-          .as("len_ratio_micro"))
-      .orderBy("lang")
   }
+
+  // `eval_rouge` — corpus-level ROUGE-1/ROUGE-2 (Lin 2004): the RECALL
+  // side of the text-generation metric pair (eval_bleu measures what
+  // fraction of the CANDIDATE's n-grams are supported; ROUGE measures
+  // what fraction of the REFERENCE's n-grams are covered — the summary-
+  // evaluation convention). Same pairs, same clipped numerators, the
+  // denominators switch sides; the F-measure stays an EXACT integer
+  // ratio via the harmonic identity 2PR/(P+R) = 2m/(tc+tr) (P = m/tc,
+  // R = m/tr share the numerator), so no float intermediate exists at
+  // all — floor-division micros end to end, no sqrt, no exp.
+  def evalRouge(spark: SparkSession, dir: String): DataFrame =
+    genPairPooled(spark, dir).select(col("lang"), col("n_pairs"),
+        col("match1"), col("rtotal1"), col("match2"), col("rtotal2"),
+        expr("CAST((1000000 * match1) div nullif(rtotal1, 0) AS BIGINT)")
+          .as("r1_micro"),
+        expr("CAST((1000000 * match2) div nullif(rtotal2, 0) AS BIGINT)")
+          .as("r2_micro"),
+        expr("CAST((2000000 * match1) div nullif(total1 + rtotal1, 0)" +
+          " AS BIGINT)").as("f1_micro"),
+        expr("CAST((2000000 * match2) div nullif(total2 + rtotal2, 0)" +
+          " AS BIGINT)").as("f2_micro"))
+      .orderBy("lang")
 
   // `eval_ndcg` — NDCG@10 per query (Järvelin & Kekäläinen 2002), the
   // graded position-discounted metric completing the retrieval-eval

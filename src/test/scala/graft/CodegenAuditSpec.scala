@@ -50,6 +50,8 @@ class CodegenAuditSpec extends SparkSpec {
     "eval_bleu" -> ("bigram construction is the text_repetition transform() " +
       "over per-pair token arrays — bounded per doc; counts, the clip join " +
       "and the per-lang pool all stay codegen"),
+    "eval_rouge" -> ("same shared gram machinery as eval_bleu " +
+      "(genPairPooled) — the one transform() is the bounded bigram build"),
     "ts_forecast_holt" -> ("the Holt 2-state fold IS an aggregate() lambda " +
       "by design — a recursion needs sequential evaluation, and the " +
       "interpreted fold runs once per series over the bounded per-entity " +
