@@ -24,8 +24,7 @@ import org.apache.spark.sql.SparkSession
   *    the driver budget (rc=124);
   *  - OUTLIER RE-MEASURE (VERDICT r14 item 1): after the suite
   *    completes, any batch key whose min exceeds
-  *    max(5× suite median, 1.5 s) AND 3× its own fastest observation —
-  *    or that never got a second clean look — is re-run up to 2 more
+  *    max(3× suite median, 1.2 s) is re-run up to 2 more
   *    times and the min taken. BENCH_r14 carried win_rank at 28.4 s
   *    (0.68 s isolated) because a host IO-throttle phase covered both
   *    of its passes and the spread gate read "reproducible"; an
@@ -151,10 +150,16 @@ object Bench {
       s"streamingFixed keys missing from SparkEntry.queries: " +
         (streamingFixed -- SparkEntry.queries.keySet).mkString(","))
 
-    // Batch keys first (alphabetical), streaming-fixed keys last: the
-    // operator caches (shingles, rank vectors — see operators.Caches)
-    // are released after the last batch consumer, so streaming latency
-    // is measured with executor memory free of batch-query state.
+    // Streaming-fixed keys FIRST (r16, reversing the r13 order): the
+    // host runs a sustained-IO burst budget, and a full suite's tail
+    // (t_wall 160 s+) lands in the throttled window — BENCH_r15 read
+    // the stream_* family at 2-3× its isolated minima (merge_cdc 9.7 s
+    // official vs 4.0 s isolated, state_ttl 8.3 vs 2.3) with BOTH
+    // passes inflated, while the same keys measured first-in-run match
+    // isolation. Latency-sensitive micro-batch keys get the clean
+    // window; batch keys are protected by the end-of-run outlier
+    // re-measure instead. Per-key Caches.releaseAll() (see measure())
+    // keeps executor storage isolated in either order.
     // Optional comma-separated key filter for local A/B iteration (the
     // driver never sets it → full suite).
     val only: Option[Set[String]] =
@@ -163,7 +168,7 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))
         .partition(streamingFixed)
-    val names = batchNames ++ streamNames
+    val names = streamNames ++ batchNames
     val nTotal = names.length
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -235,6 +240,14 @@ object Bench {
       // read 0.63-0.70 s/key with a different inflated region each
       // time; the 2-pass run read 0.604) — fewer, cleaner executions
       // beat more, throttled ones.
+      // Streaming keys keep cold+warm passes: single-pass was A/B'd
+      // (r16) and REVERTED — pass 2 is consistently ~2× faster than
+      // pass 1 (merge_cdc 5.8 cold / 3.97 warm, sink_files 3.1 / 1.45,
+      // dedup 7.7 / 2.1) because the key's OWN incremental-plan JIT,
+      // state-store serializer setup and provider instance warm on
+      // first execution; a session-level warm-up does not buy that.
+      // The reported min must be the key's warm fixed latency, same
+      // contract as batch keys.
       val base = override_.getOrElse(2)
       val times = scala.collection.mutable.ArrayBuffer.fill(base)(timed(name))
       if (override_.isEmpty && !streamingFixed(name) && times.length >= 2) {
@@ -418,6 +431,17 @@ object Bench {
     Seq("q6", "agg_group").filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
       .foreach(runOnce)
+    // Streaming infra warm-up, untimed (r16): with single-pass streaming
+    // the first streaming key would otherwise absorb the per-JVM cost of
+    // the first streaming query on each demo session flavor (listener/
+    // metric registration on the plain session, RocksDB provider init on
+    // the rocks session — ~5 s total, observed as stream_dedup's 7.7 s
+    // cold vs 2.1 s warm pass). One cheap key per provider flavor pays
+    // it outside the measurement.
+    if (streamNames.nonEmpty)
+      Seq("stream_update_mode", "stream_transform_state")
+        .filter(SparkEntry.queries.contains)
+        .foreach(runOnce)
     graft.operators.Caches.releaseAll()
     // First sweep: every key once through measure(), flushing bench.json
     // + a partial compact line after each — a driver timeout anywhere in
@@ -451,19 +475,25 @@ object Bench {
       // then reads "reproducible" (BENCH_r14: win_rank 28.4 s official,
       // 0.68 s isolated, spread 1.22) and the noisy sweep above never
       // fires. Magnitude, not spread, is the tell: re-run any batch key
-      // whose min still exceeds max(5× suite median, 1.5 s), up to 2
+      // whose min still exceeds max(3× suite median, 1.2 s), up to 2
       // extra passes minutes after its originals (a different
       // contention window). Extra passes only lower the min; genuinely
       // slow keys (pipeline_corpus, write_codecs) just confirm their
       // time at the cost of one pass each — bounded to outliers, so no
       // IO-throttle re-trip (the 33a8dbb concern was a uniform extra
-      // pass over all 260+ keys, not a handful).
+      // pass over all 260+ keys, not a handful). Cutoff tightened
+      // 5×/1.5 → 3×/1.2 in r16: with streaming measured first, the
+      // run's throttled TAIL now lands on late-alphabet batch keys,
+      // and the r15 json-family inflation (json_funcs 2.5 s official
+      // vs 0.85 s in-context isolated) sat just at/below the old
+      // cutoff — ~a dozen keys × 1-2 passes ≈ +20 s bounded wall buys
+      // a headline that self-repairs the tail window.
       val batchMins = results.toSeq.collect {
         case (n, runs) if !streamingFixed(n) => runs.min
       }.sorted
       if (batchMins.nonEmpty) {
         val median = batchMins(batchMins.length / 2)
-        val cutoff = math.max(5.0 * median, 1.5)
+        val cutoff = math.max(3.0 * median, 1.2)
         val outliers = results.toSeq.collect {
           case (n, runs) if !streamingFixed(n) && runs.min > cutoff => n
         }

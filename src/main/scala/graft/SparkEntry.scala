@@ -87,6 +87,7 @@ object SparkEntry {
     "sim_ivfpq"       -> (Similarity.simIvfPq _),
     "sim_nndescent"   -> (Similarity.simNndescent _),
     "sim_graph_search" -> (Similarity.simGraphSearch _),
+    "sim_hnsw"        -> (Similarity.simHnsw _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
@@ -4773,6 +4774,11 @@ object SparkEntry {
         |             THEN least(cg.cc, rg.rc) ELSE 0 END) AS m2
         |  FROM cg JOIN rg ON cg.pid = rg.pid AND cg.g = rg.g
         |  GROUP BY 1
+        |), rtot AS (
+        |  SELECT pid,
+        |    sum(CASE WHEN instr(g, ' ') = 0 THEN rc ELSE 0 END) AS rtot1,
+        |    sum(CASE WHEN instr(g, ' ') > 0 THEN rc ELSE 0 END) AS rtot2
+        |  FROM rg GROUP BY 1
         |), lens AS (
         |  SELECT pid, lang,
         |    CAST(len(string_split_regex(trim(lower(ctext)), '\s+'))
@@ -4781,6 +4787,13 @@ object SparkEntry {
         |         AS BIGINT) AS rlen
         |  FROM pairs
         |), pooled AS (
+        |  -- JOIN rtot mirrors the shared Spark genPairPooled, which
+        |  -- inner-joins the reference-gram totals for BLEU and ROUGE
+        |  -- alike (ADVICE r15): a pair whose reference produced zero
+        |  -- grams must be dropped by BOTH engines. (Empty strings
+        |  -- tokenize to [''] on both, so the stream is never actually
+        |  -- empty on this corpus — the join pins the semantics, it
+        |  -- does not change current rows.)
         |  SELECT lang, count(*) AS n_pairs,
         |    CAST(sum(coalesce(m1, 0)) AS BIGINT) AS match1,
         |    CAST(sum(tot1) AS BIGINT) AS total1,
@@ -4788,7 +4801,8 @@ object SparkEntry {
         |    CAST(sum(tot2) AS BIGINT) AS total2,
         |    CAST(sum(clen) AS BIGINT) AS c_len,
         |    CAST(sum(rlen) AS BIGINT) AS r_len
-        |  FROM lens JOIN tot USING (pid) LEFT JOIN mat USING (pid)
+        |  FROM lens JOIN tot USING (pid) JOIN rtot USING (pid)
+        |       LEFT JOIN mat USING (pid)
         |  GROUP BY 1
         |)
         |SELECT lang, n_pairs, match1, total1, match2, total2, c_len, r_len,

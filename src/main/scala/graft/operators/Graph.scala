@@ -94,6 +94,11 @@ object Graph {
     // depends on these frames anymore
     edges.unpersist(false)
     edgesDeg.unpersist(false)
+    // the loop's final checkpoint ESCAPES through the returned frame:
+    // register it so releaseAll drops its unrecomputable blocks at the
+    // harness boundary (ADVICE r15 — the graphBfs convention; without
+    // this, repeated invocations accumulate dead blocks until GC)
+    Caches.registerCheckpoint(pr)
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
   }
@@ -169,6 +174,9 @@ object Graph {
       } else lab = step
     }
     edges.unpersist(false)
+    // final checkpoint escapes via the returned join — register for
+    // release at the harness boundary (ADVICE r15, graphBfs convention)
+    Caches.registerCheckpoint(lab)
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("comm_size"))
     lab.join(sizes, Seq("label"))
       .select(col("node").as("user_id"), col("label").as("community"),

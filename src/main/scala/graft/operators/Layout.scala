@@ -520,11 +520,11 @@ object Layout {
   private[graft] def snapshotPath(dir: String): String =
     graft.sources.FormatSources.exportPath("snapshot", dir)
 
-  private def manifestPath(root: org.apache.hadoop.fs.Path, v: Int) =
+  private[operators] def manifestPath(root: org.apache.hadoop.fs.Path, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"_graft_log/v$v.txt")
 
   /** Relative paths of all data files currently in the table dir. */
-  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[String] = {
     val it = fs.listFiles(root, true)
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -543,7 +543,7 @@ object Layout {
     * item 6); stat-less lines stay plain relpaths, so every existing
     * manifest and every stats-free writer (snapshot_concurrent's
     * racing commits) remains readable by the same parser. */
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, files: Seq[String],
       stats: Map[String, (Long, Long)] = Map.empty): Unit = {
     val os = fs.create(p, true)
@@ -579,7 +579,7 @@ object Layout {
     * engine's write tasks return with their commit message; reading
     * footers at commit time is what Delta's stats-collection backfill
     * and Iceberg's `add_files` do for pre-existing files. */
-  private def footerStats(spark: SparkSession,
+  private[operators] def footerStats(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, files: Seq[String],
       column: String): Map[String, (Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -253,7 +253,16 @@ object Streams {
     * shared storage; that choice is about failure recovery, which a
     * delete-on-exit demo checkpoint never provides from EITHER
     * filesystem. The durable-restart semantics stay covered by
-    * StreamingSpec's checkpoint-restart tests. */
+    * StreamingSpec's checkpoint-restart tests — including (r16) the
+    * FORCED mid-stream kill rehearsal: a continuously-triggering file
+    * query stopped with files still pending resumes on the same
+    * checkpoint at batch lastCommitted+1 (the offsets-write → execute
+    * → commit-write protocol, every transition an atomic rename —
+    * the Kafka offset contract minus the broker), the replayed
+    * uncommitted batch is absorbed exactly-once by the sink's
+    * _spark_metadata commit log, and maxFilesPerTrigger admission
+    * keeps every micro-batch bounded across the restart (a resumed
+    * query must not gulp its backlog into one giant batch). */
   private def tmpRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (Files.isDirectory(shm) && Files.isWritable(shm)) shm

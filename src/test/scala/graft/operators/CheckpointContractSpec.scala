@@ -47,12 +47,13 @@ class CheckpointContractSpec extends SparkSpec {
 
   test("knnGraph memo: one build per corpus until releaseAll, fresh and " +
       "readable after") {
-    // The k-NN graph index memo (Similarity.knnGraph) holds a
-    // checkpoint-backed frame by STRONG reference, so it registers a
-    // Caches.onRelease hook: after releaseAll the blocks are
-    // unrecomputable and the memo entry MUST drop with them — a stale
-    // entry would hand out a dead frame (the fail-loudly contract
-    // above, violated silently).
+    // The k-NN graph index memo (Similarity.knnGraph) dedups the
+    // committed-artifact read per corpus dir (since r16 the frame is a
+    // parquet scan of the AnnIndexStore commit, not a checkpoint — the
+    // memo clear at releaseAll is hygiene, and the post-release serve
+    // below reads the SAME committed files through a fresh scan; the
+    // no-rebuild property itself is pinned in SimilaritySpec via the
+    // AnnIndexStore.commits counter).
     val g1 = Similarity.knnGraph(spark, sf)
     assert(Similarity.knnGraph(spark, sf) eq g1,
       "second call must hit the memo — one build per corpus dir")

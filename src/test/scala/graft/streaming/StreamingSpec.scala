@@ -452,4 +452,104 @@ class StreamingSpec extends SparkSpec
       ("2024-01-01 10:00:00.0", 3L, 7.0, 1),
       ("2024-01-01 10:10:00.0", 1L, 5.0, 1)))
   }
+
+  test("forced mid-stream kill + restart: offset log resumes at " +
+      "lastCommitted+1, file sink stays exactly-once, admission cap " +
+      "bounds every micro-batch (VERDICT r15 item 7)") {
+    // The Kafka-shaped source contract minus the broker: a
+    // continuously-triggering query over a pre-staged file backlog is
+    // stopped MID-STREAM (files still pending — the kill analogue a
+    // single JVM can express; the checkpoint protocol is identical for
+    // a hard process death because every transition is offsets-write →
+    // execute → commit-write, each via atomic rename), then a NEW
+    // query resumes on the same checkpoint. Three pins:
+    //  - OFFSET RESUME: run 2's first batch id is exactly
+    //    lastCommitted+1 — the uncommitted in-flight admission replays
+    //    under its original id (at-least-once input), never a skip
+    //    (lost files) and never a re-run of a committed id (dup input);
+    //  - EXACTLY-ONCE SINK: after full drain the _spark_metadata view
+    //    holds every source row exactly once — the committed-batch
+    //    manifest absorbs the replayed batch's rewrite;
+    //  - BACKPRESSURE/ADMISSION: maxFilesPerTrigger=1 caps EVERY
+    //    micro-batch of both runs at one file's rows — a restart must
+    //    not gulp the whole backlog into one giant batch (the bounded-
+    //    intake contract that keeps state-store commits and sink
+    //    transactions sized for executor memory at any backlog depth).
+    // Deterministic under load: all waits are deadline polls on
+    // monotone conditions (committed-batch count, sink row count).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val root = tmpDir("graft_killrestart_")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val rowsPerFile = 10
+    val nFiles = 8
+    val s2 = s
+    import s2.implicits._
+    (0 until nFiles).foreach { f =>
+      (0 until rowsPerFile).map(i => (f * rowsPerFile + i).toLong)
+        .toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def start(): org.apache.spark.sql.streaming.StreamingQuery =
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    def committedBatches(): Seq[Long] = {
+      val d = java.nio.file.Paths.get(ckpt, "commits")
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val it = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.forall(_.isDigit)).map(_.toLong).toSeq
+        } finally it.close()
+      }
+    }
+    def pollUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    val q1 = start()
+    try pollUntil("3 committed batches")(committedBatches().size >= 3)
+    finally q1.stop() // the kill: ≥ 4 files still pending in the source
+    val run1Progress = q1.recentProgress.toSeq
+    val lastCommitted = committedBatches().max
+    assert(lastCommitted < nFiles - 1,
+      "kill must land mid-stream — the whole backlog drained before stop")
+    val q2 = start()
+    try pollUntil("sink holds every row")(
+      Files.isDirectory(java.nio.file.Paths.get(outDir, "_spark_metadata")) &&
+        s.read.parquet(outDir).count() == (nFiles * rowsPerFile).toLong)
+    finally q2.stop()
+    val run2Progress = q2.recentProgress.toSeq
+    // offset resume: no skip, no committed-id re-run
+    val run2Batches = run2Progress.map(_.batchId)
+    assert(run2Batches.nonEmpty && run2Batches.min == lastCommitted + 1,
+      s"restart must resume at batch ${lastCommitted + 1}, " +
+        s"saw min ${run2Batches.min}")
+    // exactly-once sink through _spark_metadata
+    val out = s.read.parquet(outDir)
+    assert(out.count() == (nFiles * rowsPerFile).toLong)
+    assert(out.distinct().count() == (nFiles * rowsPerFile).toLong,
+      "sink re-delivered rows — the replayed batch leaked duplicates")
+    // admission cap honored by every micro-batch of both runs
+    (run1Progress ++ run2Progress).foreach { p =>
+      assert(p.numInputRows <= rowsPerFile.toLong,
+        s"batch ${p.batchId} read ${p.numInputRows} rows — " +
+          "maxFilesPerTrigger admission cap violated")
+    }
+  }
 }
