@@ -306,9 +306,10 @@ object Layout {
   // ≥ 3 output files within a 4× size band); production leaves the
   // 64 MB default. Read-back proves no rows moved semantically —
   // partitioning is physical only.
-  // Per-sf-dir lineitem row count for the rebalance advisory (the
-  // Similarity.ivfModels pattern): deterministic for an immutable
-  // fixture dir, so it survives Caches.releaseAll() by design.
+  // Per-sf-dir lineitem row count for the rebalance advisory: a
+  // deterministic scalar for an immutable fixture dir, so it survives
+  // Caches.releaseAll() by design (the bounded-driver-scalar memo
+  // convention).
   private val rebalRowCounts =
     new scala.collection.concurrent.TrieMap[String, Long]
 
