@@ -267,6 +267,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the fold needs no window")
   }
 
+  test("sim_hnsw: descent beams broadcast over committed layer edges; " +
+      "the only unconditioned join is the 10×entry cross — no " +
+      "sort-merge, nothing corpus-sized meets a nested loop") {
+    // The layer-0 half inherits sim_graph_search's shape (beam
+    // broadcasts, cached index map-side); the descent half must keep
+    // the same discipline: layer edge lists and beams are broadcast
+    // sides, the per-round lineage is CUT by localCheckpoint (plan
+    // shows LogicalRDD scans, not a 7-round nested-broadcast chain —
+    // the 77 s/pass r16 lesson), and the probes×top-layer entry cross
+    // is the single deliberate BNLJ (10 × a-handful rows).
+    val p = plan(operators.Similarity.simHnsw(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "beam must broadcast")
+    assert(!p.contains("CartesianProduct"), "descent went all-pairs")
+    assert(!p.contains("SortMergeJoin"),
+      "stat-less iterative frames must not fall to sort-merge")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the bounded entry cross may nest-loop")
+  }
+
   test("sim_graph_search: beam broadcasts, the index never shuffles — " +
       "no cartesian, no sort-merge") {
     // The mult-100 lesson: a shuffle_hash hint on the frontier join
