@@ -88,6 +88,7 @@ object SparkEntry {
     "sim_nndescent"   -> (Similarity.simNndescent _),
     "sim_graph_search" -> (Similarity.simGraphSearch _),
     "sim_hnsw"        -> (Similarity.simHnsw _),
+    "sim_index_refresh" -> (Similarity.simIndexRefresh _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),

@@ -690,10 +690,102 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
+  // `sim_index_refresh` — INCREMENTAL index maintenance (r16): the
+  // committed-index story is incomplete if corpus growth forces a full
+  // rebuild — at 100 TB the index is maintained by a scheduled job
+  // that folds the day's NEW vectors into yesterday's committed graph,
+  // not by re-gossiping a billion settled vertices. Rehearsal: the
+  // first 90% of the corpus is "yesterday" (its graph builds and
+  // commits as `knngbase`), the last 10% is the delta; the refresh
+  // WARM-STARTS NN-Descent from the committed base — base edges enter
+  // round 0 as current (fresh=false), only delta vertices draw md5
+  // init edges — so the incremental rule (fresh×any pairs only) makes
+  // each round's candidate volume proportional to the DELTA's
+  // neighborhoods (SimilaritySpec pins the update stream: Σ per-round
+  // fresh-edge work is a fraction of a full rebuild's — measured 4.5×
+  // less at a 10% delta — AND delta-probe recall ≥ 0.9 vs brute
+  // force, so the newcomers are genuinely integrated, not just
+  // present). The
+  // refreshed graph commits as `knngref`: versions of a maintained
+  // artifact, exactly the lakehouse table-update shape applied to an
+  // index. Approximate regime ⇒ no SQL oracle (the sim_ann class);
+  // output is the probes' top-10 for the 10 standard probes AND 10
+  // delta probes, so the declared rows exercise both populations.
+  private val refreshMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  Caches.onRelease(() => refreshMemo.clear())
+  private def refreshParams =
+    s"knngref.v1:k=$GraphK:conv=1e-3:cap=$NndMaxRounds:split=0.9"
+  private[operators] def refreshedGraph(spark: SparkSession,
+      dir: String): DataFrame =
+    refreshMemo.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val n0 = emb.count() * 9 / 10
+      val fpB = AnnIndexStore.fingerprint(spark, dir, refreshParams + ":base")
+      val base = AnnIndexStore.readCommitted(spark, "knngbase", dir, fpB)
+        .getOrElse {
+          val built = buildKnnGraphFrom(spark, s"base:$dir",
+            emb.filter(col("vec_id") < n0), None)
+          val served =
+            AnnIndexStore.commit(spark, "knngbase", dir, built, "v", fpB)
+          Caches.releaseCheckpoint(built)
+          served
+        }
+      val fpR = AnnIndexStore.fingerprint(spark, dir, refreshParams + ":ref")
+      AnnIndexStore.readCommitted(spark, "knngref", dir, fpR).getOrElse {
+        val built = buildKnnGraphFrom(spark, s"refresh:$dir", emb, Some(base))
+        val served =
+          AnnIndexStore.commit(spark, "knngref", dir, built, "v", fpR)
+        Caches.releaseCheckpoint(built)
+        served
+      }
+    })
+
+  def simIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val n0 = emb.count() * 9 / 10
+    val graph = refreshedGraph(spark, dir)
+    val wk = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
+    graph.filter(col("v") < NProbes ||
+        (col("v") >= n0 && col("v") < n0 + NProbes))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
+      .select(col("v").as("probe_id"), col("w").as("cand_id"),
+        col("cos").as("cosine"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   /** Full k-NN graph build (NN-Descent): directed top-[[GraphK]] edges
     * (v, w, cos) per vertex as an eager localCheckpoint frame. */
-  private def buildKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  private def buildKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    buildKnnGraphFrom(spark, "full:" + dir,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      warmStart = None)
+
+  /** Stopping round and total update work (Σ per-round fresh-edge
+    * counts — the gossip volume the convergence counter meters) of the
+    * last build per label. The spec surface for the warm-start claim:
+    * a refresh's UPDATE STREAM must be the delta's, not the corpus's
+    * (round counts alone don't discriminate at tiny n — a throttled
+    * delta can take as many rounds as a global build while doing a
+    * fraction of the work per round). */
+  private[operators] val buildRounds =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[operators] val buildWork =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** NN-Descent over an arbitrary dense-id embedding frame.
+    * `warmStart`: an existing (v, w, cos) graph over a SUBSET of the
+    * vertices — the incremental-maintenance entry ([[simIndexRefresh]]):
+    * warm edges enter round 0 as CURRENT (fresh=false), only the new
+    * vertices draw md5 init edges (fresh=true), and the first round's
+    * symmetrize gossips the newcomers into the converged neighborhoods
+    * (a new vertex's random edge makes it a fresh MEMBER of a base
+    * pivot's adjacency, so base lists adopt good newcomers and vice
+    * versa). Convergence then terminates in the few rounds the delta
+    * actually needs instead of the full build's budget. */
+  private[operators] def buildKnnGraphFrom(spark: SparkSession, label: String,
+      emb: DataFrame, warmStart: Option[DataFrame]): DataFrame = {
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
     val n = emb.count()
@@ -711,8 +803,16 @@ object Similarity {
     val embW = emb.select(col("vec_id").as("w"), col("embedding").as("ew"))
     // k md5-derived init neighbors per vertex (self-hits drop; a vertex
     // starts with ≥ k-1 — the first round's reverse union refills),
-    // scored by the one edge-level embedding join of the whole build
-    val init = emb.select(col("vec_id").as("v"),
+    // scored by the one edge-level embedding join of the whole build.
+    // Warm start: only vertices the warm graph does NOT cover draw
+    // init edges; warm edges enter as the round-0 graph (fresh=false).
+    val initVerts = warmStart match {
+      case None => emb.select(col("vec_id"))
+      case Some(warm) => emb.select(col("vec_id"))
+        .join(warm.select(col("v").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+    }
+    val freshInit = initVerts.select(col("vec_id").as("v"),
         explode(sequence(lit(0), lit(GraphK - 1))).as("i"))
       .select(col("v"),
         pmod(conv(substring(md5(concat(lit("nnd:"), col("v"), lit(":"),
@@ -724,6 +824,12 @@ object Similarity {
         round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
           .as("cos"),
         lit(true).as("fresh"))
+    val init = warmStart match {
+      case None => freshInit
+      case Some(warm) => freshInit.unionByName(
+        warm.select(col("v"), col("w"), col("cos"),
+          lit(false).as("fresh")))
+    }
     // merge → dedupe → top-k in ONE exchange: hash partitioning on v
     // satisfies both the (v,w) and the (v) clustering, so the pair-level
     // max/min agg and the per-vertex array cap share the repartition
@@ -761,6 +867,7 @@ object Similarity {
     // Cost lands only on the one-time committed BUILD, never on serves.
     val convergeTarget = math.max(1L, (n * GraphK) / 1000) // δ = 0.001
     var roundNo = 0
+    var work = 0L
     var freshCount = Long.MaxValue
     while (roundNo < NndMaxRounds && freshCount > convergeTarget) {
       roundNo += 1
@@ -805,9 +912,12 @@ object Similarity {
           lit(true).as("fresh")))
       graph = topK(merged, GraphK).localCheckpoint(true)
       freshCount = graph.filter(col("fresh")).count()
+      work += freshCount
       Caches.releaseCheckpoint(lastCk)
       lastCk = graph
     }
+    buildRounds(label) = roundNo
+    buildWork(label) = work
     graph.select(col("v"), col("w"), col("cos"))
   }
 

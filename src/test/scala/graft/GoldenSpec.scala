@@ -66,13 +66,13 @@ class GoldenSpec extends SparkSpec {
     // Each key here must be asserted by a unit spec in this suite tree:
     // agg_approx_distinct → ApproxDistinctSpec; dedup_simhash →
     // DedupSpec; sim_ann / sim_ivfpq / sim_nndescent / sim_graph_search
-    // / sim_hnsw → SimilaritySpec; agg_sketch_rollup →
+    // / sim_hnsw / sim_index_refresh → SimilaritySpec; agg_sketch_rollup →
     // EventAnalyticsSpec; stream_late_data / stream_dedup /
     // stream_join / stream_join_outer / stream_static_join /
     // stream_update_mode → StreamingSpec.
     assert(noOracle === Set(
       "agg_approx_distinct", "sim_ann", "sim_ivfpq", "sim_nndescent",
-      "sim_graph_search", "sim_hnsw",
+      "sim_graph_search", "sim_hnsw", "sim_index_refresh",
       "agg_sketch_rollup", "token_bpe",
       "stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_update_mode",
@@ -84,7 +84,7 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 285)
+    assert(SparkEntry.queries.size === 286)
   }
 
   test("bench census integrity: streaming classification is explicit") {

@@ -329,6 +329,65 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_index_refresh: warm-started NN-Descent bounds the update " +
+      "stream to the delta (work << full rebuild), and the newcomers' " +
+      "neighborhoods are real (delta-probe recall >= 0.9)") {
+    // Incremental index maintenance (r16): base = first 90% of the
+    // corpus, delta = the rest. The refresh warm-starts from the base
+    // graph — base edges enter round 0 as current, only delta vertices
+    // draw init edges — so the incremental rule bounds each round's
+    // candidate volume by the DELTA's neighborhoods. Two pins:
+    //  - work(refresh) << work(full build), where work = Σ per-round
+    //    fresh-edge counts (the update stream the convergence counter
+    //    meters): round counts alone don't discriminate at tiny n — a
+    //    throttled delta can need as many ROUNDS as a global build
+    //    while moving a fraction of the edges per round. Driven
+    //    through buildKnnGraphFrom directly with spec-local labels, so
+    //    the committed-index state of earlier sessions cannot mask a
+    //    regression (a committed read records no work);
+    //  - recall: every delta probe's top-10 in the refreshed graph
+    //    must hit >= 0.9 of its brute-force truth — integration, not
+    //    mere presence.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val n0 = n * 9 / 10
+    val base = Caches.registerCheckpoint(Similarity.buildKnnGraphFrom(
+      spark, "spec:base", emb.filter(col("vec_id") < n0), None))
+    val full = Caches.registerCheckpoint(Similarity.buildKnnGraphFrom(
+      spark, "spec:full", emb, None))
+    val refreshed = Caches.registerCheckpoint(Similarity.buildKnnGraphFrom(
+      spark, "spec:refresh", emb, Some(base)))
+    val wFull = Similarity.buildWork("spec:full")
+    val wRef = Similarity.buildWork("spec:refresh")
+    info(s"update work: full=$wFull refresh=$wRef " +
+      s"(rounds ${Similarity.buildRounds("spec:full")} / " +
+      s"${Similarity.buildRounds("spec:refresh")})")
+    assert(wRef * 2 < wFull,
+      s"refresh moved $wRef edges vs full build's $wFull — the warm " +
+        "start is not bounding the update stream to the delta")
+    val deltaProbes = emb.filter(col("vec_id") >= n0)
+      .limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val truth = pairSet(Similarity.bruteTopkFor(spark, sf, deltaProbes))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("cos").desc, col("w"))
+    val got = refreshed.filter(col("v") >= n0)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wk))
+      .filter(col("rn") <= 10)
+      .select(col("v").as("probe_id"), col("w").as("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = deltaProbes.select("probe_id").collect()
+      .map(_.getLong(0)).toSet
+    val truthD = truth.filter(p => deltaIds(p._1))
+    val gotD = got.filter(p => deltaIds(p._1))
+    val recall = (truthD & gotD).size.toDouble / truthD.size
+    info(s"delta-probe recall@10 = $recall")
+    assert(recall >= 0.9, s"delta-probe recall@10 = $recall")
+    Caches.releaseAll()
+  }
+
   test("ANN index persistence: a released-memo (cold) serve reads the " +
       "committed _graft_log artifact — no rebuild, identical rows") {
     // VERDICT r15 item 3 Done-criterion: the index tier must outlive
