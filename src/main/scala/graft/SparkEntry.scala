@@ -82,6 +82,8 @@ object SparkEntry {
     "dedup_near"      -> (Dedup.dedupNear _),
     "dedup_simhash"   -> (Dedup.dedupSimhash _),
     "sim_topk"        -> (Similarity.simTopk _),
+    "sim_filtered"    -> (Similarity.simFiltered _),
+    "dq_embedding"    -> (Similarity.dqEmbedding _),
     "sim_ann"         -> (Similarity.simAnn _),
     "sim_pq"          -> (Similarity.simPq _),
     "sim_ivfpq"       -> (Similarity.simIvfPq _),
@@ -1045,6 +1047,63 @@ object SparkEntry {
         |  FROM cos
         |) WHERE rn <= 10
         |ORDER BY probe_id, cand_id""".stripMargin,
+
+    // filtered search: the sim_topk replay with the label predicate
+    // composed INTO the candidate join (pre-filter semantics — a
+    // post-filtered global top-k would underfill and hash-mismatch)
+    "sim_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(v*v)) AS n FROM e GROUP BY vec_id
+        |), dots AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         c.label AS label, sum(p.v * c.v) AS dot
+        |  FROM e p JOIN e c ON p.pos = c.pos AND p.label = c.label
+        |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2, 3
+        |), cos AS (
+        |  SELECT probe_id, cand_id, label,
+        |         round(dot / (np.n * nc.n), 4) AS cosine
+        |  FROM dots
+        |  JOIN nrm np ON probe_id = np.vec_id
+        |  JOIN nrm nc ON cand_id = nc.vec_id
+        |)
+        |SELECT probe_id, cand_id, label, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                               ORDER BY cosine DESC, cand_id) AS rn
+        |  FROM cos
+        |) WHERE rn <= 10
+        |ORDER BY probe_id, cand_id""".stripMargin,
+
+    // per-row list aggregates replay Spark's sequential HOF folds;
+    // n2 rounds to 4 dp BEFORE the threshold/min/max in BOTH engines
+    "dq_embedding" ->
+      """WITH per AS (
+        |  SELECT label,
+        |    len(embedding) AS dim,
+        |    len(list_filter(embedding,
+        |        x -> isnan(CAST(x AS DOUBLE)))) > 0 AS has_nan,
+        |    len(list_filter(embedding, x -> x <> 0)) = 0 AS all_zero,
+        |    round(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS n2
+        |  FROM embeddings
+        |)
+        |SELECT label,
+        |  count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_dim,
+        |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nan,
+        |  CAST(sum(CASE WHEN all_zero THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN abs(n2 - 1.0) > 0.01 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_off_unit,
+        |  min(n2) AS min_norm2,
+        |  max(n2) AS max_norm2
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (

@@ -79,6 +79,78 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
+  // `sim_filtered` — FILTERED vector search (r16): top-k restricted to
+  // candidates satisfying a metadata predicate — here the probe's own
+  // cluster label, the tenant/category-scoped search every production
+  // vector store serves (the pre-filter vs post-filter problem:
+  // post-filtering a global top-k UNDERFILLS when the predicate is
+  // selective — a global top-10 may contain 0 same-label rows — so the
+  // predicate must compose INTO the search). Exact tier, declared with
+  // a DuckDB oracle (the sim_topk formulation + the label equi-join):
+  // probes broadcast WITH their label, the candidate scan applies the
+  // predicate map-side BEFORE any scoring — the scan shrinks by the
+  // predicate's selectivity (10× here), nothing shuffles. At scale the
+  // same predicate pushes into the IVF tier as a list-level filter
+  // (the committed inverted file carries label alongside list_id, so
+  // filtered-ANN = filter lists' members, then the identical shortlist
+  // + rerank) — the exact key pins the SEMANTICS that composition must
+  // reproduce.
+  def simFiltered(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < NProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("plabel")))
+    val scored = emb
+      .join(probes,
+        col("probe_id") =!= col("vec_id") && col("label") === col("plabel"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("label"),
+        round(graft.functions.CosineSim.cosineSim(col("pe"), col("embedding")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("probe_id", "cand_id", "label", "cosine")
+      .orderBy("probe_id", "cand_id")
+  }
+
+  // `dq_embedding` — embedding data-quality profile (r16): the checks
+  // an LLM pipeline runs BEFORE trusting a vector column — per label
+  // (the natural shard/tenant grain): row count, wrong-dimension
+  // count, any-NaN count, all-zero count, out-of-unit-norm count
+  // (|‖v‖²−1| > 0.01 — the corpus contract is unit-norm), and the
+  // observed ‖v‖² range. A bad embedding batch (truncated arrays, NaN
+  // from an fp16 overflow, zero rows from a failed encoder) poisons
+  // every downstream ANN/dedup/cluster pass silently — this is the
+  // gate that catches it at ingest. All-integer counts + 4-dp norm
+  // renders ⇒ exact DuckDB oracle; single map-side pass over the
+  // corpus, one bounded-key partial agg, no joins, no shuffle beyond
+  // the 10-label rollup.
+  def dqEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val norm2 = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    emb.select(col("label"),
+        size(col("embedding")).as("dim"),
+        exists(col("embedding"), x => isnan(x)).as("has_nan"),
+        forall(col("embedding"), x => x === 0.0f).as("all_zero"),
+        round(norm2, 4).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("dim") =!= PcaDims, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("all_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(abs(col("n2") - 1.0d) > 0.01d, 1L).otherwise(0L))
+          .as("n_off_unit"),
+        min(col("n2")).as("min_norm2"),
+        max(col("n2")).as("max_norm2"))
+      .orderBy("label")
+  }
+
   /** Exact cosine top-[[K]] over the corpus for an ARBITRARY probe
     * frame (`probe_id`, `pe`) — the brute-force ground truth the
     * out-of-sample recall pins compare the ANN tiers against (VERDICT

@@ -84,7 +84,7 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 286)
+    assert(SparkEntry.queries.size === 288)
   }
 
   test("bench census integrity: streaming classification is explicit") {

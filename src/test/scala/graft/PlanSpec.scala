@@ -267,6 +267,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the fold needs no window")
   }
 
+  test("sim_filtered: the label predicate composes INTO the probe join " +
+      "as its equi key — pre-filter, never a post-filtered global top-k") {
+    // The filtered-search contract: candidates are label-matched
+    // BEFORE scoring (a global top-10 post-filtered would underfill
+    // when the predicate is selective). Physically that means the
+    // broadcast probe join is HASH-keyed on the label equality with
+    // the self-exclusion as residual — not a nested loop over the
+    // corpus with a filter above it.
+    val p = plan(operators.Similarity.simFiltered(spark, sf))
+    assert(p.contains("BroadcastHashJoin [label"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "filtered scoring fell back to an all-pairs join")
+  }
+
   test("sim_hnsw: descent beams broadcast over committed layer edges; " +
       "the only unconditioned join is the 10×entry cross — no " +
       "sort-merge, nothing corpus-sized meets a nested loop") {
