@@ -63,6 +63,11 @@ class CodegenAuditSpec extends SparkSpec {
       "0.6 s/sf0.1, linear per doc"),
     "embed_quantize" -> ("element-wise int8 quantize/dequantize transform(); " +
       "map-only single scan, integer-exact oracle"),
+    "dq_embedding" -> ("the per-vector profile IS the HOF pass — " +
+      "exists(isnan)/forall(zero)/aggregate(norm-square) over the bounded " +
+      "64-element array, one map-side scan + a 10-key rollup; no codegen " +
+      "alternative short of a 64x posexplode row blowup, which would " +
+      "trade an interpreted per-row fold for 64x the shuffle-free volume"),
     "sim_ann" -> ("lambda only in the broadcast probe-side centroid ranking " +
       "(NProbes x k rows); hot candidate scoring is the native codegen'd " +
       "CosineSim expression"),
