@@ -684,19 +684,22 @@ object Similarity {
   //     false; a truly new edge is unanimously true), then groupBy(v)
   //     keeps top-k via array_sort — again inside the same exchange.
   // Rounds run to CONVERGENCE (update count ≤ 0.001·n·k, the paper's
-  // §2.3 criterion, cap 12): fixed counts do not survive scale — 4
-  // rounds read graph-recall 0.94 at 20k vectors and 0.49 at 200k
-  // (gossip mixing time grows with n); the convergence cap lifts 200k
-  // to 0.70, and path-rescoring in the search tier delivers 0.94.
-  // The per-round cost stays linear and lands on the ONE-TIME
-  // committed build (AnnIndexStore), never on a serving session.
-  // The degree is the convergence lever: at degree 10 recall plateaued
-  // at 0.66 however many rounds, because this gap-less corpus starves
-  // neighbourhood overlap (the same measured property that rules out
-  // LSH here — see dedup_embedding); overlap grows superlinearly in k
-  // (Dong et al.'s own observation), so building at 2× the output
-  // degree and truncating to top-10 buys convergence for a constant
-  // candidate-volume factor. Determinism: init
+  // §2.3 criterion, cap via nndRoundCapFor): fixed counts do not
+  // survive scale — 4 rounds read graph-recall 0.94 at 20k vectors
+  // and 0.49 at 200k (gossip mixing time grows with n).
+  // The DEGREE is the recall lever, and it too must scale (r17
+  // mult-100 trace): at degree 20 the 200k build genuinely CONVERGES
+  // (fresh count under the δ target by round 12) yet plateaus at 0.70
+  // from round 7 on — a local optimum of the gossip that no round
+  // budget escapes; degree 10 plateaued at 0.66 at bench SFs the same
+  // way. This gap-less corpus starves neighbourhood overlap (the same
+  // measured property that rules out LSH here — see dedup_embedding),
+  // and overlap grows superlinearly in k (Dong et al.'s own
+  // observation) — so the build degree scales with log10(n)
+  // (graphKFor: 20 at ≤20k, 32 at 200k → recall 0.94, converged in 10
+  // rounds, per-round candidate volume ×~2.6). The per-round cost
+  // stays linear in n and lands on the ONE-TIME committed build
+  // (AnnIndexStore), never on a serving session. Determinism: init
   // neighbors are md5-derived (no sampling, no seed state), scores
   // round to 4 dp before ranking with id tie-breaks (the sim_topk
   // convention) — the whole trajectory is deterministic, but the
@@ -715,7 +718,44 @@ object Similarity {
   // candidate stream never touches a join, and the per-pivot state is
   // a constant ~20 KB regardless of corpus size.
   private val NndMaxRounds = 12
-  private val GraphK = 20 // build degree (output truncates to K=10)
+  private val GraphK = 20 // base build degree (output truncates to K=10)
+
+  /** Build DEGREE as a function of corpus size — the r17 mult-100
+    * lesson: the 200k build CONVERGES at degree 20 (fresh-count under
+    * the δ target by round 12) yet plateaus at graph-recall 0.70 from
+    * round 7 on — a genuine local optimum of the gossip, which no
+    * round budget escapes (measured: rounds 7–12 all read 0.700).
+    * Degree is the escape: neighborhood overlap grows superlinearly
+    * in k (Dong et al.'s observation, already used at r15 to fix the
+    * 0.66 plateau at degree 10), so the degree scales with log10(n)
+    * past the converged-at-20k scale. Per-round candidate volume grows
+    * ~k² — the cost lands on the one-time committed build.
+    * GRAFT_NND_K overrides for experiments (folded into the index
+    * fingerprint, same contract as GRAFT_NND_CAP). */
+  private def graphKFor(n: Long): Int =
+    sys.env.get("GRAFT_NND_K").map(_.toInt).getOrElse(
+      GraphK + 12 * math.max(0,
+        (math.log10(n.toDouble / 20000.0)).ceil.toInt))
+  private def nndKTag: String =
+    sys.env.get("GRAFT_NND_K").map(k => s":kenv=$k").getOrElse("")
+
+  /** Convergence-round CAP as a function of corpus size — the r16
+    * mult-100 lesson, taken to its conclusion (VERDICT r16 item 1):
+    * gossip mixing time grows with n, so a fixed cap that converges a
+    * 20k corpus (0.94 graph recall) starves a 200k one (0.70 at cap
+    * 12, fresh-count still above the δ target). The cap scales with
+    * log(n): one extra "decade allowance" of rounds per 10× corpus
+    * growth past the bench scale, so the δ-convergence criterion — not
+    * the cap — is what normally terminates the build. Experiments can
+    * override via GRAFT_NND_CAP (the override is folded into the index
+    * fingerprint so a committed experiment never serves silently as
+    * production). */
+  private def nndRoundCapFor(n: Long): Int =
+    sys.env.get("GRAFT_NND_CAP").map(_.toInt).getOrElse(
+      NndMaxRounds + 8 * math.max(0,
+        (math.log10(n.toDouble / 2000.0)).ceil.toInt))
+  private def nndCapTag: String =
+    sys.env.get("GRAFT_NND_CAP").map(c => s":capenv=$c").getOrElse("")
 
   // The graph as a COMMITTED index (VERDICT r15 item 3): the first
   // build per (corpus, params) runs NN-Descent, commits the result as
@@ -737,7 +777,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => graphMemo.clear())
   private def knnParams =
-    s"knng.v2:k=$GraphK:conv=1e-3:cap=$NndMaxRounds"
+    s"knng.v4:kfn=log12:conv=1e-3:capfn=log8$nndCapTag$nndKTag"
   private[operators] def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graphMemo.getOrElseUpdate(dir, {
       val fp = AnnIndexStore.fingerprint(spark, dir, knnParams)
@@ -787,7 +827,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => refreshMemo.clear())
   private def refreshParams =
-    s"knngref.v1:k=$GraphK:conv=1e-3:cap=$NndMaxRounds:split=0.9"
+    s"knngref.v3:kfn=log12:conv=1e-3:capfn=log8:split=0.9$nndCapTag$nndKTag"
   private[operators] def refreshedGraph(spark: SparkSession,
       dir: String): DataFrame =
     refreshMemo.getOrElseUpdate(dir, {
@@ -861,6 +901,7 @@ object Similarity {
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
     val n = emb.count()
+    val kDeg = graphKFor(n) // scale-aware build degree (see graphKFor)
     // deterministic desc-by-cos, asc-by-id comparator for array_sort —
     // the sim_topk ranking convention, applied inside the agg so the
     // per-vertex cap never needs a window sort
@@ -885,7 +926,7 @@ object Similarity {
           Seq("vec_id"), "left_anti")
     }
     val freshInit = initVerts.select(col("vec_id").as("v"),
-        explode(sequence(lit(0), lit(GraphK - 1))).as("i"))
+        explode(sequence(lit(0), lit(kDeg - 1))).as("i"))
       .select(col("v"),
         pmod(conv(substring(md5(concat(lit("nnd:"), col("v"), lit(":"),
           col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("w"))
@@ -923,25 +964,59 @@ object Similarity {
     // pass OOMs (measured: a persist-only variant of this loop
     // exhausted an 8 GB driver heap at round 3). The key is an index
     // BUILD (one-time, amortized over every query against the corpus).
-    var graph = topK(init, GraphK).localCheckpoint(true)
+    var graph = topK(init, kDeg).localCheckpoint(true)
     var lastCk = graph
     // CONVERGENCE-driven rounds (r16, the paper's own termination §2.3):
     // iterate while the round's update count c — top-k slots taken by
-    // never-seen edges — exceeds δ·n·k, capped at NndMaxRounds. A fixed
-    // round count does not survive scale: 4 rounds read graph-recall
-    // 0.94 at 20k vectors but 0.49 at 200k (the neighborhood-gossip
-    // mixing time grows with n); convergence lifts 200k to 0.70 at the
-    // round cap, and the search tier's path-rescoring carries the
-    // delivered recall to 0.94 (sim_hnsw). The counter is one bounded scalar
+    // never-seen edges — exceeds δ·n·k, capped at nndRoundCapFor(n). A
+    // fixed round count does not survive scale: 4 rounds read
+    // graph-recall 0.94 at 20k vectors but 0.49 at 200k (the
+    // neighborhood-gossip mixing time grows with n). Convergence alone
+    // is NOT sufficient either — see the degree-scaling note above
+    // (r17: converged-at-degree-20 still plateaus at 0.70 at 200k;
+    // kDeg lifts it to 0.94). The counter is one bounded scalar
     // action per round on the already-materialized checkpoint; the
     // trajectory is deterministic, so the stopping round is a pure
     // function of the corpus — cross-run/cross-topology identity holds.
     // Cost lands only on the one-time committed BUILD, never on serves.
-    val convergeTarget = math.max(1L, (n * GraphK) / 1000) // δ = 0.001
+    val convergeTarget = math.max(1L, (n * kDeg) / 1000) // δ = 0.001
+    val roundCap = nndRoundCapFor(n)
+    // GRAFT_NND_TRACE: per-round probe recall@10 vs brute force — the
+    // tuning instrument behind the scale-envelope numbers in
+    // VERIFY_sf1.md. Driver-side truth is 10 probes × K ids (bounded).
+    val traceTruth: Option[Map[Long, Set[Long]]] =
+      if (!sys.env.contains("GRAFT_NND_TRACE")) None else Some {
+        val probes = broadcast(emb.filter(col("vec_id") < NProbes)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+        val wt = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        emb.join(probes, col("probe_id") =!= col("vec_id"))
+          .select(col("probe_id"), col("vec_id").as("cand_id"),
+            round(graft.functions.CosineSim.cosineSim(col("pe"),
+              col("embedding")), 4).as("cos"))
+          .withColumn("rn", row_number().over(wt)).filter(col("rn") <= K)
+          .select("probe_id", "cand_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+      }
+    def traceRound(roundNo: Int, fresh: Long, secs: Double): Unit =
+      traceTruth.foreach { truth =>
+        val wt = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
+        val got = graph.filter(col("v") < NProbes)
+          .withColumn("rn", row_number().over(wt)).filter(col("rn") <= K)
+          .select("v", "w").collect()
+          .groupBy(_.getLong(0))
+          .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+        val hits = truth.map { case (p, t) =>
+          (t & got.getOrElse(p, Set.empty)).size }.sum
+        val rec = hits.toDouble / truth.map(_._2.size).sum
+        println(f"[nnd-trace] label=$label round=$roundNo fresh=$fresh " +
+          f"recall=$rec%.3f secs=$secs%.1f")
+      }
     var roundNo = 0
     var work = 0L
     var freshCount = Long.MaxValue
-    while (roundNo < NndMaxRounds && freshCount > convergeTarget) {
+    while (roundNo < roundCap && freshCount > convergeTarget) {
       roundNo += 1
       // symmetrized adjacency with carried member embeddings, capped at
       // 2k per pivot by score inside the agg (the reverse-sample ρ)
@@ -962,14 +1037,14 @@ object Similarity {
         .groupBy(col("v"))
         .agg(slice(array_sort(
           collect_list(struct(col("cos"), col("w"), col("fresh"), col("ew"))),
-          byCosDesc), 1, 2 * GraphK).as("members"))
+          byCosDesc), 1, 2 * kDeg).as("members"))
       // each unordered neighbor pair once via positional explode; score
       // in place over the carried vectors; the incremental rule drops
       // old×old pairs (already generated the round one endpoint arrived)
       val cand = adj
         .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
         .select(col("a"),
-          explode(slice(col("members"), col("i") + lit(2), lit(2 * GraphK)))
+          explode(slice(col("members"), col("i") + lit(2), lit(2 * kDeg)))
             .as("b"))
         .filter(col("a.fresh") || col("b.fresh"))
         .select(col("a.w").as("v"), col("b.w").as("w"),
@@ -982,11 +1057,13 @@ object Similarity {
         .union(cand.select(col("v"), col("w"), col("cos"), lit(true).as("fresh")))
         .union(cand.select(col("w").as("v"), col("v").as("w"), col("cos"),
           lit(true).as("fresh")))
-      graph = topK(merged, GraphK).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graph = topK(merged, kDeg).localCheckpoint(true)
       freshCount = graph.filter(col("fresh")).count()
       work += freshCount
       Caches.releaseCheckpoint(lastCk)
       lastCk = graph
+      traceRound(roundNo, freshCount, (System.nanoTime() - t0) / 1e9)
     }
     buildRounds(label) = roundNo
     buildWork(label) = work
@@ -1141,7 +1218,8 @@ object Similarity {
   // (`sim_graph_search`) enters the graph at md5-random seeds, so the
   // hop count to reach a far query region scales with the graph
   // DIAMETER; HNSW fixes entry, not search — a geometric hierarchy of
-  // sparser and sparser vertex samples (P(level ≥ ℓ) = 32^-ℓ here) is
+  // sparser and sparser vertex samples (P(level ≥ ℓ) = 16^-ℓ here,
+  // the hnsw.v2 fanout — see the LayerFanout scale-dial note below) is
   // greedily descended top-down, and each layer's best nodes seed the
   // next, so layer 0 starts ~one neighborhood away from the answer
   // after O(log n) cheap upper-layer steps. The layer-0 search is then
@@ -1190,7 +1268,7 @@ object Similarity {
         buildHnswLayers(spark, dir)))
 
   /** Upper-layer edge lists: (lvl, v, w, cos) directed top-[[LayerK]]
-    * per member vertex, one block per level 1..⌊log32 n⌋. */
+    * per member vertex, one block per level 1..⌊log16 n⌋. */
   private def buildHnswLayers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -1263,8 +1341,15 @@ object Similarity {
         .select(col("qid"), explode(col("top")).as("e"))
         .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
     // entry: EVERY top-layer vertex (a handful by the geometric draw) —
-    // the deterministic analogue of HNSW's single global entry point
-    val lTop = layers.agg(max(col("lvl"))).collect()(0).getInt(0)
+    // the deterministic analogue of HNSW's single global entry point.
+    // A corpus too small to draw any level≥1 vertex commits an EMPTY
+    // layer table (valid artifact — AnnIndexStore empty-commit path);
+    // the descent then has nothing to descend and the search IS the
+    // flat tier (ADVICE r16: getInt on a null max(lvl) was an NPE).
+    val lTopRow = layers.agg(max(col("lvl"))).collect()(0)
+    if (lTopRow.isNullAt(0))
+      return graphSearchFor(spark, dir, probes0)
+    val lTop = lTopRow.getInt(0)
     val entry = probes.select(col("qid")).crossJoin(
       broadcast(layers.filter(col("lvl") === lTop)
         .select(col("v").as("node")).distinct()))

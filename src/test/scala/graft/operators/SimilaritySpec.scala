@@ -101,19 +101,23 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("sim_nndescent recall@10 >= 0.9 vs brute force at both scales: " +
-      "convergence-terminated NN-Descent at build-degree 20") {
+      "convergence-terminated NN-Descent at scale-aware build degree") {
     // The graph-ANN tier's index build: each round is pure joins/aggs
     // (candidate volume linear in n), deterministic end to end (md5
-    // init, 4-dp ranking, id tie-breaks). The build DEGREE is the
-    // convergence lever on this gap-less corpus — measured recall at
-    // degree 10 plateaued at 0.66 (sf0.1) however many rounds, because
-    // weak clustering starves neighbourhood overlap; degree 20 lifts
-    // the recall to 1.0 / 0.96+ (overlap grows superlinearly in
-    // k — the Dong et al. observation). Rounds terminate on the
-    // paper's convergence criterion (update count ≤ 0.001·n·k, r16):
-    // fixed counts don't survive scale — 4 rounds read 0.49 graph
-    // recall at 200k vectors — and the cost lands on the one-time
-    // committed build. Output truncates to top-10.
+    // init, 4-dp ranking, id tie-breaks). SCALE ENVELOPE (r17, the
+    // per-tier pin — decade numbers recorded in VERIFY_sf1.md): with
+    // BOTH dials scale-aware — rounds convergence-terminated (≤
+    // 0.001·n·k, r16) and build degree growing with log10(n)
+    // (graphKFor: 20 at ≤20k, 32 at 200k) — the graph holds ≥ 0.9
+    // recall@10 at every measured decade: 1.0 / 0.96 / 0.94 / 0.94 at
+    // sf0.001 / sf0.1 / mult-10 / mult-100. Either dial alone fails:
+    // fixed 4 rounds read 0.49 at 200k; converged-at-degree-20 reads
+    // 0.70 at 200k (a gossip local optimum — rounds 7-12 all 0.700,
+    // fresh count under target; this corpus' weak clustering starves
+    // neighbourhood overlap, and overlap grows superlinearly in k —
+    // degree 10 plateaued at 0.66 even at sf0.1). Cost of both dials
+    // lands on the one-time committed build. Output truncates to
+    // top-10.
     for (d <- Seq(sf, "/root/testdata/sf0.1")
          if new java.io.File(s"$d/embeddings.parquet").exists()) {
       val truth = pairSet(Similarity.simTopk(spark, d))
@@ -131,6 +135,14 @@ class SimilaritySpec extends SparkSpec {
     // graph. Recall is bounded above by the graph's own quality
     // (1.0 / 0.95 at the two scales) — the pin asserts the SEARCH loses
     // nothing the index can represent. Deterministic end to end.
+    // SCALE ENVELOPE (r17, the per-tier pin): BASELINE-ONLY TIER —
+    // random-entry reach ends where the graph diameter exceeds the
+    // fixed hop budget (0.10 recall at mult-10, the measured diameter
+    // wall; VERIFY_sf1.md). Valid at bench SFs as the didactic
+    // baseline the layer hierarchy is measured against; every
+    // corpus-scale serving path is sim_hnsw (descent-seeded entry,
+    // 0.94+ at mult-100) or the partition tier (sim_ivfpq, 1.0).
+    // SURVEY §2B Q277 carries the same baseline-only marking.
     for (d <- Seq(sf, "/root/testdata/sf0.1")
          if new java.io.File(s"$d/embeddings.parquet").exists()) {
       val truth = pairSet(Similarity.simTopk(spark, d))
@@ -304,11 +316,12 @@ class SimilaritySpec extends SparkSpec {
   test("sim_hnsw: layer descent matches-or-beats the flat beam search's " +
       "recall at FEWER layer-0 hops (3 vs 4) — the HNSW entry-quality " +
       "trade, both scales") {
-    // VERDICT r15 item 6. Candidate accounting (why this is the
-    // interesting comparison): upper-layer descent scores at most
-    // LayerBeam·2·LayerK = 128 candidates per step × ≤ 2·⌊log32 n⌋
-    // steps (≤ 768 at sf0.1's 3 layers) — less than the ONE layer-0
-    // hop (beam·degree ≈ 800) it replaces. Net scored-candidate count
+    // VERDICT r15 item 6. Candidate accounting at the hnsw.v2
+    // fanout-16/LayerK-12 geometry (ADVICE r16 — the old note used the
+    // retired fanout-32/degree-8 constants): upper-layer descent
+    // scores at most LayerBeam·2·LayerK = 192 candidates per step ×
+    // ≤ 2·⌊log16 n⌋ steps — under ~1.2k at sf0.1's 3 layers, less
+    // than the TWO layer-0 beam·degree hops it effectively replaces. Net scored-candidate count
     // is strictly below the flat tier's; recall must still hold the
     // flat tier's line because the descent seeds the beam one
     // neighborhood away from the answer instead of md5-random
