@@ -70,7 +70,11 @@ object AnnIndexStore {
     * manifest present AND fingerprint byte-identical. Returns the
     * manifest's exact file list as a parquet read — never a directory
     * listing, so a torn/concurrent writer's stray files are invisible
-    * (the lakehouse read contract). */
+    * (the lakehouse read contract). An explicitly committed EMPTY
+    * artifact is a valid hit (ADVICE r16): the manifest carries zero
+    * data files and the schema is reconstructed from the commit's
+    * schema.json — a tiny corpus whose build legitimately produces no
+    * rows (e.g. no upper-layer HNSW vertices) must serve, not throw. */
   private[operators] def readCommitted(spark: SparkSession, kind: String,
       dir: String, fp: String): Option[DataFrame] = {
     val r = root(kind, dir)
@@ -79,13 +83,23 @@ object AnnIndexStore {
     if (!hfs.exists(mf)) return None
     val fpPath = new org.apache.hadoop.fs.Path(r, "_graft_log/fingerprint.txt")
     if (!hfs.exists(fpPath)) return None
-    val in = hfs.open(fpPath)
-    val bytes = new Array[Byte](hfs.getFileStatus(fpPath).getLen.toInt)
-    in.readFully(bytes); in.close()
-    if (new String(bytes, "UTF-8") != fp) return None
+    def readAll(p: org.apache.hadoop.fs.Path): String = {
+      val in = hfs.open(p)
+      val bytes = new Array[Byte](hfs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8")
+    }
+    if (readAll(fpPath) != fp) return None
     val files = Layout.readManifest(hfs, mf).map(f => s"${r.toString}/$f")
-    if (files.isEmpty) None
-    else Some(spark.read.parquet(files: _*))
+    if (files.nonEmpty) Some(spark.read.parquet(files: _*))
+    else {
+      val sp = new org.apache.hadoop.fs.Path(r, "_graft_log/schema.json")
+      if (!hfs.exists(sp)) return None
+      val schema = org.apache.spark.sql.types.DataType.fromJson(readAll(sp))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
   }
 
   /** Writes `df` as the index artifact and publishes it: range-layout
@@ -99,25 +113,49 @@ object AnnIndexStore {
       dir: String, df: DataFrame, statsCol: String, fp: String): DataFrame = {
     val r = root(kind, dir)
     val hfs = fs(spark, r)
-    hfs.delete(r, true)
+    // VERSIONED data directory (ADVICE r16): data files land in a
+    // fresh uniquely-named subdir instead of a delete-in-place of the
+    // shared root — a racing process (or a superseded commit) can
+    // never yank parquet files out from under another process's
+    // SERVED frame mid-query, because old versions' files are left on
+    // disk (an abandoned version is a few MB of /tmp; the manifest is
+    // the only pointer that moves). The manifest lists root-relative
+    // paths, so readers are version-agnostic.
+    val ver = f"d${System.nanoTime()}%x_${
+      java.lang.ProcessHandle.current().pid()}%d"
+    val dataDir = new org.apache.hadoop.fs.Path(r, ver)
     // Range layout on the cluster column: each file covers a narrow
     // statsCol interval, which is what makes the manifest stats a real
     // pruning index rather than decoration. Partition count follows
     // the session's shuffle setting — at 100 TB this is the writer
     // fleet's task count, here it is 32 modest files.
     df.repartitionByRange(org.apache.spark.sql.functions.col(statsCol))
-      .write.mode("overwrite").parquet(r.toString)
-    val files = Layout.dataFiles(hfs, r)
+      .write.mode("overwrite").parquet(dataDir.toString)
+    val files = Layout.dataFiles(hfs, dataDir).map(f => s"$ver/$f")
+    // schema sidecar: lets an EMPTY artifact (zero data files) read
+    // back with the right schema instead of failing inference
+    val sp = new org.apache.hadoop.fs.Path(r, "_graft_log/schema.json")
+    val sos = hfs.create(sp, true)
+    sos.write(df.schema.json.getBytes("UTF-8")); sos.close()
     val fpPath = new org.apache.hadoop.fs.Path(r, "_graft_log/fingerprint.txt")
     val os = hfs.create(fpPath, true)
     os.write(fp.getBytes("UTF-8")); os.close()
     // manifest body to a temp name, then rename into place: rename is
     // atomic on a local FS (and on HDFS) — readers see no manifest or
-    // the complete one, never a prefix
-    val tmp = new org.apache.hadoop.fs.Path(r, "_graft_log/v0.txt.tmp")
+    // the complete one, never a prefix. A same-fingerprint racer that
+    // beat us to the rename left an equivalent commit (the build is
+    // deterministic), so a failed rename falls through to the
+    // read-back below; the rename RESULT is checked either way
+    // (ADVICE r16 — silent false meant an unpublished commit).
+    val mfPath = Layout.manifestPath(r, 0)
+    val tmp = new org.apache.hadoop.fs.Path(r, s"_graft_log/v0.txt.$ver.tmp")
     Layout.writeManifest(hfs, tmp, files,
       Layout.footerStats(spark, r, files, statsCol))
-    hfs.rename(tmp, Layout.manifestPath(r, 0))
+    hfs.delete(mfPath, false)
+    if (!hfs.rename(tmp, mfPath) && !hfs.exists(mfPath))
+      throw new IllegalStateException(
+        s"AnnIndexStore.commit($kind, $dir): manifest rename failed " +
+          s"and no manifest exists — $tmp -> $mfPath")
     commits.incrementAndGet()
     readCommitted(spark, kind, dir, fp).getOrElse(
       throw new IllegalStateException(

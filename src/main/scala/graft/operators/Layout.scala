@@ -584,7 +584,7 @@ object Layout {
       root: org.apache.hadoop.fs.Path, files: Seq[String],
       column: String): Map[String, (Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
+    files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(root, f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -600,8 +600,10 @@ object Layout {
             }
           }
         }
-        require(mn <= mx, s"no $column statistics in $f")
-        f -> (mn, mx)
+        // a zero-row part file has no column statistics — emit a
+        // stat-less manifest line for it (the parser tolerates both;
+        // ADVICE r16: the old require made an empty artifact a crash)
+        if (mn <= mx) Some(f -> (mn, mx)) else None
       } finally r.close()
     }.toMap
   }
