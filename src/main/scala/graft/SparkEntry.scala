@@ -364,6 +364,134 @@ object SparkEntry {
        |ORDER BY step""".stripMargin
   }
 
+  /** The token_bpe oracle (VERDICT r16 item 5 — the last non-streaming
+    * no-oracle key): the two-pass batched learner AND the greedy merge
+    * APPLY replayed end-to-end in DuckDB. Same trajectory-replay
+    * technique as [[bpeTrainOracleSql]] — the per-word greedy loop
+    * ("merge ALL occurrences of the lowest-rank adjacent pair, repeat")
+    * unrolls as MATERIALIZED CTE stages over the delimited word state
+    * ('<a><b>…'; replace('<a><b>','<ab>') is the left-to-right
+    * merge-all, exactly [[graft.operators.TextAnalysis.bpeEncodeWord]]).
+    * Seven stages suffice: each live stage shortens a word's symbol
+    * sequence by ≥1 and the pre-tokenizer's longest word is 8 chars
+    * (max over the corpus AND the mult-10/100 generators, whose only
+    * longer-word source is 6-digit doc ids); converged words pass
+    * through stages as no-ops (NULL best pair → state unchanged).
+    * arg_min picks each word's lowest-rank pair (ranks are unique by
+    * row_number, so the argmin is total). Pass-B rank offset is
+    * count(pa), not the 128 cap — the learner's zipWithIndex continues
+    * from however many pairs pass A actually produced. */
+  private def bpeApplyOracleSql: String = {
+    val Stages = 7
+    val MergeIdBase = graft.operators.TextAnalysis.BpeMergeIdBase
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    def loopStages(prefix: String, init: String, ranks: String)
+        : (String, String) = {
+      val ctes = (1 to Stages).map { i =>
+        val prev = if (i == 1) init else s"$prefix${i - 1}"
+        val cur = s"$prefix$i"
+        s"""${cur}b AS MATERIALIZED (
+           |  SELECT word, arg_min(lsym, rnk) AS la, arg_min(rsym, rnk) AS lb
+           |  FROM (
+           |    SELECT p.word, p.lsym, p.rsym, r.rnk
+           |    FROM (
+           |      SELECT word, unnest(ss[1:len(ss)-1]) AS lsym,
+           |             unnest(ss[2:len(ss)]) AS rsym
+           |      FROM (SELECT word, string_split(substr(state, 2,
+           |                   len(state) - 2), '><') AS ss FROM $prev)
+           |    ) p JOIN $ranks r ON p.lsym = r.lsym AND p.rsym = r.rsym
+           |  ) GROUP BY word
+           |), $cur AS MATERIALIZED (
+           |  SELECT e.word,
+           |         CASE WHEN b.word IS NULL THEN e.state
+           |              ELSE replace(e.state,
+           |                           '<' || b.la || '><' || b.lb || '>',
+           |                           '<' || b.la || b.lb || '>') END
+           |           AS state
+           |  FROM $prev e LEFT JOIN ${cur}b b USING (word)
+           |)""".stripMargin
+      }.mkString(", ")
+      (ctes, s"$prefix$Stages")
+    }
+    val (stA, lastA) = loopStages("ea", "e0", "pa")
+    val (stF, lastF) = loopStages("ef", "e0", "ranks")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(trim(text)),
+       |               '$re')) AS w FROM documents)
+       |  GROUP BY 1
+       |), e0 AS MATERIALIZED (
+       |  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS state
+       |  FROM w0
+       |), paw AS MATERIALIZED (
+       |  SELECT lsym, rsym, CAST(sum(n) AS BIGINT) AS wgt
+       |  FROM (SELECT unnest(ss[1:len(ss)-1]) AS lsym,
+       |               unnest(ss[2:len(ss)]) AS rsym, n
+       |        FROM (SELECT string_split(substr(state, 2,
+       |                     len(state) - 2), '><') AS ss, n
+       |              FROM e0 JOIN w0 USING (word)))
+       |  GROUP BY 1, 2
+       |), pa AS MATERIALIZED (
+       |  SELECT lsym, rsym,
+       |         CAST(row_number() OVER (ORDER BY wgt DESC, lsym, rsym)
+       |              AS BIGINT) - 1 AS rnk
+       |  FROM paw ORDER BY wgt DESC, lsym, rsym LIMIT 128
+       |), $stA, pbw AS MATERIALIZED (
+       |  SELECT lsym, rsym, CAST(sum(n) AS BIGINT) AS wgt
+       |  FROM (SELECT unnest(ss[1:len(ss)-1]) AS lsym,
+       |               unnest(ss[2:len(ss)]) AS rsym, n
+       |        FROM (SELECT string_split(substr(state, 2,
+       |                     len(state) - 2), '><') AS ss, n
+       |              FROM $lastA JOIN w0 USING (word)))
+       |  GROUP BY 1, 2
+       |), pb AS MATERIALIZED (
+       |  SELECT lsym, rsym,
+       |         (SELECT count(*) FROM pa)
+       |           + CAST(row_number() OVER (ORDER BY wgt DESC, lsym,
+       |                  rsym) AS BIGINT) - 1 AS rnk
+       |  FROM pbw ORDER BY wgt DESC, lsym, rsym LIMIT 128
+       |), ranks AS MATERIALIZED (
+       |  SELECT * FROM pa UNION ALL SELECT * FROM pb
+       |), symid AS MATERIALIZED (
+       |  SELECT lsym || rsym AS surface, $MergeIdBase + min(rnk) AS sid
+       |  FROM ranks GROUP BY 1
+       |), $stF, wids AS MATERIALIZED (
+       |  SELECT word, CAST(max(ntk) AS BIGINT) AS n_toks,
+       |         string_agg(CAST(CASE WHEN length(sym) = 1
+       |                              THEN unicode(sym)
+       |                              ELSE s.sid END AS VARCHAR),
+       |                    ' ' ORDER BY pos) AS ids_str
+       |  FROM (SELECT word, unnest(ss) AS sym,
+       |               unnest(range(1, len(ss) + 1)) AS pos,
+       |               len(ss) AS ntk
+       |        FROM (SELECT word, string_split(substr(state, 2,
+       |                     len(state) - 2), '><') AS ss FROM $lastF)) y
+       |  LEFT JOIN symid s ON y.sym = s.surface
+       |  GROUP BY word
+       |), dagg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(max(nw) AS BIGINT) AS n_words,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         string_agg(ids_str, ' ' ORDER BY pos) AS token_ids_str
+       |  FROM (SELECT doc_id, unnest(ws) AS word,
+       |               unnest(range(1, len(ws) + 1)) AS pos,
+       |               len(ws) AS nw
+       |        FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)),
+       |                     '$re') AS ws FROM documents))
+       |  JOIN wids USING (word)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n_words, 0) AS n_words,
+       |       COALESCE(a.n_tokens, 0) AS n_tokens,
+       |       CAST(length(lower(trim(d.text))) AS BIGINT) AS n_chars_norm,
+       |       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       |            THEN round(CAST(length(lower(trim(d.text))) AS DOUBLE)
+       |                       / a.n_tokens, 4) END AS chars_per_token,
+       |       COALESCE(a.token_ids_str, '') AS token_ids_str
+       |FROM documents d LEFT JOIN dagg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // exact 1e-4-unit integer sum (r15 flip-class audit — identical
     // expression in the Spark formulation)
@@ -4204,6 +4332,7 @@ object SparkEntry {
     // Whole-trajectory replay: 10 unrolled MATERIALIZED rounds — see
     // bpeTrainOracleSql.
     "token_bpe_train" -> bpeTrainOracleSql,
+    "token_bpe" -> bpeApplyOracleSql,
 
     // Per-rule UNION replay of the one-pass rule suite; exact counts,
     // the FK rule as a NOT-IN count.

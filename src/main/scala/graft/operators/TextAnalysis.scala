@@ -98,8 +98,11 @@ object TextAnalysis {
   // the same memoization real tokenizer runners use). The greedy merge
   // loop is inherently sequential per word — the same deliberate typed
   // escape hatch as seq_pack_greedy; everything around it stays
-  // relational. No oracle: DuckDB cannot replay a greedy merge fold
-  // (recursive CTE per word per merge); TextAnalysisSpec pins golden
+  // relational. Oracled since r17: the learner AND the greedy apply
+  // replay in DuckDB as unrolled MATERIALIZED CTE stages over the
+  // delimited word state (SparkEntry.bpeApplyOracleSql — the
+  // bpe_train trajectory-replay technique; 7 stages cover the ≤8-char
+  // pre-token vocabulary). TextAnalysisSpec additionally pins golden
   // encodings on a fixed rank table, the decode∘encode = strip-spaces
   // identity on corpus docs, and the id-space partition.
   def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
@@ -150,7 +153,7 @@ object TextAnalysis {
   /** Merged-symbol id space starts above the max Unicode codepoint
     * (0x10FFFF) so char ids (= the codepoint) and merge ids
     * (= base + rank) can never collide. */
-  private[operators] val BpeMergeIdBase = 0x200000L
+  private[graft] val BpeMergeIdBase = 0x200000L
 
   private[operators] def bpeSymbolId(sym: String,
       symIds: collection.Map[String, Long]): Long =

@@ -70,10 +70,12 @@ class GoldenSpec extends SparkSpec {
     // EventAnalyticsSpec; stream_late_data / stream_dedup /
     // stream_join / stream_join_outer / stream_static_join /
     // stream_update_mode → StreamingSpec.
+    // token_bpe left this set in r17: the greedy merge APPLY replays in
+    // DuckDB as unrolled MATERIALIZED CTE stages (bpeApplyOracleSql)
     assert(noOracle === Set(
       "agg_approx_distinct", "sim_ann", "sim_ivfpq", "sim_nndescent",
       "sim_graph_search", "sim_hnsw", "sim_index_refresh",
-      "agg_sketch_rollup", "token_bpe",
+      "agg_sketch_rollup",
       "stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_update_mode",
       "stream_transform_state", "stream_state_ttl",
