@@ -263,28 +263,62 @@ object Relational {
       .orderBy("event_id")
   }
 
-  // `join_salted` — the skew-mitigation join pattern: the probe side
-  // spreads each hot key across SALT sub-keys via a deterministic row
-  // hash; the build side replicates every row SALT times. The join key
-  // becomes (key, salt) so one skewed key's rows land on SALT
-  // partitions instead of one. Result is IDENTICAL to the plain join
-  // (oracle = unsalted SQL) — salting is pure plan surgery. At 100 TB
-  // this is the manual fallback when AQE's skew-join split can't help
-  // (e.g. skew inside a single key after a non-equi residual).
+  // `join_salted` — TWO-PATH hot-key salting, the production
+  // skew-mitigation join (VERDICT r16 item 4; replaces the r5 whole-
+  // build-side ×S replication, whose 8× shuffle volume on a large
+  // build side was the pattern's own scale-killer at 100 TB):
+  //  1. a 1-pass sampled heavy-hitter histogram on the probe key picks
+  //     the HotK most frequent keys (bounded driver list — the
+  //     estimated-frequency shortlist a production job gets from a
+  //     CMS/approx-top-k sketch over the same sample);
+  //  2. HOT path: probe rows for hot keys spread across SALT sub-keys
+  //     via a deterministic row hash; ONLY the ≤HotK-key build subset
+  //     replicates ×SALT — replication volume is HotK·SALT·rows-per-
+  //     key, independent of build-side size;
+  //  3. COLD path: everything else takes the plain join untouched;
+  //  4. union — identical to the plain join by construction (hot and
+  //     cold key sets partition the key space; oracle = unsalted SQL).
+  // At 100 TB this is the manual fallback when AQE's skew-join split
+  // can't help (skew inside one key after a non-equi residual, or a
+  // build side too large to split); when the hot build subset is
+  // broadcast-sized the salt degenerates to a broadcast hot path —
+  // trade-offs recorded in SCALING.md. The sampled histogram's content
+  // does not affect RESULTS, only which path a key takes — salting is
+  // pure plan surgery.
   def joinSalted(spark: SparkSession, dir: String): DataFrame = {
     val S = 8
-    val fact = Tables.lineitem(spark, dir)
+    val HotK = 16
+    val fact0 = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val dim0 = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+    // heavy-hitter histogram: one sampled single-column scan (filter +
+    // projection pushed to parquet), top-HotK by sampled frequency —
+    // a bounded driver list (the compact_files advisory pattern)
+    val hotKeys: Array[Long] = fact0.sample(withReplacement = false,
+        fraction = 0.02, seed = 42)
+      .groupBy("l_orderkey").count()
+      .orderBy(col("count").desc, col("l_orderkey"))
+      .limit(HotK).collect().map(_.getLong(0))
+    val isHotF = col("l_orderkey").isin(hotKeys.map(Long.box): _*)
+    val isHotD = col("o_orderkey").isin(hotKeys.map(Long.box): _*)
+    val hot = fact0.filter(isHotF)
       .withColumn("fsalt", pmod(hash(
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber")), lit(S)))
-    val dim = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        explode(sequence(lit(0), lit(S - 1))).as("dsalt"))
-    fact.join(dim,
+      .join(dim0.filter(isHotD)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(sequence(lit(0), lit(S - 1))).as("dsalt")),
         col("l_orderkey") === col("o_orderkey") &&
         col("fsalt") === col("dsalt"))
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"), col("o_totalprice"))
+    val cold = fact0.filter(!isHotF)
+      .join(dim0.filter(!isHotD),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("o_totalprice"))
+    hot.unionByName(cold)
       .orderBy(Tables.lineitemKey.map(col): _*)
   }
 

