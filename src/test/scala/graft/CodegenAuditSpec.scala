@@ -44,7 +44,8 @@ class CodegenAuditSpec extends SparkSpec {
       "shingle frame as dedup_ngram; the containment tail itself is codegen)"),
     "dedup_incremental" -> ("shingle-construction HOF on both sides of the " +
       "cross-set probe (same machinery as dedup_ngram)"),
-    "dedup_simhash" -> "64-vote fingerprint agg over HOF-built shingle hashes",
+    "dedup_simhash" -> ("packed 16-lane bit-count fingerprint agg (r17) " +
+      "over HOF-built shingle hashes"),
     "text_fingerprint" -> "rolling-hash fingerprint transform() over per-doc shingles",
     "text_repetition" -> "n-gram repetition-ratio HOFs over the shared tokenization",
     "eval_bleu" -> ("bigram construction is the text_repetition transform() " +
