@@ -164,6 +164,26 @@ object Bench {
     // driver never sets it → full suite).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-key HISTORY from the previous run's bench.json (committed
+    // every round, rewritten by this run's first emit — so read it
+    // now). VERDICT r16 item 3: scan_project read 1.1 s (isolated
+    // 0.7 s) with spread ~1 — a contention window covering BOTH of a
+    // floor key's passes defeats the spread gate, and 1.1 sits under
+    // the absolute outlier cutoff's 1.2 s floor. Magnitude-vs-HISTORY
+    // is the tell the absolute cutoff can't see: a key whose min
+    // exceeds max(1.5× its previous-run min, prev + 0.3 s) gets the
+    // same end-of-run re-measure as the absolute outliers. Extra
+    // passes only lower mins; a REAL regression just confirms itself
+    // at the cost of 1-2 passes, and keys without history (first run,
+    // new keys) are skipped.
+    val prevMins: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench.json"))
+        val body = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
     val (streamNames, batchNames) =
       SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))
@@ -431,16 +451,21 @@ object Bench {
     Seq("q6", "agg_group").filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
       .foreach(runOnce)
-    // Streaming infra warm-up, untimed (r16): with single-pass streaming
-    // the first streaming key would otherwise absorb the per-JVM cost of
-    // the first streaming query on each demo session flavor (listener/
-    // metric registration on the plain session, RocksDB provider init on
-    // the rocks session — ~5 s total, observed as stream_dedup's 7.7 s
-    // cold vs 2.1 s warm pass). One cheap key per provider flavor pays
-    // it outside the measurement.
+    // Streaming infra warm-up, untimed (r16; comment righted per ADVICE
+    // r16 — streaming keys kept their 2 passes after the single-pass
+    // A/B was reverted, so this protects the first streaming key's
+    // COLD-pass wall time, not its reported min): the first streaming
+    // query on each demo session flavor pays per-JVM costs (listener/
+    // metric registration on the plain session, RocksDB provider init
+    // on the rocks session — ~5 s total, observed as stream_dedup's
+    // 7.7 s cold vs 2.1 s warm pass). One cheap key per provider
+    // flavor pays it outside the measurement. Same only-filter as the
+    // batch warm-ups: a filtered A/B run must not execute unrelated
+    // untimed streaming queries.
     if (streamNames.nonEmpty)
       Seq("stream_update_mode", "stream_transform_state")
         .filter(SparkEntry.queries.contains)
+        .filter(n => only.forall(_.contains(n)))
         .foreach(runOnce)
     graft.operators.Caches.releaseAll()
     // First sweep: every key once through measure(), flushing bench.json
@@ -497,7 +522,14 @@ object Bench {
         val outliers = results.toSeq.collect {
           case (n, runs) if !streamingFixed(n) && runs.min > cutoff => n
         }
-        outliers.foreach { name =>
+        // history-based regressions (see prevMins): below the absolute
+        // cutoff but well above the key's own previous-run min
+        val regressed = results.toSeq.collect {
+          case (n, runs) if !streamingFixed(n) && runs.min <= cutoff &&
+            prevMins.get(n).exists(p =>
+              runs.min > math.max(1.5 * p, p + 0.3)) => n
+        }
+        (outliers ++ regressed).foreach { name =>
           remeasured += name
           // same per-key storage isolation as measure(): the re-run
           // times the key's own working set, not the previous key's
@@ -505,8 +537,12 @@ object Bench {
           val times = scala.collection.mutable.ArrayBuffer(results(name): _*)
           times += timed(name)
           // second extra pass only if the first didn't already collapse
-          // the reading (saves a pass on every genuinely-slow key)
-          if (times.min > cutoff) times += timed(name)
+          // the reading (saves a pass on every genuinely-slow key);
+          // history-flagged keys collapse at their own per-key bar
+          val bar = if (outliers.contains(name)) cutoff
+            else prevMins.get(name)
+              .map(p => math.max(1.5 * p, p + 0.3)).getOrElse(cutoff)
+          if (times.min > bar) times += timed(name)
           results(name) = times.toSeq
           emit(finalEmit = false)
         }

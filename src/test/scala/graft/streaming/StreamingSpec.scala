@@ -484,7 +484,12 @@ class StreamingSpec extends SparkSpec
     val outDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
     val rowsPerFile = 10
-    val nFiles = 8
+    // 32-file backlog (ADVICE r16 flake risk): between pollUntil seeing
+    // 3 committed batches and q1.stop() landing, a fast machine can
+    // drain several more one-file micro-batches; the kill-lands-mid-
+    // stream assertion needs the backlog deep enough that the stop
+    // reliably beats a full drain.
+    val nFiles = 32
     val s2 = s
     import s2.implicits._
     (0 until nFiles).foreach { f =>
