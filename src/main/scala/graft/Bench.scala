@@ -164,9 +164,9 @@ object Bench {
     // driver never sets it → full suite).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Per-key HISTORY from the previous run's bench.json (committed
-    // every round, rewritten by this run's first emit — so read it
-    // now). VERDICT r16 item 3: scan_project read 1.1 s (isolated
+    // Per-key HISTORY from the previous run's bench.json (gitignored
+    // but persistent on the build host across rounds; rewritten by
+    // this run's first emit — so read it now). VERDICT r16 item 3: scan_project read 1.1 s (isolated
     // 0.7 s) with spread ~1 — a contention window covering BOTH of a
     // floor key's passes defeats the spread gate, and 1.1 sits under
     // the absolute outlier cutoff's 1.2 s floor. Magnitude-vs-HISTORY
