@@ -975,6 +975,14 @@ object Streams {
   // overwrite of touched partitions), the same bounded increment the
   // batch key argues.
   def streamMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    // The shared demo session's tiny-micro-batch tuning (NO_CODEGEN,
+    // 2 shuffle partitions) holds for THIS key too, although its
+    // batches carry ~100k rows: a dedicated codegen'd 8-partition
+    // session was A/B'd in r17 and measured 4.6 s vs 4.1-4.3 s
+    // same-host — the per-batch cost is the target re-list + parquet
+    // write + stream commit machinery, not expression eval, so the
+    // Janino compiles only added latency. Reverted; decomposition in
+    // SCALING.md r17 perf notes.
     val s = demoSession(spark)
     val path = graft.sources.FormatSources.exportPath("smergetgt", dir)
     graft.operators.Layout.mergeBase(spark, dir)
