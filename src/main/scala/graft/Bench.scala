@@ -70,6 +70,19 @@ object Bench {
     * on 1.0 — future tuning would have trusted the wrong number). */
   private[graft] val SlowKeySec = 1.0
 
+  /** Per-key mins from a previous run's bench.json text — the history
+    * source for the end-of-run regression re-measure. The `queries`
+    * object is flat ("name":seconds pairs, no nesting), so a bounded
+    * regex read suffices; malformed/partial files parse to whatever
+    * pairs are intact (the caller treats absence as "no history").
+    * GoldenSpec pins the shape against a real emitted line. */
+  private[graft] def parsePrevMins(txt: String): Map[String, Double] = {
+    val body = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   private[graft] val streamingFixed =
     Set("stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_sink_files",
@@ -177,13 +190,8 @@ object Bench {
     // at the cost of 1-2 passes, and keys without history (first run,
     // new keys) are skipped.
     val prevMins: Map[String, Double] =
-      try {
-        val txt = Files.readString(Paths.get("bench.json"))
-        val body = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
+      try parsePrevMins(Files.readString(Paths.get("bench.json")))
+      catch { case _: Exception => Map.empty }
     val (streamNames, batchNames) =
       SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))

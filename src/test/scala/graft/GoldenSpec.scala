@@ -89,6 +89,25 @@ class GoldenSpec extends SparkSpec {
     assert(SparkEntry.queries.size === 288)
   }
 
+  test("bench history parser: per-key mins read back from an emitted " +
+      "line; malformed input degrades to no-history") {
+    // r17: the end-of-run regression re-measure compares against the
+    // previous run's bench.json — pin the parse against the emitted
+    // shape (flat "queries" object ahead of nested telemetry objects).
+    val line = """{"metric":"total","value":154.065,"unit":"sec",""" +
+      """"queries":{"q6":0.2,"scan_project":0.669906395,""" +
+      """"join_salted":1.27},"spread":{"q6":1.013},""" +
+      """"passes":{"q6":[[0.1,1.0,0.4]]},"remeasured":[],"sf":"x"}"""
+    val m = Bench.parsePrevMins(line)
+    assert(m === Map("q6" -> 0.2, "scan_project" -> 0.669906395,
+      "join_salted" -> 1.27))
+    // spread/passes values must NOT leak into history: the queries
+    // object is matched first and the regex stops at its closing brace
+    assert(!m.contains("spread"))
+    assert(Bench.parsePrevMins("not json at all") === Map.empty)
+    assert(Bench.parsePrevMins("""{"queries":{}}""") === Map.empty)
+  }
+
   test("bench census integrity: streaming classification is explicit") {
     // VERDICT r13 item 5: Bench.streamingFixed and the census had no
     // cross-check — a streaming key missing from the set would silently

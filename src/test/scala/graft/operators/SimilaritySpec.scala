@@ -421,4 +421,41 @@ class SimilaritySpec extends SparkSpec {
     assert(annAfter === annBefore, "committed IVF index served different rows")
     Caches.releaseAll()
   }
+
+  test("AnnIndexStore: an explicitly committed EMPTY artifact is a " +
+      "valid hit — served with its schema, never rebuilt, never a crash") {
+    // ADVICE r16: a build that legitimately produces zero rows (e.g. a
+    // corpus too small to draw any upper-layer HNSW vertex) must
+    // commit and serve like any artifact. The commit stores a
+    // schema.json sidecar; a zero-file manifest reads back as an empty
+    // frame with that schema, and the second (cold) serve performs no
+    // new commit — proof it read the artifact instead of re-running
+    // the build (the build thunk throws if evaluated).
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("lvl", IntegerType), StructField("v", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // spec-local kind → spec-local root; wipe any prior run's commit
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annidx_specempty_${graft.Util.pathTag(sf)}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(root)
+    val c0 = AnnIndexStore.commits.get()
+    val served = AnnIndexStore.serve(spark, "specempty", sf,
+      "specempty.v1", "v")(empty)
+    assert(served.count() === 0L)
+    assert(served.schema.fieldNames.toSeq === Seq("lvl", "v"))
+    assert(AnnIndexStore.commits.get() === c0 + 1)
+    val served2 = AnnIndexStore.serve(spark, "specempty", sf,
+      "specempty.v1", "v")(
+      throw new IllegalStateException(
+        "build must not run — the empty artifact is committed"))
+    assert(served2.count() === 0L)
+    assert(served2.schema.fieldNames.toSeq === Seq("lvl", "v"))
+    assert(AnnIndexStore.commits.get() === c0 + 1,
+      "cold serve of the empty artifact re-committed")
+  }
 }
