@@ -83,6 +83,14 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The `sf` field of a previous bench.json — ADVICE r17: a history
+    * file from a DIFFERENT scale factor (e.g. a local sf0.01 A/B run)
+    * would trip the regression bar on most keys and burn 1-2 extra
+    * re-measure passes each. A mismatched (or missing) sf is treated as
+    * no-history by the caller. */
+  private[graft] def parsePrevSf(txt: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
   private[graft] val streamingFixed =
     Set("stream_late_data", "stream_dedup", "stream_join",
       "stream_join_outer", "stream_static_join", "stream_sink_files",
@@ -190,7 +198,13 @@ object Bench {
     // at the cost of 1-2 passes, and keys without history (first run,
     // new keys) are skipped.
     val prevMins: Map[String, Double] =
-      try parsePrevMins(Files.readString(Paths.get("bench.json")))
+      try {
+        val txt = Files.readString(Paths.get("bench.json"))
+        // sf-mismatch → no history (ADVICE r17): comparing an sf0.1 run
+        // against sf0.01 history would flag most keys as "regressed"
+        if (parsePrevSf(txt).contains(sfDir)) parsePrevMins(txt)
+        else Map.empty[String, Double]
+      }
       catch { case _: Exception => Map.empty }
     val (streamNames, batchNames) =
       SparkEntry.queries.keys.toSeq.sorted
@@ -354,10 +368,22 @@ object Bench {
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // HOST-RELATIVE column (VERDICT r17 item 2): this host's baseline
+      // drifts ~1.4× between measurement windows (q6 0.13-0.37 s across
+      // rounds), which has miscalibrated three per-key done-bars stated
+      // in absolute seconds. q6 is the flagship control measured every
+      // run — each key's min/q6-min ratio is the window-invariant
+      // number; BASELINE.md restates the open bars in these units.
+      val q6Min = best.collectFirst { case ("q6", v) => v }
+      val ratios = q6Min.map { q6 =>
+        best.map { case (k, v) => "\"" + k + "\":" + r3(v / q6) }
+          .mkString("{", ",", "}")
+      }.getOrElse("{}")
       val json =
         s"""{"metric":"total","value":$headlineJson,"unit":"sec",$partial""" +
         s""""n_done":${results.size},"n_total":$nTotal,"queries":$qs,""" +
-        s""""spread":$spread,"streaming_fixed_sec":$streamingSec,""" +
+        s""""spread":$spread,"q6_ratio":$ratios,""" +
+        s""""streaming_fixed_sec":$streamingSec,""" +
         s""""n_errors":${errors.size},"errors":$errs,""" +
         s""""passes":$loads,"remeasured":$remeas,"sf":"$sfDir"}"""
       try Files.writeString(Paths.get("bench.json"), json)
@@ -531,11 +557,26 @@ object Bench {
           case (n, runs) if !streamingFixed(n) && runs.min > cutoff => n
         }
         // history-based regressions (see prevMins): below the absolute
-        // cutoff but well above the key's own previous-run min
+        // cutoff but well above the key's own previous-run min. The
+        // previous min is HOST-NORMALIZED first (VERDICT r17 item 2):
+        // scaled by this run's q6 min over the previous run's q6 min —
+        // the q6 control drifts ~1.4× with the host window, and an
+        // un-normalized bar either flags a dozen phantom regressions in
+        // a slow window or misses real ones in a fast window. Clamped to
+        // [0.7, 2.0] so a q6 outlier can't disable the guard entirely.
+        val hostScale: Double = (for {
+          q6Prev <- prevMins.get("q6")
+          q6Now <- results.get("q6").map(_.min)
+          if q6Prev > 0
+        } yield math.min(2.0, math.max(0.7, q6Now / q6Prev)))
+          .getOrElse(1.0)
+        def historyBar(prev: Double): Double = {
+          val p = prev * hostScale
+          math.max(1.5 * p, p + 0.3)
+        }
         val regressed = results.toSeq.collect {
           case (n, runs) if !streamingFixed(n) && runs.min <= cutoff &&
-            prevMins.get(n).exists(p =>
-              runs.min > math.max(1.5 * p, p + 0.3)) => n
+            prevMins.get(n).exists(p => runs.min > historyBar(p)) => n
         }
         (outliers ++ regressed).foreach { name =>
           remeasured += name
@@ -548,8 +589,7 @@ object Bench {
           // the reading (saves a pass on every genuinely-slow key);
           // history-flagged keys collapse at their own per-key bar
           val bar = if (outliers.contains(name)) cutoff
-            else prevMins.get(name)
-              .map(p => math.max(1.5 * p, p + 0.3)).getOrElse(cutoff)
+            else prevMins.get(name).map(historyBar).getOrElse(cutoff)
           if (times.min > bar) times += timed(name)
           results(name) = times.toSeq
           emit(finalEmit = false)

@@ -376,7 +376,12 @@ object SparkEntry {
     * sequence by ≥1 and the pre-tokenizer's longest word is 8 chars
     * (max over the corpus AND the mult-10/100 generators, whose only
     * longer-word source is 6-digit doc ids); converged words pass
-    * through stages as no-ops (NULL best pair → state unchanged).
+    * through stages as no-ops (NULL best pair → state unchanged). A
+    * `guard` CTE (ADVICE r17) makes the unroll assumption SELF-CHECK:
+    * if any post-final-stage word still carries a rank-table pair (a
+    * 9+-char alpha run the stage count didn't cover), the oracle
+    * errors with a message naming the stage cap instead of silently
+    * hash-mismatching the engine's fully-converged output.
     * arg_min picks each word's lowest-rank pair (ranks are unique by
     * row_number, so the argmin is total). Pass-B rank offset is
     * count(pa), not the 128 cap — the learner's zipWithIndex continues
@@ -455,7 +460,23 @@ object SparkEntry {
        |), symid AS MATERIALIZED (
        |  SELECT lsym || rsym AS surface, $MergeIdBase + min(rnk) AS sid
        |  FROM ranks GROUP BY 1
-       |), $stF, wids AS MATERIALIZED (
+       |), $stF, guard AS MATERIALIZED (
+       |  SELECT CASE WHEN count(*) = 0 THEN 0
+       |              ELSE length(error('token_bpe oracle: '
+       |                || count(*) || ' words still carry a mergeable '
+       |                || 'pair after $Stages unrolled stages - the '
+       |                || 'corpus has a longer pre-token than the '
+       |                || 'unroll assumed; raise Stages')) END AS ok
+       |  FROM (
+       |    SELECT p.word
+       |    FROM (
+       |      SELECT word, unnest(ss[1:len(ss)-1]) AS lsym,
+       |             unnest(ss[2:len(ss)]) AS rsym
+       |      FROM (SELECT word, string_split(substr(state, 2,
+       |                   len(state) - 2), '><') AS ss FROM $lastF)
+       |    ) p JOIN ranks r ON p.lsym = r.lsym AND p.rsym = r.rsym
+       |  )
+       |), wids AS MATERIALIZED (
        |  SELECT word, CAST(max(ntk) AS BIGINT) AS n_toks,
        |         string_agg(CAST(CASE WHEN length(sym) = 1
        |                              THEN unicode(sym)
@@ -489,6 +510,7 @@ object SparkEntry {
        |                       / a.n_tokens, 4) END AS chars_per_token,
        |       COALESCE(a.token_ids_str, '') AS token_ids_str
        |FROM documents d LEFT JOIN dagg a USING (doc_id)
+       |CROSS JOIN guard
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3695,6 +3717,86 @@ object SparkEntry {
     // it shares the batch key's oracle — a full correctness gate on a
     // streaming key, not a spec-only check.
     "stream_merge_cdc" -> mergedStateOracle,
+
+    // Batch replay of dropDuplicatesWithinWatermark's deterministic
+    // 3-batch run (VERDICT r17 item 5 — the merge_cdc argument extended:
+    // the emission history is a pure function of the declared input, so
+    // the streaming key carries a FULL oracle, not just the spec pin).
+    // Semantics replayed relationally, batch by unrolled batch:
+    //  - the watermark in effect DURING batch b is max event time of
+    //    the EARLIER batches − 10 min (Spark watermarks lag one batch);
+    //  - a row emits iff no PREVIOUSLY EMITTED row with its key is
+    //    still live (first occurrence's ts + 10 min ≥ current
+    //    watermark); dropped duplicates do NOT refresh state — state
+    //    entries come only from emitted rows, which is what makes the
+    //    unrolled-stage replay exact.
+    "stream_dedup" ->
+      """WITH inp(batch, event_id, ts, value) AS (VALUES
+        |  (0, 1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+        |  (0, 2, TIMESTAMP '2024-01-01 10:01:00', 2.0),
+        |  (1, 1, TIMESTAMP '2024-01-01 10:02:00', 99.0),
+        |  (1, 3, TIMESTAMP '2024-01-01 10:03:00', 3.0),
+        |  (1, 99, TIMESTAMP '2024-01-01 12:00:00', 9.0),
+        |  (2, 1, TIMESTAMP '2024-01-01 12:30:00', 4.0)
+        |), wm AS (
+        |  SELECT batch,
+        |         coalesce(max(mx) OVER (ORDER BY batch
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND 1 PRECEDING) - INTERVAL 10 MINUTE,
+        |                  TIMESTAMP '1970-01-01 00:00:00') AS w
+        |  FROM (SELECT batch, max(ts) AS mx FROM inp GROUP BY batch)
+        |), e0 AS (
+        |  SELECT event_id, ts, value FROM inp WHERE batch = 0
+        |), e1 AS (
+        |  SELECT i.event_id, i.ts, i.value FROM inp i, wm
+        |  WHERE i.batch = 1 AND wm.batch = 1
+        |    AND NOT EXISTS (SELECT 1 FROM e0 p
+        |                    WHERE p.event_id = i.event_id
+        |                      AND p.ts + INTERVAL 10 MINUTE >= wm.w)
+        |), e2 AS (
+        |  SELECT i.event_id, i.ts, i.value FROM inp i, wm
+        |  WHERE i.batch = 2 AND wm.batch = 2
+        |    AND NOT EXISTS (SELECT 1 FROM (SELECT * FROM e0
+        |                                   UNION ALL SELECT * FROM e1) p
+        |                    WHERE p.event_id = i.event_id
+        |                      AND p.ts + INTERVAL 10 MINUTE >= wm.w)
+        |)
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(value AS DOUBLE) AS value
+        |FROM (SELECT event_id, value FROM e0
+        |      UNION ALL SELECT event_id, value FROM e1
+        |      UNION ALL SELECT event_id, value FROM e2)
+        |ORDER BY event_id, value""".stripMargin,
+
+    // Batch replay of the stream-static anti-join's deterministic
+    // 2-batch run (VERDICT r17 item 5): STATELESS per-batch semantics
+    // means the emission set is exactly "input rows whose normalized
+    // content hash misses the historical dimension" — within-stream
+    // duplicates pass through by contract, so both novel-text rows
+    // emit. The dup text is the corpus's first doc, referenced from the
+    // documents table itself; the hash replay is the dedup_exact
+    // normalizer fold (NFD+STRIPMARK before lower, ws collapse, trim).
+    "stream_static_join" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT sha256(trim(regexp_replace(
+        |    lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')))
+        |    AS h
+        |  FROM documents
+        |), dup0 AS (
+        |  SELECT text FROM documents ORDER BY doc_id LIMIT 1
+        |), inp(new_id, text) AS (
+        |  SELECT CAST(1000 AS BIGINT), (SELECT text FROM dup0)
+        |  UNION ALL SELECT 1001,
+        |    'graft stream static join novel text never in corpus'
+        |  UNION ALL SELECT 1002,
+        |    'graft stream static join novel text never in corpus'
+        |  UNION ALL SELECT 1003, (SELECT text FROM dup0)
+        |)
+        |SELECT new_id FROM inp
+        |WHERE sha256(trim(regexp_replace(
+        |        lower(strip_accents(nfc_normalize(text))),
+        |        '\s+', ' ', 'g'))) NOT IN (SELECT h FROM hist)
+        |ORDER BY new_id""".stripMargin,
 
     // every output precision/scale pinned to Spark's widening results:
     // sum(12,2) → (22,2), (12,2)×(3,2) → (16,4), its sum → (26,4);

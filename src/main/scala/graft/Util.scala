@@ -17,6 +17,14 @@ object Util {
       .digest(path.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
 
+  /** Full SHA-256 hex of a string — the ANN index store folds its
+    * multi-line corpus fingerprint into one manifest header line with
+    * this (a prefix-truncated digest would be pathTag; identity checks
+    * keep all 256 bits). */
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** Full JSON string escaping (backslash, quote, ALL control chars) —
     * any free text spliced into a machine-parsed single-line JSON
     * record (Bench's error map, SpillRehearsal's per-key error) must

@@ -545,10 +545,13 @@ object Dedup {
     // vote recovers exactly as v_b = 2·c_b − n: bit set ⟺ v_b > 0 ⟺
     // 2·c_b > n, including the tie (v_b = 0 → clear) — identical
     // fingerprints to the per-bit formula the DuckDB oracle replays.
-    // Lane bound: a doc would need ≥ 65536 shingles to overflow a
-    // lane; shingles are per-doc word 5-grams, 2–3 decimal orders
-    // below that at any corpus scale (doc length is bounded by the
-    // ingest contract, not the corpus size).
+    // Lane bound (corrected r18, ADVICE r17): the top lane occupies
+    // bits 48–63 of the SIGNED sum, so the first overflow is at
+    // ≥ 32768 set shingles in lane 3 (2^15 · 2^48 = 2^63 crosses
+    // Long.MaxValue — and would throw under ANSI mode), not the full
+    // 16-bit 65536. Still 2–3 decimal orders above any real doc:
+    // shingles are per-doc word 5-grams and doc length is bounded by
+    // the ingest contract, not the corpus size.
     val packed = (0 until 16).map { j =>
       sum((0 until 4).map(l => shiftleft(bitOf(4 * j + l), 16 * l))
         .reduce(_ + _)).as(s"p$j")
@@ -576,7 +579,14 @@ object Dedup {
   // Candidate join is banded — never all-pairs. Deterministic (md5 is
   // seedless and stable).
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(Tables.documents(spark, dir))
+    // PERSISTED (r18, VERDICT r17 item 4): the fingerprint frame feeds
+    // BOTH sides of the banded self-join below, and without the persist
+    // each side re-ran the whole tokenize+shingle+md5+agg pipeline —
+    // the key's declared dominant cost, paid twice. The cached frame is
+    // one (doc_id, long) row per document — negligible storage at any
+    // corpus scale — and the shingle scan now runs exactly once.
+    val fp = Caches.register(simhash(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(array(

@@ -455,14 +455,93 @@ object Layout {
           .as("cents"),
         col("op"))
 
+  /** Cached metadata of a partitioned parquet MERGE target, for sinks
+    * that apply many changelog batches to the SAME table (the streaming
+    * CDC sink). `spark.read.parquet(root)` re-lists the whole table and
+    * re-infers the schema on EVERY batch — at 100 TB that root listing
+    * is ~100k files of driver-side metadata work repeated per
+    * micro-batch, and it was the measured fixed cost of
+    * stream_merge_cdc's batches (SCALING.md r17 decomposition). This is
+    * the manifest a lakehouse format (Delta/Iceberg) would keep in its
+    * commit log: the schema, read once, and the per-partition file
+    * lists, re-listed after a merge ONLY for the partitions that merge
+    * touched. Readers get the identical frame `read.parquet(root)`
+    * + partition-pruning-join would produce — file-level pruning
+    * replaces the broadcast join entirely. */
+  private[graft] final class MergeTargetCache(spark: SparkSession,
+      path: String, partCol: String) {
+    private val root = new org.apache.hadoop.fs.Path(path)
+    private val fs =
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+    /** Read once at construction — the merge never evolves the schema. */
+    val schema: org.apache.spark.sql.types.StructType =
+      spark.read.parquet(path).schema
+    private val files =
+      scala.collection.mutable.Map.empty[String, Seq[String]]
+    refresh(allPartitionValues())
+
+    private def allPartitionValues(): Seq[String] =
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partCol="))
+        .map(_.getPath.getName.stripPrefix(s"$partCol="))
+
+    private def listDataFiles(value: String): Seq[String] = {
+      val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$value")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(_.getPath.toString)
+    }
+
+    /** Re-list ONLY the given partition values (post-merge: the merge
+      * rewrote exactly these; an insert may have created a new dir). */
+    def refresh(values: Seq[String]): Unit =
+      values.foreach(v => files(v) = listDataFiles(v))
+
+    /** The target rows of the given partitions — what
+      * `read.parquet(root).join(broadcast(touched))` computes, by file
+      * pruning instead of a scan+join. `basePath` keeps the partition
+      * column alive when reading leaf files directly. */
+    def read(sess: SparkSession, values: Seq[String]): DataFrame = {
+      val fsel = values.flatMap(v => files.getOrElse(v, Seq.empty))
+      if (fsel.isEmpty)
+        sess.createDataFrame(
+          sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        sess.read.option("basePath", path).schema(schema)
+          .parquet(fsel: _*)
+    }
+  }
+
   /** Apply a changelog to an existing partitioned target at `path` —
     * factored out so SourcesSpec can checksum untouched partitions
-    * between the base write and the merge. */
+    * between the base write and the merge. With a [[MergeTargetCache]]
+    * (the streaming CDC sink passes one) the target read is file-pruned
+    * off the cached manifest instead of a per-batch root re-list +
+    * schema inference; result state is identical either way
+    * (StreamMergeSpec pins streaming-equals-batch on top of the cache). */
   private[graft] def mergeApply(spark: SparkSession, path: String,
-      chg: DataFrame): Unit = {
-    val touched = chg.select("event_type").distinct()
-    val target = spark.read.parquet(path)
-      .join(broadcast(touched), Seq("event_type"))
+      chg: DataFrame, cache: Option[MergeTargetCache] = None): Unit = {
+    val touchedVals: Option[Seq[String]] = cache.map { _ =>
+      chg.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    // empty changelog batch → nothing touched, nothing to do. This
+    // doubles as the cached path's emptiness check: the streaming sink
+    // calls straight in without a separate isEmpty job per micro-batch
+    // (the distinct-collect above already scanned the batch).
+    if (touchedVals.exists(_.isEmpty)) return
+    val target = cache match {
+      case Some(c) => c.read(spark, touchedVals.get)
+      case None =>
+        val touched = chg.select("event_type").distinct()
+        spark.read.parquet(path)
+          .join(broadcast(touched), Seq("event_type"))
+    }
     val merged = target.as("t")
       .join(chg.as("c"), col("t.event_id") === col("c.event_id"),
         "full_outer")
@@ -487,6 +566,9 @@ object Layout {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_type").parquet(path)
+    // dynamic overwrite replaced exactly the touched partitions' files —
+    // bring the manifest forward so the next batch reads the new state
+    cache.foreach(_.refresh(touchedVals.get))
   }
 
   def mergeInto(spark: SparkSession, dir: String): DataFrame = {

@@ -706,8 +706,15 @@ object Similarity {
   // output is the approximate-graph regime, so no SQL oracle (the
   // sim_ann class; the declared result is the probes' adjacency).
   //
-  // 100 TB shape: candidate volume is linear in n (n·4k² pairs/round,
-  // cut further by the incremental rule as the graph converges); every
+  // 100 TB shape: candidate volume is linear in n — n·4k² pairs/round
+  // worst case, cut by the incremental rule (only pairs with a fresh
+  // endpoint) and, above 20k vectors, by ρ-SAMPLING (r18, Dong et al.
+  // §2.3): each round gossips a deterministic ρ=0.5 sample of every
+  // vertex's fresh neighbors, un-sampled ones keep their flag for a
+  // later round — the k² is spread over rounds instead of paid per
+  // round, which is the paper's own answer to the build-cost curve
+  // (VERDICT r17 item 3: 824 s + >8 GB driver at 200k/degree-32
+  // without it). Every
   // stage is a bounded hash join or a single-exchange agg — no
   // sequential insert order, no driver state beyond the init modulus.
   // At 1B vectors this is how production builds the graph (NN-Descent/
@@ -757,6 +764,28 @@ object Similarity {
   private def nndCapTag: String =
     sys.env.get("GRAFT_NND_CAP").map(c => s":capenv=$c").getOrElse("")
 
+  /** ρ-sampling rate (×1000) as a function of corpus size — Dong et
+    * al.'s incremental-search cost lever (WWW 2011 §2.3), the half of
+    * the public algorithm r17 left out (VERDICT r17 item 3): each
+    * round gossips only a ρ-sample of every vertex's not-yet-gossiped
+    * (fresh) neighbors; un-sampled fresh edges KEEP their flag and
+    * gossip in a later round, so no novelty is lost — the candidate
+    * k² is spread across rounds instead of paid all at once. The
+    * sample is a deterministic per-(pivot, member, round) Bernoulli
+    * (xxhash64 — no RNG state, the whole trajectory stays a pure
+    * function of the corpus). SCALE-GATED at > 20k vectors: below
+    * that, stage count — not candidate volume — dominates the build
+    * (the r15 new/old-restriction revert), and ρ < 1 only adds rounds;
+    * above it, per-round candidate volume is the measured build cost
+    * (r17: 824 s at 200k, degree 32). GRAFT_NND_RHO overrides (×1000,
+    * e.g. 500), folded into the index fingerprint like the other
+    * dials. */
+  private def nndRhoFor(n: Long): Int =
+    sys.env.get("GRAFT_NND_RHO").map(_.toInt).getOrElse(
+      if (n <= 20000) 1000 else 500)
+  private def nndRhoTag: String =
+    sys.env.get("GRAFT_NND_RHO").map(r => s":rhoenv=$r").getOrElse("")
+
   // The graph as a COMMITTED index (VERDICT r15 item 3): the first
   // build per (corpus, params) runs NN-Descent, commits the result as
   // a `_graft_log`-manifested lakehouse table (AnnIndexStore — stable
@@ -777,7 +806,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => graphMemo.clear())
   private def knnParams =
-    s"knng.v4:kfn=log12:conv=1e-3:capfn=log8$nndCapTag$nndKTag"
+    s"knng.v5:kfn=log12:conv=1e-3:capfn=log8:rho=0.5@>20k" +
+      s"$nndCapTag$nndKTag$nndRhoTag"
   private[operators] def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graphMemo.getOrElseUpdate(dir, {
       val fp = AnnIndexStore.fingerprint(spark, dir, knnParams)
@@ -827,7 +857,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => refreshMemo.clear())
   private def refreshParams =
-    s"knngref.v3:kfn=log12:conv=1e-3:capfn=log8:split=0.9$nndCapTag$nndKTag"
+    s"knngref.v4:kfn=log12:conv=1e-3:capfn=log8:split=0.9:rho=0.5@>20k" +
+      s"$nndCapTag$nndKTag$nndRhoTag"
   private[operators] def refreshedGraph(spark: SparkSession,
       dir: String): DataFrame =
     refreshMemo.getOrElseUpdate(dir, {
@@ -936,27 +967,37 @@ object Similarity {
       .select(col("v"), col("w"),
         round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
           .as("cos"),
-        lit(true).as("fresh"))
+        lit(true).as("fresh"), lit(true).as("isNew"))
     val init = warmStart match {
       case None => freshInit
       case Some(warm) => freshInit.unionByName(
         warm.select(col("v"), col("w"), col("cos"),
-          lit(false).as("fresh")))
+          lit(false).as("fresh"), lit(false).as("isNew")))
     }
+    // Edge flags (reworked for ρ-sampling, r18): `fresh` = not yet
+    // gossiped (survives rounds until the edge is ρ-sampled into a
+    // gossip pass); `isNew` = first entered the graph THIS round (the
+    // paper's update counter — what the δ-convergence criterion
+    // meters; before ρ-sampling the two coincided).
     // merge → dedupe → top-k in ONE exchange: hash partitioning on v
     // satisfies both the (v,w) and the (v) clustering, so the pair-level
     // max/min agg and the per-vertex array cap share the repartition
     def topK(edges: DataFrame, k: Int): DataFrame =
       edges.repartition(col("v"))
         .groupBy(col("v"), col("w"))
-        .agg(max(col("cos")).as("cos"), min(col("fresh")).as("fresh"))
+        // an edge both current AND re-proposed by a candidate pair
+        // keeps the CURRENT row's flags (no re-freshening, no phantom
+        // update): (isNew=false, …) sorts below (true, true)
+        .agg(max(col("cos")).as("cos"),
+          min(struct(col("isNew"), col("fresh"))).as("st"))
         .groupBy(col("v"))
         .agg(slice(array_sort(
-          collect_list(struct(col("cos"), col("w"), col("fresh"))),
+          collect_list(struct(col("cos"), col("w"),
+            col("st.fresh").as("fresh"), col("st.isNew").as("isNew"))),
           byCosDesc), 1, k).as("top"))
         .select(col("v"), explode(col("top")).as("e"))
         .select(col("v"), col("e.w").as("w"), col("e.cos").as("cos"),
-          col("e.fresh").as("fresh"))
+          col("e.fresh").as("fresh"), col("e.isNew").as("isNew"))
     // Per-round eager localCheckpoint — the iterative-loop discipline
     // (dedup_components, pagerank): each round's frame feeds the next
     // round twice (symmetrize) plus the merge, so without a lineage cut
@@ -999,7 +1040,8 @@ object Similarity {
           .groupBy(_.getLong(0))
           .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
       }
-    def traceRound(roundNo: Int, fresh: Long, secs: Double): Unit =
+    def traceRound(roundNo: Int, fresh: Long, cand: Long,
+        secs: Double): Unit =
       traceTruth.foreach { truth =>
         val wt = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
         val got = graph.filter(col("v") < NProbes)
@@ -1011,21 +1053,31 @@ object Similarity {
           (t & got.getOrElse(p, Set.empty)).size }.sum
         val rec = hits.toDouble / truth.map(_._2.size).sum
         println(f"[nnd-trace] label=$label round=$roundNo fresh=$fresh " +
-          f"recall=$rec%.3f secs=$secs%.1f")
+          f"cand=$cand recall=$rec%.3f secs=$secs%.1f")
       }
+    val rho1000 = nndRhoFor(n)
     var roundNo = 0
     var work = 0L
     var freshCount = Long.MaxValue
     while (roundNo < roundCap && freshCount > convergeTarget) {
       roundNo += 1
+      // ρ-sample membership: a deterministic per-(pivot, member, round)
+      // Bernoulli — which fresh memberships gossip THIS round. A pure
+      // function of the trajectory (xxhash64, no RNG state), recomputed
+      // identically where the sampled edge's fresh flag is cleared.
+      def sampled(pivot: Column, member: Column): Column =
+        pmod(xxhash64(lit("nndrho"), pivot, member, lit(roundNo)),
+          lit(1000)) < lit(rho1000)
       // symmetrized adjacency with carried member embeddings, capped at
       // 2k per pivot by score inside the agg (the reverse-sample ρ)
       // mutual edges appear in both directions — dedupe by (v,w) before
       // the member agg (a duplicate member would both waste cap slots
       // and emit self-pairs (x,x) at cos 1.0 into the merge); the
       // repartition(v) lets the (v,w) dedupe and the per-pivot collect
-      // share one exchange, and a membership is fresh if EITHER
-      // contributing direction is new (max = bool OR)
+      // share one exchange; a membership is fresh if EITHER contributing
+      // direction is new (max = bool OR), and it GOSSIPS this round iff
+      // additionally ρ-sampled (`use` — no new stage, just a projected
+      // flag)
       val adj = graph.select(col("v"), col("w"), col("cos"), col("fresh"))
         .union(graph.select(col("w").as("v"), col("v").as("w"),
           col("cos"), col("fresh")))
@@ -1034,36 +1086,54 @@ object Similarity {
         .groupBy(col("v"), col("w"))
         .agg(max(col("cos")).as("cos"), max(col("fresh")).as("fresh"),
           first(col("ew")).as("ew"))
+        .withColumn("use", col("fresh") && sampled(col("v"), col("w")))
         .groupBy(col("v"))
         .agg(slice(array_sort(
-          collect_list(struct(col("cos"), col("w"), col("fresh"), col("ew"))),
+          collect_list(struct(col("cos"), col("w"), col("use"), col("ew"))),
           byCosDesc), 1, 2 * kDeg).as("members"))
       // each unordered neighbor pair once via positional explode; score
       // in place over the carried vectors; the incremental rule drops
-      // old×old pairs (already generated the round one endpoint arrived)
+      // pairs with NO ρ-sampled-fresh endpoint (old×old pairs were
+      // generated the round an endpoint arrived; unsampled-fresh ones
+      // wait for the round their endpoint draws)
       val cand = adj
         .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
         .select(col("a"),
           explode(slice(col("members"), col("i") + lit(2), lit(2 * kDeg)))
             .as("b"))
-        .filter(col("a.fresh") || col("b.fresh"))
+        .filter(col("a.use") || col("b.use"))
         .select(col("a.w").as("v"), col("b.w").as("w"),
           round(graft.functions.CosineSim.cosineSim(col("a.ew"), col("b.ew")), 4)
             .as("cos"))
-      // both directions, merged with the current edges (entering as
-      // fresh=false so min(fresh) marks exactly the never-seen edges)
+      // both directions, merged with the current edges; a current edge
+      // stays fresh only if NEITHER of its memberships was sampled this
+      // round (once gossiped, its novelty is spent — the paper's
+      // sampled→false flag clear); candidates enter fresh AND new, and
+      // topK's struct-min keeps the current row's flags when an edge is
+      // merely re-proposed
       val merged = graph
-        .select(col("v"), col("w"), col("cos"), lit(false).as("fresh"))
-        .union(cand.select(col("v"), col("w"), col("cos"), lit(true).as("fresh")))
+        .select(col("v"), col("w"), col("cos"),
+          (col("fresh") && !sampled(col("v"), col("w")) &&
+            !sampled(col("w"), col("v"))).as("fresh"),
+          lit(false).as("isNew"))
+        .union(cand.select(col("v"), col("w"), col("cos"),
+          lit(true).as("fresh"), lit(true).as("isNew")))
         .union(cand.select(col("w").as("v"), col("v").as("w"), col("cos"),
-          lit(true).as("fresh")))
+          lit(true).as("fresh"), lit(true).as("isNew")))
       val t0 = System.nanoTime()
+      // per-round candidate volume — trace-only instrument (one extra
+      // execution of the candidate stage; the A/B evidence for the
+      // ρ-sampling cost claim in SCALING.md)
+      val candVol = if (traceTruth.isDefined) cand.count() else -1L
       graph = topK(merged, kDeg).localCheckpoint(true)
-      freshCount = graph.filter(col("fresh")).count()
+      // convergence meters UPDATES (edges first entering the graph),
+      // exactly as before ρ-sampling — lingering unsampled fresh flags
+      // must not keep the loop alive once the lists stop changing
+      freshCount = graph.filter(col("isNew")).count()
       work += freshCount
       Caches.releaseCheckpoint(lastCk)
       lastCk = graph
-      traceRound(roundNo, freshCount, (System.nanoTime() - t0) / 1e9)
+      traceRound(roundNo, freshCount, candVol, (System.nanoTime() - t0) / 1e9)
     }
     buildRounds(label) = roundNo
     buildWork(label) = work

@@ -992,28 +992,41 @@ object Streams {
     val chgPath = java.nio.file.Paths.get(
       graft.sources.FormatSources.exportPath("smergechg", dir))
     deleteRecursively(chgPath)
-    // Persist + materialize the changelog BEFORE the three staged
-    // one-file writes (VERDICT r16 item 6): coalesce(1) collapses its
-    // whole input pipeline to ONE task, so un-persisted each staging
-    // write was a single-threaded scan of the full events table (3×);
-    // cached, the parallel scan runs once and each write drains 32
-    // cached blocks in its one task.
+    // Stage the changelog as ONE parallel job (r18, replacing r17's
+    // persist + 3 sequential coalesce(1) writes — measured 1.0 s of the
+    // key's 3.4 s): repartition(3, op) puts each op's rows entirely in
+    // one task (hash is per-value deterministic) and partitionBy("op")
+    // then emits exactly ONE file per op — the three deterministic
+    // micro-batch inputs — from a single parallel scan + 3 write tasks.
+    // Batch ORDER no longer follows op order (one job, near-equal
+    // timestamps), which is fine by construction: the three op slices
+    // touch DISJOINT event_id sets (mod-3/mod-6 classes), so the merged
+    // final state is order-invariant — the same argument that lets this
+    // streaming key carry a full DuckDB oracle.
     val chg = graft.operators.Layout.mergeChangelog(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chg.count()
-    try Seq("I", "U", "D").foreach { op =>
-      chg.filter(col("op") === op).coalesce(1)
-        .write.mode("append").parquet(chgPath.toString)
-    } finally chg.unpersist(false)
+    chg.repartition(3, col("op"))
+      .write.mode("overwrite").partitionBy("op").parquet(chgPath.toString)
     val ckpt = ckptDir("graft_smerge_ckpt_")
+    // The lakehouse manifest, held ACROSS micro-batches (r17 verdict
+    // item 1): schema read once, per-partition file lists re-listed
+    // only for partitions each merge touches. Without it every batch
+    // re-ran a root listing + schema-inference job against the target —
+    // the measured per-batch fixed cost, and at 100 TB a ~100k-file
+    // driver metadata walk per micro-batch. This is exactly what
+    // Delta/Iceberg's commit log amortizes for their streaming MERGE.
+    val manifest =
+      new graft.operators.Layout.MergeTargetCache(s, path, "event_type")
     val q = s.readStream.schema(chg.schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(chgPath.toString)
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty)
-          graft.operators.Layout.mergeApply(b.sparkSession, path, b)
+        // no isEmpty pre-flight: the cached mergeApply's touched-
+        // partition collect doubles as the emptiness check (one job
+        // per batch, not two)
+        graft.operators.Layout.mergeApply(b.sparkSession, path, b,
+          Some(manifest))
       }
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

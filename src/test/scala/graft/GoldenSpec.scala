@@ -71,13 +71,18 @@ class GoldenSpec extends SparkSpec {
     // stream_join / stream_join_outer / stream_static_join /
     // stream_update_mode → StreamingSpec.
     // token_bpe left this set in r17: the greedy merge APPLY replays in
-    // DuckDB as unrolled MATERIALIZED CTE stages (bpeApplyOracleSql)
+    // DuckDB as unrolled MATERIALIZED CTE stages (bpeApplyOracleSql).
+    // stream_dedup + stream_static_join left in r18 (VERDICT r17 item
+    // 5): their deterministic emission histories replay as batch SQL —
+    // the stream_merge_cdc argument (key-disjoint / stateless-per-batch
+    // emissions make the final sink state a pure function of the
+    // declared input).
     assert(noOracle === Set(
       "agg_approx_distinct", "sim_ann", "sim_ivfpq", "sim_nndescent",
       "sim_graph_search", "sim_hnsw", "sim_index_refresh",
       "agg_sketch_rollup",
-      "stream_late_data", "stream_dedup", "stream_join",
-      "stream_join_outer", "stream_static_join", "stream_update_mode",
+      "stream_late_data", "stream_join",
+      "stream_join_outer", "stream_update_mode",
       "stream_transform_state", "stream_state_ttl",
       "stream_foreachbatch"))
     // No orphan oracles: SQL for a key that isn't declared would make
@@ -106,6 +111,11 @@ class GoldenSpec extends SparkSpec {
     assert(!m.contains("spread"))
     assert(Bench.parsePrevMins("not json at all") === Map.empty)
     assert(Bench.parsePrevMins("""{"queries":{}}""") === Map.empty)
+    // r18 (ADVICE r17): the sf field rides along so a history file from
+    // a different scale factor can be rejected instead of tripping the
+    // regression bar on every key
+    assert(Bench.parsePrevSf(line) === Some("x"))
+    assert(Bench.parsePrevSf("no sf here") === None)
   }
 
   test("bench census integrity: streaming classification is explicit") {
