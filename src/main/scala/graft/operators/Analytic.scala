@@ -27,7 +27,12 @@ object Analytic {
 
   // Q14 `agg_approx_distinct` — HyperLogLog++ distinct. At 100 TB this is
   // the only sane distinct: fixed-size sketch, merged map-side, no
-  // shuffle of distinct values. Unit-tested vs exact (±5%), no SQL oracle.
+  // shuffle of distinct values. Unit-tested vs exact (±5%), no SQL
+  // oracle — and provably CAN'T have one, even in an exactness regime
+  // (adjudicated r18, SURVEY §2B Q14): Spark's implementation omits
+  // HLL++'s sparse (exact-below-threshold) mode, so there is no
+  // cardinality at which the estimate is contractually exact, and
+  // DuckDB's HLL uses a different hash besides.
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")

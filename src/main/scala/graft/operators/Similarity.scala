@@ -708,13 +708,13 @@ object Similarity {
   //
   // 100 TB shape: candidate volume is linear in n — n·4k² pairs/round
   // worst case, cut by the incremental rule (only pairs with a fresh
-  // endpoint) and, above 20k vectors, by ρ-SAMPLING (r18, Dong et al.
-  // §2.3): each round gossips a deterministic ρ=0.5 sample of every
-  // vertex's fresh neighbors, un-sampled ones keep their flag for a
-  // later round — the k² is spread over rounds instead of paid per
-  // round, which is the paper's own answer to the build-cost curve
-  // (VERDICT r17 item 3: 824 s + >8 GB driver at 200k/degree-32
-  // without it). Every
+  // endpoint). Dong et al.'s ρ-SAMPLING refinement is implemented in
+  // full (per-direction pending flags, sampled new'×(new'∪old') pair
+  // rule — the nndRhoFor dial) and was MEASURED AGAINST at mult-100:
+  // on this overlap-starved corpus the volume is either conserved
+  // (new-side-only ρ: −7 % total) or bought with recall (paper rule:
+  // 0.94 → 0.69) — the three-arm A/B is in VERIFY_sf1.md r18, and the
+  // default stays ρ=1 (bit-identical trajectory to r17). Every
   // stage is a bounded hash join or a single-exchange agg — no
   // sequential insert order, no driver state beyond the init modulus.
   // At 1B vectors this is how production builds the graph (NN-Descent/
@@ -764,25 +764,31 @@ object Similarity {
   private def nndCapTag: String =
     sys.env.get("GRAFT_NND_CAP").map(c => s":capenv=$c").getOrElse("")
 
-  /** ρ-sampling rate (×1000) as a function of corpus size — Dong et
-    * al.'s incremental-search cost lever (WWW 2011 §2.3), the half of
-    * the public algorithm r17 left out (VERDICT r17 item 3): each
-    * round gossips only a ρ-sample of every vertex's not-yet-gossiped
-    * (fresh) neighbors; un-sampled fresh edges KEEP their flag and
-    * gossip in a later round, so no novelty is lost — the candidate
-    * k² is spread across rounds instead of paid all at once. The
-    * sample is a deterministic per-(pivot, member, round) Bernoulli
-    * (xxhash64 — no RNG state, the whole trajectory stays a pure
-    * function of the corpus). SCALE-GATED at > 20k vectors: below
-    * that, stage count — not candidate volume — dominates the build
-    * (the r15 new/old-restriction revert), and ρ < 1 only adds rounds;
-    * above it, per-round candidate volume is the measured build cost
-    * (r17: 824 s at 200k, degree 32). GRAFT_NND_RHO overrides (×1000,
-    * e.g. 500), folded into the index fingerprint like the other
-    * dials. */
+  /** ρ-sampling rate (×1000) — Dong et al.'s incremental-search cost
+    * lever (WWW 2011 §2.3), implemented in full in r18 (VERDICT r17
+    * item 3: per-direction pending flags, sampled new' × (new' ∪
+    * old') pair rule, δ scaled by ρ) and then MEASURED AGAINST at
+    * mult-100, where it lost the adjudication — default stays ρ=1:
+    *
+    *   ρ=1 (control, degree 32, 200k): 1016 M candidates, 10 rounds,
+    *     recall 0.94;
+    *   ρ=0.5 new-side only: peak round 376→282 M (−25 %) but TOTAL
+    *     940 M (−7 % — volume deferred, not cut), 18 rounds, 0.92;
+    *   ρ=0.5 both-endpoints (the paper's rule, ρ² flood cut): round-1
+    *     376→94 M and total ~420 M, but recall COLLAPSES to 0.69 by
+    *     plateau (26 rounds).
+    *
+    * The same overlap starvation that rules out LSH on this corpus
+    * (dedup_embedding note) and forced the degree scale dial (r17)
+    * makes gossip volume load-bearing: you pay the k² or you pay it
+    * in recall. Full traces in VERIFY_sf1.md r18. The machinery stays
+    * (deterministic per-(pivot, member, round) xxhash64 Bernoulli —
+    * no RNG state; at ρ=1 it is provably inert and the trajectory is
+    * bit-identical to r17's) as an experiment dial: GRAFT_NND_RHO
+    * (×1000, e.g. 500), folded into the index fingerprint like the
+    * other dials so a committed experiment never serves silently. */
   private def nndRhoFor(n: Long): Int =
-    sys.env.get("GRAFT_NND_RHO").map(_.toInt).getOrElse(
-      if (n <= 20000) 1000 else 500)
+    sys.env.get("GRAFT_NND_RHO").map(_.toInt).getOrElse(1000)
   private def nndRhoTag: String =
     sys.env.get("GRAFT_NND_RHO").map(r => s":rhoenv=$r").getOrElse("")
 
@@ -806,7 +812,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => graphMemo.clear())
   private def knnParams =
-    s"knng.v5:kfn=log12:conv=1e-3:capfn=log8:rho=0.5@>20k" +
+    s"knng.v9:kfn=log12:conv=1e-3xrho:dirflags:oldsamp:capfn=log8:rho=1.0" +
       s"$nndCapTag$nndKTag$nndRhoTag"
   private[operators] def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graphMemo.getOrElseUpdate(dir, {
@@ -857,7 +863,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => refreshMemo.clear())
   private def refreshParams =
-    s"knngref.v4:kfn=log12:conv=1e-3:capfn=log8:split=0.9:rho=0.5@>20k" +
+    s"knngref.v8:kfn=log12:conv=1e-3xrho:dirflags:oldsamp:capfn=log8:split=0.9:rho=1.0" +
       s"$nndCapTag$nndKTag$nndRhoTag"
   private[operators] def refreshedGraph(spark: SparkSession,
       dir: String): DataFrame =
@@ -967,18 +973,27 @@ object Similarity {
       .select(col("v"), col("w"),
         round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
           .as("cos"),
-        lit(true).as("fresh"), lit(true).as("isNew"))
+        lit(true).as("freshF"), lit(true).as("freshR"),
+        lit(true).as("isNew"))
     val init = warmStart match {
       case None => freshInit
       case Some(warm) => freshInit.unionByName(
         warm.select(col("v"), col("w"), col("cos"),
-          lit(false).as("fresh"), lit(false).as("isNew")))
+          lit(false).as("freshF"), lit(false).as("freshR"),
+          lit(false).as("isNew")))
     }
-    // Edge flags (reworked for ρ-sampling, r18): `fresh` = not yet
-    // gossiped (survives rounds until the edge is ρ-sampled into a
-    // gossip pass); `isNew` = first entered the graph THIS round (the
+    // Edge flags (reworked for ρ-sampling, r18): novelty is tracked
+    // PER DIRECTION — `freshF` = this edge has not yet gossiped in v's
+    // neighborhood, `freshR` = not yet in w's. The first ρ cut cleared
+    // one flag for both directions (sampled at either pivot → edge
+    // spent), and the mult-100 trace showed why that loses recall: an
+    // edge sampled at v but not at w never mixes into w's neighborhood
+    // at all, and the build plateaus at 0.89 vs full gossip's 0.94.
+    // With per-direction flags every edge still gossips in BOTH
+    // neighborhoods eventually — sampling only SPREADS the k² over
+    // rounds. `isNew` = first entered the graph THIS round (the
     // paper's update counter — what the δ-convergence criterion
-    // meters; before ρ-sampling the two coincided).
+    // meters; before ρ-sampling the flags coincided).
     // merge → dedupe → top-k in ONE exchange: hash partitioning on v
     // satisfies both the (v,w) and the (v) clustering, so the pair-level
     // max/min agg and the per-vertex array cap share the repartition
@@ -987,17 +1002,20 @@ object Similarity {
         .groupBy(col("v"), col("w"))
         // an edge both current AND re-proposed by a candidate pair
         // keeps the CURRENT row's flags (no re-freshening, no phantom
-        // update): (isNew=false, …) sorts below (true, true)
+        // update): (isNew=false, …) sorts below (true, …)
         .agg(max(col("cos")).as("cos"),
-          min(struct(col("isNew"), col("fresh"))).as("st"))
+          min(struct(col("isNew"), col("freshF"), col("freshR")))
+            .as("st"))
         .groupBy(col("v"))
         .agg(slice(array_sort(
           collect_list(struct(col("cos"), col("w"),
-            col("st.fresh").as("fresh"), col("st.isNew").as("isNew"))),
+            col("st.freshF").as("freshF"), col("st.freshR").as("freshR"),
+            col("st.isNew").as("isNew"))),
           byCosDesc), 1, k).as("top"))
         .select(col("v"), explode(col("top")).as("e"))
         .select(col("v"), col("e.w").as("w"), col("e.cos").as("cos"),
-          col("e.fresh").as("fresh"), col("e.isNew").as("isNew"))
+          col("e.freshF").as("freshF"), col("e.freshR").as("freshR"),
+          col("e.isNew").as("isNew"))
     // Per-round eager localCheckpoint — the iterative-loop discipline
     // (dedup_components, pagerank): each round's frame feeds the next
     // round twice (symmetrize) plus the merge, so without a lineage cut
@@ -1020,7 +1038,17 @@ object Similarity {
     // trajectory is deterministic, so the stopping round is a pure
     // function of the corpus — cross-run/cross-topology identity holds.
     // Cost lands only on the one-time committed BUILD, never on serves.
-    val convergeTarget = math.max(1L, (n * kDeg) / 1000) // δ = 0.001
+    // δ scales with ρ (r18, measured at mult-100): sampled gossip
+    // throttles per-round updates by ~ρ, so an un-scaled δ fires while
+    // the lingering unsampled tail is still productive — the ρ=0.5
+    // build converged at round 12 with recall 0.89 (still climbing
+    // +0.03/round) against the full build's 0.94. δ·ρ keeps the
+    // criterion "updates per unit of gossip actually attempted",
+    // letting the cheap tail rounds (~15 s vs round 1's 280 s at 200k)
+    // finish the mixing the early-round sampling deferred.
+    val rho1000 = nndRhoFor(n)
+    val convergeTarget =
+      math.max(1L, (n * kDeg) / 1000 * rho1000 / 1000) // δ = 0.001·ρ
     val roundCap = nndRoundCapFor(n)
     // GRAFT_NND_TRACE: per-round probe recall@10 vs brute force — the
     // tuning instrument behind the scale-envelope numbers in
@@ -1055,7 +1083,6 @@ object Similarity {
         println(f"[nnd-trace] label=$label round=$roundNo fresh=$fresh " +
           f"cand=$cand recall=$rec%.3f secs=$secs%.1f")
       }
-    val rho1000 = nndRhoFor(n)
     var roundNo = 0
     var work = 0L
     var freshCount = Long.MaxValue
@@ -1068,58 +1095,77 @@ object Similarity {
       def sampled(pivot: Column, member: Column): Column =
         pmod(xxhash64(lit("nndrho"), pivot, member, lit(roundNo)),
           lit(1000)) < lit(rho1000)
+      // independent ρ-sample of the OLD side (the paper's old' — Dong
+      // et al. sample BOTH operand sets, new' × (new' ∪ old'), which
+      // is what cuts the per-round flood by ρ² instead of ρ; old
+      // memberships re-draw every round, no flag bookkeeping)
+      def sampledOld(pivot: Column, member: Column): Column =
+        pmod(xxhash64(lit("nndrho2"), pivot, member, lit(roundNo)),
+          lit(1000)) < lit(rho1000)
       // symmetrized adjacency with carried member embeddings, capped at
       // 2k per pivot by score inside the agg (the reverse-sample ρ)
       // mutual edges appear in both directions — dedupe by (v,w) before
       // the member agg (a duplicate member would both waste cap slots
       // and emit self-pairs (x,x) at cos 1.0 into the merge); the
       // repartition(v) lets the (v,w) dedupe and the per-pivot collect
-      // share one exchange; a membership is fresh if EITHER contributing
-      // direction is new (max = bool OR), and it GOSSIPS this round iff
-      // additionally ρ-sampled (`use` — no new stage, just a projected
-      // flag)
-      val adj = graph.select(col("v"), col("w"), col("cos"), col("fresh"))
+      // share one exchange; each direction row carries ITS OWN pending
+      // flag (freshF forward, freshR reversed), max-merged per
+      // membership (bool OR over contributing directions), and the
+      // membership GOSSIPS this round iff additionally ρ-sampled
+      // (`use` — no new stage, just a projected flag)
+      val adj = graph.select(col("v"), col("w"), col("cos"),
+          col("freshF").as("fresh"))
         .union(graph.select(col("w").as("v"), col("v").as("w"),
-          col("cos"), col("fresh")))
+          col("cos"), col("freshR").as("fresh")))
         .join(embW.hint("shuffle_hash"), Seq("w"))
         .repartition(col("v"))
         .groupBy(col("v"), col("w"))
         .agg(max(col("cos")).as("cos"), max(col("fresh")).as("fresh"),
           first(col("ew")).as("ew"))
-        .withColumn("use", col("fresh") && sampled(col("v"), col("w")))
+        .withColumn("useNew", col("fresh") && sampled(col("v"), col("w")))
+        .withColumn("useOld",
+          !col("fresh") && sampledOld(col("v"), col("w")))
         .groupBy(col("v"))
         .agg(slice(array_sort(
-          collect_list(struct(col("cos"), col("w"), col("use"), col("ew"))),
+          collect_list(struct(col("cos"), col("w"),
+            col("useNew"), col("useOld"), col("ew"))),
           byCosDesc), 1, 2 * kDeg).as("members"))
       // each unordered neighbor pair once via positional explode; score
-      // in place over the carried vectors; the incremental rule drops
-      // pairs with NO ρ-sampled-fresh endpoint (old×old pairs were
-      // generated the round an endpoint arrived; unsampled-fresh ones
-      // wait for the round their endpoint draws)
+      // in place over the carried vectors; the incremental rule is the
+      // paper's new' × (new' ∪ old'): a pair participates iff one
+      // endpoint is a ρ-sampled FRESH membership and the other is
+      // sampled too (fresh or old) — at ρ=1 (≤ 20k gate) this reduces
+      // exactly to the old a.fresh || b.fresh rule
       val cand = adj
         .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
         .select(col("a"),
           explode(slice(col("members"), col("i") + lit(2), lit(2 * kDeg)))
             .as("b"))
-        .filter(col("a.use") || col("b.use"))
+        .filter(
+          (col("a.useNew") && (col("b.useNew") || col("b.useOld"))) ||
+          (col("b.useNew") && (col("a.useNew") || col("a.useOld"))))
         .select(col("a.w").as("v"), col("b.w").as("w"),
           round(graft.functions.CosineSim.cosineSim(col("a.ew"), col("b.ew")), 4)
             .as("cos"))
-      // both directions, merged with the current edges; a current edge
-      // stays fresh only if NEITHER of its memberships was sampled this
-      // round (once gossiped, its novelty is spent — the paper's
-      // sampled→false flag clear); candidates enter fresh AND new, and
-      // topK's struct-min keeps the current row's flags when an edge is
+      // both directions, merged with the current edges; each direction
+      // flag clears independently when ITS membership was sampled this
+      // round (once gossiped at that pivot, the novelty there is spent
+      // — the paper's sampled→false flag clear, per direction so the
+      // other neighborhood's mixing is never forfeited); candidates
+      // enter pending in both directions AND new, and topK's
+      // struct-min keeps the current row's flags when an edge is
       // merely re-proposed
       val merged = graph
         .select(col("v"), col("w"), col("cos"),
-          (col("fresh") && !sampled(col("v"), col("w")) &&
-            !sampled(col("w"), col("v"))).as("fresh"),
+          (col("freshF") && !sampled(col("v"), col("w"))).as("freshF"),
+          (col("freshR") && !sampled(col("w"), col("v"))).as("freshR"),
           lit(false).as("isNew"))
         .union(cand.select(col("v"), col("w"), col("cos"),
-          lit(true).as("fresh"), lit(true).as("isNew")))
+          lit(true).as("freshF"), lit(true).as("freshR"),
+          lit(true).as("isNew")))
         .union(cand.select(col("w").as("v"), col("v").as("w"), col("cos"),
-          lit(true).as("fresh"), lit(true).as("isNew")))
+          lit(true).as("freshF"), lit(true).as("freshR"),
+          lit(true).as("isNew")))
       val t0 = System.nanoTime()
       // per-round candidate volume — trace-only instrument (one extra
       // execution of the candidate stage; the A/B evidence for the
