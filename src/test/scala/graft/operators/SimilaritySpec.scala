@@ -458,4 +458,36 @@ class SimilaritySpec extends SparkSpec {
     assert(AnnIndexStore.commits.get() === c0 + 1,
       "cold serve of the empty artifact re-committed")
   }
+
+  test("AnnIndexStore: the fingerprint rides in the manifest header — " +
+      "identity and file list commit atomically, a stale fp misses") {
+    // ADVICE r17 (medium): the old separate fingerprint.txt could pair
+    // a NEW fingerprint with an OLD manifest during the publish window,
+    // serving a stale artifact under the new identity. The fingerprint
+    // is now a sha-256 header line INSIDE the manifest, so one atomic
+    // replace commits both. Pins: (1) the committed manifest's first
+    // line is the fp header; (2) readCommitted with a DIFFERENT fp
+    // returns None (miss → rebuild), with the same fp returns the rows.
+    import org.apache.spark.sql.functions.col
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annidx_spechdr_${graft.Util.pathTag(sf)}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(root)
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("v", "w")
+    val fp = "spechdr-params\nfile-a:1:2"
+    val served = AnnIndexStore.commit(spark, "spechdr", sf, df, "v", fp)
+    assert(served.orderBy(col("v")).collect().map(_.getLong(1)).toSeq
+      === Seq(10L, 20L))
+    val mf = java.nio.file.Paths.get(root.toString, "_graft_log", "v0.txt")
+    val firstLine = java.nio.file.Files.readAllLines(mf).get(0)
+    assert(firstLine === s"#fp_sha256=${graft.Util.sha256Hex(fp)}",
+      s"manifest header is not the fingerprint hash: $firstLine")
+    assert(AnnIndexStore.readCommitted(spark, "spechdr", sf, fp).isDefined)
+    assert(AnnIndexStore.readCommitted(spark, "spechdr", sf,
+      fp + ":changed").isEmpty,
+      "a mismatched fingerprint must MISS, not serve the old artifact")
+  }
 }

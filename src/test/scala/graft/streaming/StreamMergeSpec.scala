@@ -38,4 +38,57 @@ class StreamMergeSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq
     assert(afterU === streamed)
   }
+
+  test("MergeTargetCache: an insert that CREATES a partition is " +
+      "discovered by refresh; an empty batch is a no-op; cached reads " +
+      "track every rewrite") {
+    // r18: the streaming CDC sink holds this cache across micro-batches
+    // (schema once, per-partition file lists re-listed only for touched
+    // partitions). The production changelog only touches partitions
+    // that already exist, so the refresh-discovers-a-NEW-dir path and
+    // the empty-batch early return need their own pins.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mtc_spec_").toString
+    Seq((1L, "click", 10L, 100L), (2L, "view", 20L, 200L))
+      .toDF("event_id", "event_type", "user_id", "cents")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val cache = new Layout.MergeTargetCache(spark, path, "event_type")
+    // batch 1: INSERT into a partition the target has never had
+    Layout.mergeApply(spark, path,
+      Seq((5L, "npe", 50L, 500L, "I"))
+        .toDF("event_id", "event_type", "user_id", "cents", "op"),
+      Some(cache))
+    // batch 2: UPDATE the freshly created partition — the cached read
+    // must see batch 1's file (refresh discovered the new dir), or the
+    // full-outer merge would treat id 5 as unmatched and the 'U' would
+    // no-op
+    Layout.mergeApply(spark, path,
+      Seq((5L, "npe", 50L, 999L, "U"))
+        .toDF("event_id", "event_type", "user_id", "cents", "op"),
+      Some(cache))
+    // batch 3: EMPTY changelog — must return without writing
+    val filesBefore = spark.read.parquet(path).inputFiles.sorted.toSeq
+    Layout.mergeApply(spark, path,
+      Seq.empty[(Long, String, Long, Long, String)]
+        .toDF("event_id", "event_type", "user_id", "cents", "op"),
+      Some(cache))
+    assert(spark.read.parquet(path).inputFiles.sorted.toSeq === filesBefore,
+      "an empty changelog batch rewrote the target")
+    val state = spark.read.parquet(path)
+      .select("event_id", "event_type", "cents")
+      .orderBy("event_id").collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(state === Seq((1L, "click", 100L), (2L, "view", 200L),
+      (5L, "npe", 999L)),
+      s"cached-manifest merges diverged from expected state: $state")
+    // and the cache-read equals a fresh root read for the new partition
+    val cached = cache.read(spark, Seq("npe"))
+      .select("event_id", "cents").collect().toSeq
+    val fresh = spark.read.parquet(path)
+      .filter(col("event_type") === "npe")
+      .select("event_id", "cents").collect().toSeq
+    assert(cached === fresh)
+  }
 }
