@@ -812,7 +812,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => graphMemo.clear())
   private def knnParams =
-    s"knng.v9:kfn=log12:conv=1e-3xrho:dirflags:oldsamp:capfn=log8:rho=1.0" +
+    s"knng.v10:kfn=log12:conv=1e-3xrho:dirflags:oldsamp:capfn=log8:rho=1.0:init=ivfhalf(ivf.v1)" +
       s"$nndCapTag$nndKTag$nndRhoTag"
   private[operators] def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graphMemo.getOrElseUpdate(dir, {
@@ -905,11 +905,15 @@ object Similarity {
   }
 
   /** Full k-NN graph build (NN-Descent): directed top-[[GraphK]] edges
-    * (v, w, cos) per vertex as an eager localCheckpoint frame. */
+    * (v, w, cos) per vertex as an eager localCheckpoint frame.
+    * The MAIN build seeds half of each vertex's init edges from its own
+    * committed IVF list (`seedDir`) — see the init comment in
+    * [[buildKnnGraphFrom]]; the refresh-tier builds keep pure random
+    * init (their params/artifacts are unchanged by r18). */
   private def buildKnnGraph(spark: SparkSession, dir: String): DataFrame =
     buildKnnGraphFrom(spark, "full:" + dir,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      warmStart = None)
+      warmStart = None, seedDir = Some(dir))
 
   /** Stopping round and total update work (Σ per-round fresh-edge
     * counts — the gossip volume the convergence counter meters) of the
@@ -934,7 +938,8 @@ object Similarity {
     * versa). Convergence then terminates in the few rounds the delta
     * actually needs instead of the full build's budget. */
   private[operators] def buildKnnGraphFrom(spark: SparkSession, label: String,
-      emb: DataFrame, warmStart: Option[DataFrame]): DataFrame = {
+      emb: DataFrame, warmStart: Option[DataFrame],
+      seedDir: Option[String] = None): DataFrame = {
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
     val n = emb.count()
@@ -962,11 +967,50 @@ object Similarity {
         .join(warm.select(col("v").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
     }
-    val freshInit = initVerts.select(col("vec_id").as("v"),
-        explode(sequence(lit(0), lit(kDeg - 1))).as("i"))
+    // Init neighbor draw. Pure random (md5 over a dense-id modulus) for
+    // the refresh-tier builds; the MAIN build (seedDir set) seeds HALF
+    // of each vertex's init edges from its own committed IVF list
+    // (r18): round 1 of NN-Descent over random init gossips
+    // neighborhoods that are uniformly wrong (probe recall 0.01 after
+    // round 1 at 200k) — its n·4k² pairs are the single biggest build
+    // cost and almost all wasted. Same-list members are
+    // centroid-screened plausible neighbors, so the flood rounds start
+    // from real structure; the OTHER half stays random because
+    // cluster-seeded-only init would localize the gossip (boundary
+    // vertices whose true neighbors sit in the adjacent list need the
+    // global mixing random edges provide). Element picks happen inside
+    // transform() BEFORE the explode, so the per-list member array is
+    // never copied into exploded rows. The 32-row (list → members)
+    // table broadcasts (≤ n ids total); at 1B vectors the per-list
+    // arrays outgrow a broadcast and this becomes a plain hash join on
+    // list_id — same shape, bigger exchange. Determinism: the IVF
+    // assignment is a COMMITTED artifact (fingerprint-addressed), and
+    // the picks are xxhash64 of (v, i) — the whole init is a pure
+    // function of (corpus, committed index), no RNG state.
+    val halfK = kDeg / 2
+    val randFrom = seedDir.map(_ => halfK).getOrElse(0)
+    val randomInit = initVerts.select(col("vec_id").as("v"),
+        explode(sequence(lit(randFrom), lit(kDeg - 1))).as("i"))
       .select(col("v"),
         pmod(conv(substring(md5(concat(lit("nnd:"), col("v"), lit(":"),
           col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("w"))
+    val initPairs = seedDir match {
+      case None => randomInit
+      case Some(d) =>
+        val listed = ivfIndex(spark, d)._2
+          .select(col("vec_id"), col("list_id"))
+        val listArr = broadcast(listed.groupBy("list_id")
+          .agg(sort_array(collect_list(col("vec_id"))).as("members")))
+        val seeded = initVerts.join(listed, Seq("vec_id"))
+          .join(listArr, Seq("list_id"))
+          .select(col("vec_id").as("v"),
+            explode(transform(sequence(lit(0), lit(halfK - 1)), i =>
+              element_at(col("members"),
+                (pmod(xxhash64(lit("nndseed"), col("vec_id"), i),
+                  size(col("members"))) + 1).cast("int")))).as("w"))
+        seeded.unionByName(randomInit)
+    }
+    val freshInit = initPairs
       .filter(col("v") =!= col("w")).distinct()
       .join(embV.hint("shuffle_hash"), Seq("v"))
       .join(embW.hint("shuffle_hash"), Seq("w"))
