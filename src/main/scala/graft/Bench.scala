@@ -558,25 +558,35 @@ object Bench {
         }
         // history-based regressions (see prevMins): below the absolute
         // cutoff but well above the key's own previous-run min. The
-        // previous min is HOST-NORMALIZED first (VERDICT r17 item 2):
-        // scaled by this run's q6 min over the previous run's q6 min —
-        // the q6 control drifts ~1.4× with the host window, and an
-        // un-normalized bar either flags a dozen phantom regressions in
-        // a slow window or misses real ones in a fast window. Clamped to
-        // [0.7, 2.0] so a q6 outlier can't disable the guard entirely.
-        val hostScale: Double = (for {
-          q6Prev <- prevMins.get("q6")
-          q6Now <- results.get("q6").map(_.min)
-          if q6Prev > 0
-        } yield math.min(2.0, math.max(0.7, q6Now / q6Prev)))
-          .getOrElse(1.0)
-        def historyBar(prev: Double): Double = {
-          val p = prev * hostScale
+        // previous min is HOST-NORMALIZED first (VERDICT r17 item 2,
+        // reworked per ADVICE r18): the host ratio is the MEDIAN of
+        // now/prev over ALL batch keys present in both runs — a single
+        // control (the old q6 anchor) let a genuine q6-only regression
+        // raise its own bar (and everyone else's) up to the clamp, so
+        // a real q6 slowdown was structurally unflaggable. The median
+        // over ~270 keys tracks the host window while any one key's
+        // true regression is an outlier that cannot move it; belt and
+        // braces, the key under test is EXCLUDED from its own median.
+        // Clamped to [0.7, 2.0] so a polluted history can't disable
+        // the guard entirely.
+        val hostRatios: Seq[(String, Double)] = results.toSeq.collect {
+          case (n, runs) if !streamingFixed(n) &&
+            prevMins.get(n).exists(_ > 0) =>
+            (n, runs.min / prevMins(n))
+        }
+        def hostScaleFor(key: String): Double = {
+          val rs = hostRatios.collect {
+            case (n, r) if n != key => r }.sorted
+          if (rs.isEmpty) 1.0
+          else math.min(2.0, math.max(0.7, rs(rs.length / 2)))
+        }
+        def historyBar(key: String, prev: Double): Double = {
+          val p = prev * hostScaleFor(key)
           math.max(1.5 * p, p + 0.3)
         }
         val regressed = results.toSeq.collect {
           case (n, runs) if !streamingFixed(n) && runs.min <= cutoff &&
-            prevMins.get(n).exists(p => runs.min > historyBar(p)) => n
+            prevMins.get(n).exists(p => runs.min > historyBar(n, p)) => n
         }
         (outliers ++ regressed).foreach { name =>
           remeasured += name
@@ -589,7 +599,8 @@ object Bench {
           // the reading (saves a pass on every genuinely-slow key);
           // history-flagged keys collapse at their own per-key bar
           val bar = if (outliers.contains(name)) cutoff
-            else prevMins.get(name).map(historyBar).getOrElse(cutoff)
+            else prevMins.get(name).map(historyBar(name, _))
+              .getOrElse(cutoff)
           if (times.min > bar) times += timed(name)
           results(name) = times.toSeq
           emit(finalEmit = false)

@@ -91,6 +91,8 @@ object SparkEntry {
     "sim_graph_search" -> (Similarity.simGraphSearch _),
     "sim_hnsw"        -> (Similarity.simHnsw _),
     "sim_index_refresh" -> (Similarity.simIndexRefresh _),
+    "sim_index_delete"  -> (Similarity.simIndexDelete _),
+    "sim_filtered_graph" -> (Similarity.simFilteredGraph _),
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "text_stats"      -> (TextAnalysis.textStats _),
     "token_count"     -> (TextAnalysis.tokenCount _),
@@ -229,6 +231,7 @@ object SparkEntry {
     "snapshot_expire" -> (Layout.snapshotExpire _),
     "snapshot_skipping" -> (Layout.snapshotSkipping _),
     "snapshot_concurrent" -> (Layout.snapshotConcurrent _),
+    "merge_concurrent"  -> (Layout.mergeConcurrent _),
     "join_grid_2d" -> (Relational.joinGrid2d _),
     "agg_retract" -> (EventAnalytics.aggRetract _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
@@ -3798,6 +3801,74 @@ object SparkEntry {
         |        '\s+', ' ', 'g'))) NOT IN (SELECT h FROM hist)
         |ORDER BY new_id""".stripMargin,
 
+    // Batch replay of the stream-stream inner join's deterministic
+    // single-round run (VERDICT r18 item 1): inner time-range matches
+    // emit as soon as both sides are present in a batch — watermarks
+    // govern state EVICTION only, never emission — and all rows are
+    // delivered before the first trigger, so the emission set equals
+    // the batch theta-join exactly. Ad 2's +45 min click is excluded
+    // by the join condition itself, batch-independently.
+    "stream_join" ->
+      """WITH imp(ad_id, imp_ts) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-01 10:00:00'),
+        |  (2, TIMESTAMP '2024-01-01 10:05:00'),
+        |  (3, TIMESTAMP '2024-01-01 10:10:00')
+        |), clk(c_ad_id, click_ts) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-01 10:20:00'),
+        |  (2, TIMESTAMP '2024-01-01 10:50:00'),
+        |  (3, TIMESTAMP '2024-01-01 10:15:00')
+        |)
+        |SELECT CAST(ad_id AS BIGINT) AS ad_id,
+        |       CAST(date_diff('second', imp_ts, click_ts) AS BIGINT)
+        |         AS delay_sec
+        |FROM imp JOIN clk
+        |  ON ad_id = c_ad_id
+        | AND click_ts >= imp_ts
+        | AND click_ts <= imp_ts + INTERVAL 30 MINUTE
+        |ORDER BY ad_id""".stripMargin,
+
+    // Batch replay of the watermarked tumbling-window append-mode run
+    // (VERDICT r18 item 1 — the stream_dedup unrolling technique over
+    // WINDOW state): the watermark in effect DURING batch b is the max
+    // event time of EARLIER batches − 10 min (Spark watermarks lag one
+    // batch); an input row is DROPPED iff its window's end ≤ that
+    // watermark (the state for that window is already finalized); a
+    // window EMITS in append mode iff its end ≤ the FINAL watermark
+    // (later windows are still open when the query stops). Both
+    // addData blocks of round 1 share batch 0 — no row of either block
+    // can be dropped under any split of them (the earliest possible
+    // inter-block watermark, 09:55, predates every window), so the
+    // replay is split-robust.
+    "stream_late_data" ->
+      """WITH inp(batch, ts, value) AS (VALUES
+        |  (0, TIMESTAMP '2024-01-01 10:01:00', 1.0),
+        |  (0, TIMESTAMP '2024-01-01 10:05:00', 2.0),
+        |  (0, TIMESTAMP '2024-01-01 10:12:00', 4.0),
+        |  (0, TIMESTAMP '2024-01-01 10:25:00', 8.0),
+        |  (1, TIMESTAMP '2024-01-01 10:03:00', 100.0),
+        |  (1, TIMESTAMP '2024-01-01 10:45:00', 16.0)
+        |), wm AS (
+        |  SELECT batch,
+        |         coalesce(max(mx) OVER (ORDER BY batch
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND 1 PRECEDING) - INTERVAL 10 MINUTE,
+        |                  TIMESTAMP '1970-01-01 00:00:00') AS w
+        |  FROM (SELECT batch, max(ts) AS mx FROM inp GROUP BY batch)
+        |), kept AS (
+        |  SELECT time_bucket(INTERVAL 10 MINUTE, i.ts) AS ws, i.value
+        |  FROM inp i JOIN wm ON wm.batch = i.batch
+        |  WHERE time_bucket(INTERVAL 10 MINUTE, i.ts)
+        |        + INTERVAL 10 MINUTE > wm.w
+        |), fin AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM inp
+        |)
+        |SELECT ws, count(*) AS n,
+        |       round(sum(CAST(value AS DOUBLE)), 4) AS sum_value
+        |FROM kept, fin
+        |GROUP BY ws, fin.w
+        |HAVING ws + INTERVAL 10 MINUTE <= fin.w
+        |ORDER BY ws""".stripMargin,
+
     // every output precision/scale pinned to Spark's widening results:
     // sum(12,2) → (22,2), (12,2)×(3,2) → (16,4), its sum → (26,4);
     // DuckDB's own widths (38,·) CAST down so the typed compare sees
@@ -3995,6 +4066,22 @@ object SparkEntry {
         |         * CASE event_type WHEN 'click' THEN 2
         |                           WHEN 'view' THEN 3
         |                           ELSE 1 END AS cents,
+        |       event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // The racing MERGE writers' updates COMMUTE (+10 on mod-3 ids,
+    // +100 on mod-5 — overlap on mod-15 gets both), so the serial
+    // order the version CAS forces is irrelevant to the final state:
+    // a green hash certifies no lost update survived the conflict
+    // (the loser recomputed on the winner's base, not over it). The
+    // winner/loser mechanics are pinned in SnapshotSpec.
+    "merge_concurrent" ->
+      """SELECT event_id, user_id,
+        |       CAST(round(value * 100) AS BIGINT)
+        |         + CASE WHEN event_id % 3 = 0 THEN 10 ELSE 0 END
+        |         + CASE WHEN event_id % 5 = 0 THEN 100 ELSE 0 END
+        |         AS cents,
         |       event_type
         |FROM events
         |ORDER BY event_id""".stripMargin,

@@ -480,14 +480,31 @@ object Layout {
       scala.collection.mutable.Map.empty[String, Seq[String]]
     refresh(allPartitionValues())
 
+    // Partition dir names are hive-style ESCAPED (Spark's partitionBy
+    // percent-encodes `=`, `/`, `%`, … and writes null as
+    // __HIVE_DEFAULT_PARTITION__) — the cache maps dirs ↔ values
+    // through the same codec Spark's writer uses, so a changelog value
+    // like "a=b" round-trips instead of silently missing in read()
+    // (which would make the full-outer merge treat existing rows as
+    // absent and no-op the U/D side). Null partition values remain
+    // out of contract: the changelog's merge key column is non-null
+    // by construction and nulls never reach partitionBy.
+    private def escape(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+    private def unescape(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v)
+
     private def allPartitionValues(): Seq[String] =
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(s"$partCol="))
-        .map(_.getPath.getName.stripPrefix(s"$partCol="))
+        .map(s => unescape(s.getPath.getName.stripPrefix(s"$partCol=")))
 
     private def listDataFiles(value: String): Seq[String] = {
-      val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$value")
+      val dir =
+        new org.apache.hadoop.fs.Path(root, s"$partCol=${escape(value)}")
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
         .filter { s =>
@@ -881,6 +898,59 @@ object Layout {
   // partitions plus both writers' files, winner's v1 shares every
   // untouched file with v0) are pinned in SnapshotSpec.
   // -------------------------------------------------------------------
+  /** Highest committed version in a table's `_graft_log`. */
+  private[graft] def logLatestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Int = {
+    val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt
+      }.max
+  }
+
+  /** Spin-read a manifest that a racing writer may be mid-publish on —
+    * only covers the loser polling for the winner's commit; a visible
+    * manifest is always complete (see [[tryCommitManifest]]). */
+  private[graft] def readManifestWaitFor(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Int): Seq[String] = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var out = Seq.empty[String]
+    while (out.isEmpty) {
+      val p = manifestPath(root, v)
+      if (fs.exists(p) && fs.getFileStatus(p).getLen > 0)
+        out = readManifest(fs, p)
+      else if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"optimistic commit: manifest v$v never became readable")
+      else Thread.sleep(2)
+    }
+    out
+  }
+
+  /** Atomic create-exclusive publish of manifest v (ADVICE r14): body
+    * first to a private temp file, then hard-link it to the version
+    * slot — createLink fails with FileAlreadyExistsException exactly
+    * like O_CREAT|O_EXCL, and the full body appears in ONE step (the
+    * local-FS stand-in for HDFS create-no-overwrite / an object
+    * store's conditional PUT). A claim-then-write would leave a gap
+    * where a racing reader's len>0 check observes a partial body and
+    * the loser rebases on a truncated manifest. */
+  private[graft] def tryCommitManifest(root: org.apache.hadoop.fs.Path,
+      v: Int, files: Seq[String]): Boolean = {
+    val p = java.nio.file.Paths.get(manifestPath(root, v).toUri.getPath)
+    val tmp = p.resolveSibling(s".v$v-${Thread.currentThread().getId}.tmp")
+    java.nio.file.Files.write(tmp,
+      files.sorted.mkString("\n").getBytes("UTF-8"))
+    try java.nio.file.Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); return false
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
+    true
+  }
+
   private[graft] case class SnapConcStats(
       path: String,
       v0: Seq[String],
@@ -918,47 +988,11 @@ object Layout {
     val filesByPart = Map("click" -> appendRewrite("click", 2),
       "view" -> appendRewrite("view", 3))
 
-    def latestVersion(): Int = {
-      val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
-      fs.listStatus(logDir).map(_.getPath.getName)
-        .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-          s.stripPrefix("v").stripSuffix(".txt").toInt
-        }.max
-    }
-    def readManifestWait(v: Int): Seq[String] = {
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var out = Seq.empty[String]
-      while (out.isEmpty) {
-        val p = manifestPath(root, v)
-        if (fs.exists(p) && fs.getFileStatus(p).getLen > 0)
-          out = readManifest(fs, p)
-        else if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"snapshot_concurrent: manifest v$v never became readable")
-        else Thread.sleep(2)
-      }
-      out
-    }
-    // Atomic publish (ADVICE r14): body first to a private temp file,
-    // then hard-link it to the version slot — createLink fails with
-    // FileAlreadyExistsException exactly like O_CREAT|O_EXCL, and the
-    // full body appears in ONE step. The previous claim-then-write
-    // (createFile, then Files.write) left a gap where a racing reader's
-    // len>0 check could observe a partially-visible body and the loser
-    // would rebase on a truncated manifest.
-    def tryCommit(v: Int, files: Seq[String]): Boolean = {
-      val p = java.nio.file.Paths.get(manifestPath(root, v).toUri.getPath)
-      val tmp = p.resolveSibling(s".v$v-${Thread.currentThread().getId}.tmp")
-      java.nio.file.Files.write(tmp,
-        files.sorted.mkString("\n").getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(p, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp); return false
-      }
-      java.nio.file.Files.deleteIfExists(tmp)
-      true
-    }
+    def latestVersion(): Int = logLatestVersion(fs, root)
+    def readManifestWait(v: Int): Seq[String] =
+      readManifestWaitFor(fs, root, v)
+    def tryCommit(v: Int, files: Seq[String]): Boolean =
+      tryCommitManifest(root, v, files)
 
     // The barrier sits between manifest PREPARATION and the first
     // commit attempt: both writers provably read base v0 and race the
@@ -1009,6 +1043,117 @@ object Layout {
 
   def snapshotConcurrent(spark: SparkSession, dir: String): DataFrame = {
     val stats = snapConcBuild(spark, dir)
+    readSnapshot(spark, stats.path, 2)
+      .selectExpr("event_id", "user_id", "cents", "event_type")
+      .orderBy("event_id")
+  }
+
+  // `merge_concurrent` — concurrent-MERGE conflict detection (VERDICT
+  // r18 item 7), the write-write half of the optimistic-commit story:
+  // `snapshot_concurrent`'s racers touch DISJOINT partitions, so the
+  // loser may keep its already-written data files and merely REBASE
+  // its manifest. Two concurrent MERGEs whose key sets OVERLAP cannot:
+  // the loser's output was COMPUTED from a base the winner just
+  // replaced, and publishing it would silently erase the winner's
+  // update — the classic lost update. The protocol here is what
+  // Delta's OptimisticTransaction does on a true conflict: the version
+  // CAS (atomic create-exclusive of manifest v+1, the same primitive
+  // as snapshot_concurrent) DETECTS that the base moved, and the loser
+  // DISCARDS its staged output and re-runs the whole merge on the
+  // winner's committed state before retrying. Staged-but-never-
+  // committed files are invisible to every reader (the manifest IS the
+  // table) and are deleted on abort — contention costs the loser one
+  // recompute of its own merge, never a lock and never corrupted
+  // state. At 100 TB the recompute is changelog-scoped (the merge_into
+  // machinery), so the retry cost is the delta's, not the table's.
+  //
+  // Determinism for the oracle: the two writers' updates COMMUTE
+  // (+10 cents to event_id ≡ 0 mod 3, +100 to ≡ 0 mod 5 — overlap on
+  // mod 15 gets both), so the serial order the CAS forces is
+  // irrelevant to the final state and v2 replays as plain SQL. WHICH
+  // writer retried is nondeterministic by design; the structural
+  // invariants (exactly one loser, 3 merge computations, 3 commit
+  // attempts, every staged-orphan file unreferenced) are pinned in
+  // SnapshotSpec.
+  private[graft] case class MergeConcStats(
+      path: String,
+      committed: Map[String, Int],  // writer -> version it committed
+      attempts: Map[String, Int],   // writer -> commit attempts
+      computes: Map[String, Int])   // writer -> merge computations
+
+  private[graft] def mergeConcBuild(spark: SparkSession,
+      dir: String): MergeConcStats = {
+    val path = graft.sources.FormatSources.exportPath("mergeconc", dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_type"))
+      .write.parquet(path)
+    writeManifest(fs, manifestPath(root, 0), dataFiles(fs, root))
+
+    // The barrier sits between each writer's FIRST merge computation
+    // (both provably from base v0) and its first commit attempt — so
+    // both race the same v1 slot and exactly one conflict-and-recompute
+    // happens every run: deterministic in structure, not scheduler
+    // luck.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val committed = new scala.collection.concurrent.TrieMap[String, Int]
+    val attempts = new scala.collection.concurrent.TrieMap[String, Int]
+    val computes = new scala.collection.concurrent.TrieMap[String, Int]
+    val failure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
+    def writer(tag: String, modulus: Int, inc: Long): Thread =
+      new Thread(() => {
+        try {
+          var done = false
+          var first = true
+          var n = 0
+          while (!done) {
+            val latest = logLatestVersion(fs, root)
+            val snap = readManifestWaitFor(fs, root, latest)
+            // MERGE recompute on the CURRENT committed base — never a
+            // manifest rebase: an overlapping merge's output depends
+            // on base CONTENT, and this read-modify-write is exactly
+            // the window the version CAS has to close.
+            val stage = s"stage_${tag}_$n"
+            spark.read.option("basePath", path)
+              .parquet(snap.map(f => s"$path/$f"): _*)
+              .withColumn("cents",
+                when(pmod(col("event_id"), lit(modulus)) === 0,
+                  col("cents") + inc).otherwise(col("cents")))
+              .write.mode("overwrite").parquet(s"$path/$stage")
+            computes(tag) = computes.getOrElse(tag, 0) + 1
+            val mine = fs.listStatus(
+                new org.apache.hadoop.fs.Path(root, stage)).toSeq
+              .map(_.getPath.getName)
+              .filter(_.endsWith(".parquet"))
+              .map(f => s"$stage/$f").sorted
+            if (first) { barrier.await(); first = false }
+            n += 1
+            if (tryCommitManifest(root, latest + 1, mine)) {
+              committed(tag) = latest + 1
+              done = true
+            } else {
+              // conflict detected: our staged output is STALE (built
+              // on a replaced base) — abort it entirely and re-merge
+              fs.delete(new org.apache.hadoop.fs.Path(root, stage), true)
+            }
+          }
+          attempts(tag) = n
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      }, s"mergeconc-$tag")
+    val ts = Seq(writer("a", 3, 10L), writer("b", 5, 100L))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+    MergeConcStats(path, committed.toMap, attempts.toMap, computes.toMap)
+  }
+
+  def mergeConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val stats = mergeConcBuild(spark, dir)
     readSnapshot(spark, stats.path, 2)
       .selectExpr("event_id", "user_id", "cents", "event_type")
       .orderBy("event_id")

@@ -904,6 +904,86 @@ object Similarity {
       .orderBy("probe_id", "cand_id")
   }
 
+  // `sim_index_delete` — the RETENTION/GDPR path of the maintained
+  // index tier (VERDICT r18 item 6): `sim_index_refresh` folds
+  // additions; this key folds a 5% tombstone set OUT of both committed
+  // artifact tiers. A production vector store must not serve a deleted
+  // id from ANY tier — the inverted file (IVF lists) and the k-NN
+  // adjacency both have to forget it — and dropping edges alone is not
+  // enough: a live vertex that pointed at deleted neighbors is left
+  // with a shrunken list, and enough shrunken lists degrade graph
+  // connectivity (and thus search recall) corpus-wide. Repair is the
+  // refresh machinery pointed at damage instead of growth: surviving
+  // live–live edges warm-start NN-Descent as current state, and the
+  // DAMAGED vertices (those that lost ≥1 out-edge) re-enter the gossip
+  // with fresh init draws (`reseedVerts`), so the update stream is
+  // proportional to the tombstone set's neighborhoods — never a full
+  // rebuild. Tombstones are a pure id predicate here (vec_id ≡ 7
+  // mod 20); production would join a tombstone table — same plan, the
+  // predicate becomes a broadcast anti-join. Approximate regime ⇒ no
+  // SQL oracle (the sim_ann class); SimilaritySpec pins (a) no deleted
+  // id in any served artifact or result, (b) post-delete recall ≥ 0.9
+  // against brute force over the LIVE corpus on standard AND damaged
+  // probes, (c) the repair's update stream is delta-sized.
+  private val deleteMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  Caches.onRelease(() => deleteMemo.clear())
+  private def deleteParams =
+    s"knngdel.v1:tomb=mod20eq7:repair=reseed:base=$refreshParams"
+  /** The 5% tombstone predicate — deterministic, engine-replayable. */
+  private[operators] def tombstoned(c: Column): Column =
+    pmod(c, lit(20)) === 7
+
+  /** Post-delete inverted file: the committed IVF lists minus
+    * tombstoned members, committed as its own versioned artifact (the
+    * lakehouse delete-commit applied to an index tier). */
+  private[operators] def ivfListsDeleted(spark: SparkSession,
+      dir: String): DataFrame =
+    AnnIndexStore.serve(spark, "ivfdellist", dir,
+      ivfParams + ":del=mod20eq7", "list_id")(
+      ivfIndex(spark, dir)._2.filter(!tombstoned(col("vec_id"))))
+
+  /** Post-delete repaired k-NN graph, committed as `knngdel`. */
+  private[operators] def deletedGraph(spark: SparkSession,
+      dir: String): DataFrame =
+    deleteMemo.getOrElseUpdate(dir, {
+      val fp = AnnIndexStore.fingerprint(spark, dir, deleteParams)
+      AnnIndexStore.readCommitted(spark, "knngdel", dir, fp).getOrElse {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val live = emb.filter(!tombstoned(col("vec_id")))
+        val base = refreshedGraph(spark, dir)
+        val keep = base.filter(
+          !tombstoned(col("v")) && !tombstoned(col("w")))
+        val damaged = base
+          .filter(!tombstoned(col("v")) && tombstoned(col("w")))
+          .groupBy(col("v"))
+          .agg(count(lit(1)).cast("int").as("lost"))
+          .select(col("v").as("vec_id"), col("lost"))
+        val built = buildKnnGraphFrom(spark, s"delete:$dir", live,
+          Some(keep), reseedVerts = Some(damaged))
+        val served =
+          AnnIndexStore.commit(spark, "knngdel", dir, built, "v", fp)
+        Caches.releaseCheckpoint(built)
+        served
+      }
+    })
+
+  def simIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    // both tiers must forget: materialize (and commit) the post-delete
+    // inverted file alongside the repaired graph
+    ivfListsDeleted(spark, dir)
+    val graph = deletedGraph(spark, dir)
+    val wk = Window.partitionBy("v").orderBy(col("cos").desc, col("w"))
+    // probes: the live ids of the first 2·NProbes — wide enough to
+    // include vertices damaged by the delete (id 7's ex-neighbors)
+    graph.filter(col("v") < 2 * NProbes && !tombstoned(col("v")))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= K)
+      .select(col("v").as("probe_id"), col("w").as("cand_id"),
+        col("cos").as("cosine"))
+      .orderBy("probe_id", "cand_id")
+  }
+
   /** Full k-NN graph build (NN-Descent): directed top-[[GraphK]] edges
     * (v, w, cos) per vertex as an eager localCheckpoint frame.
     * The MAIN build seeds half of each vertex's init edges from its own
@@ -939,7 +1019,8 @@ object Similarity {
     * actually needs instead of the full build's budget. */
   private[operators] def buildKnnGraphFrom(spark: SparkSession, label: String,
       emb: DataFrame, warmStart: Option[DataFrame],
-      seedDir: Option[String] = None): DataFrame = {
+      seedDir: Option[String] = None,
+      reseedVerts: Option[DataFrame] = None): DataFrame = {
     // init modulus: a bounded driver scalar (the compact_files advisory
     // pattern) — vec_ids are dense 0..n-1 in this corpus
     val n = emb.count()
@@ -961,11 +1042,28 @@ object Similarity {
     // scored by the one edge-level embedding join of the whole build.
     // Warm start: only vertices the warm graph does NOT cover draw
     // init edges; warm edges enter as the round-0 graph (fresh=false).
-    val initVerts = warmStart match {
+    // `reseedVerts` (r19, the tombstone-delete repair): a (vec_id,
+    // lost) frame of vertices that ARE warm-covered but lost `lost`
+    // out-edges to a delete. They additionally draw min(kDeg, 2·lost)
+    // fresh init edges — their surviving warm edges stay current while
+    // the fresh draws re-open their neighborhoods to gossip. The draw
+    // count is DAMAGE-proportional on purpose: with k ≈ 20 and a 5%
+    // tombstone set, ~64% of vertices lose ≥ 1 edge (1 − 0.95^k), so a
+    // full-kDeg redraw per damaged vertex would re-gossip most of the
+    // corpus; 2·lost fresh edges keep the update stream sized to the
+    // edges actually destroyed (~2·0.05·n·k), not to n·k.
+    val coverInit = warmStart match {
       case None => emb.select(col("vec_id"))
       case Some(warm) => emb.select(col("vec_id"))
         .join(warm.select(col("v").as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
+    }
+    val initVerts = reseedVerts match {
+      case None => coverInit.withColumn("n_init", lit(kDeg))
+      case Some(rs) => coverInit.withColumn("n_init", lit(kDeg))
+        .unionByName(rs.select(col("vec_id"),
+          least(lit(kDeg), col("lost") * 2).cast("int").as("n_init")))
+        .groupBy("vec_id").agg(max(col("n_init")).as("n_init"))
     }
     // Init neighbor draw. Pure random (md5 over a dense-id modulus) for
     // the refresh-tier builds; the MAIN build (seedDir set) seeds HALF
@@ -989,14 +1087,24 @@ object Similarity {
     // function of (corpus, committed index), no RNG state.
     val halfK = kDeg / 2
     val randFrom = seedDir.map(_ => halfK).getOrElse(0)
+    // sequence end = n_init − 1: kDeg for cover vertices (identical to
+    // the pre-r19 draw — artifacts and params unchanged), 2·lost for
+    // reseeds. Reseeds only arise with seedDir = None, so randFrom = 0
+    // and the sequence can never run descending (the halfK trap).
     val randomInit = initVerts.select(col("vec_id").as("v"),
-        explode(sequence(lit(randFrom), lit(kDeg - 1))).as("i"))
+        explode(sequence(lit(randFrom),
+          col("n_init").cast("int") - 1)).as("i"))
       .select(col("v"),
         pmod(conv(substring(md5(concat(lit("nnd:"), col("v"), lit(":"),
           col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("w"))
     val initPairs = seedDir match {
-      case None => randomInit
-      case Some(d) =>
+      // halfK >= 1 guard (ADVICE r18): at kDeg = 1 (the GRAFT_NND_K
+      // experiment dial's floor) halfK = 0 and the seeded branch would
+      // explode sequence(0, -1) — which Spark evaluates as the
+      // DESCENDING array [0, -1], i.e. two unintended seeded picks per
+      // vertex instead of zero. Degenerate degrees fall back to pure
+      // random init (randFrom = halfK = 0 covers the full range).
+      case Some(d) if halfK >= 1 =>
         val listed = ivfIndex(spark, d)._2
           .select(col("vec_id"), col("list_id"))
         val listArr = broadcast(listed.groupBy("list_id")
@@ -1009,6 +1117,7 @@ object Similarity {
                 (pmod(xxhash64(lit("nndseed"), col("vec_id"), i),
                   size(col("members"))) + 1).cast("int")))).as("w"))
         seeded.unionByName(randomInit)
+      case _ => randomInit
     }
     val freshInit = initPairs
       .filter(col("v") =!= col("w")).distinct()
@@ -1285,30 +1394,44 @@ object Similarity {
     * layer-0 search with DESCENDED entry points instead of md5-random
     * ones and one fewer hop — the entry quality is what the layer
     * descent buys. */
+  /** The search-ready adjacency: symmetrized k-NN edges CARRYING the
+    * neighbor's embedding AND its metadata label, pre-partitioned on
+    * the hop key and persisted — each hop is then ONE hash join (beam
+    * side only) and the frontier scores map-side against the broadcast
+    * query vector, instead of a per-hop corpus join. Persisting is the
+    * minhashPairs convention (CacheManager dedups the identical plan
+    * across keys and bench passes — the flat, hnsw and FILTERED
+    * searches all consume this one resident frame; Caches releases at
+    * the harness boundary); volume is O(n·k·dim) — the index itself,
+    * the thing a production search tier keeps resident. The label
+    * column rides IN the index (r19): filtered graph search needs the
+    * predicate column at scoring time, and carrying it here keeps the
+    * filter map-side — the production convention (vector stores store
+    * filterable metadata inline with the graph) — instead of a
+    * per-hop corpus-sized label join. */
+  private[operators] def searchAdj(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val graph = knnGraph(spark, dir)
+    Caches.register(
+      graph.select(col("v"), col("w"))
+        .union(graph.select(col("w").as("v"), col("v").as("w")))
+        .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"),
+            col("label").as("lw"))
+          .hint("shuffle_hash"), Seq("w"))
+        .repartition(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private[operators] def graphSearchFor(spark: SparkSession, dir: String,
       probes0: DataFrame, seeds0: Option[DataFrame] = None,
       hops: Int = Hops): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val n = emb.count()
-    val graph = knnGraph(spark, dir)
     val probes = broadcast(probes0)
     val embN = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
-    // The search-ready adjacency: symmetrized edges CARRYING the
-    // neighbor's embedding, pre-partitioned on the hop key and
-    // persisted — each hop is then ONE hash join (beam side only) and
-    // the frontier scores map-side against the broadcast query vector,
-    // instead of a per-hop corpus join. Persisting is the minhashPairs
-    // convention (CacheManager dedups the identical plan across the
-    // bench passes; Caches releases at the harness boundary); volume is
-    // O(n·k·dim) — the index itself, the thing a production search tier
-    // keeps resident.
-    val adjE = Caches.register(
-      graph.select(col("v"), col("w"))
-        .union(graph.select(col("w").as("v"), col("v").as("w")))
-        .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"))
-          .hint("shuffle_hash"), Seq("w"))
-        .repartition(col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val adjE = searchAdj(spark, dir)
     // (qid, node) → scored against the query vector. The NODE SET is
     // broadcast, never the corpus: a seed/beam frame is ≤ queries·Beam
     // rows by construction (the sim_topk small-side argument), so the
@@ -1420,8 +1543,22 @@ object Similarity {
   private val hnswMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   Caches.onRelease(() => hnswMemo.clear())
+  /** Member count above which an upper layer's edge lists build by
+    * RESTRICTED NN-DESCENT instead of the within-layer brute-force
+    * join (r19, the mult-1000 wall): brute force scores |layer|² pairs
+    * — trivially the cheaper plan under the stage-count regime at
+    * bench SFs (layer 1 at sf0.1 is ~125 members), but at 2 M vectors
+    * layer 1 is ~125 k members = 1.6e10 pairs, a 100× blow-past of the
+    * mult-100 cost. Past this threshold the layer's members remap to
+    * dense ids and run the SAME NN-Descent build that produced layer 0
+    * (O(m·k²) per round, converged) at 1/f^ℓ volume — the SURVEY Q285
+    * 1 B-vector claim, now implemented and measured rather than
+    * argued. 50 k keeps every bench SF (≤ mult-100: layer 1 ≤ 12.5 k)
+    * on the bit-identical brute path. */
+  private val BruteLayerMax = 50000L
+
   private def hnswParams =
-    s"hnsw.v2:f=$LayerFanout:k=$LayerK"
+    s"hnsw.v3:f=$LayerFanout:k=$LayerK:blm=$BruteLayerMax"
   private[operators] def hnswLayers(spark: SparkSession, dir: String): DataFrame =
     hnswMemo.getOrElseUpdate(dir,
       AnnIndexStore.serve(spark, "hnsw", dir, hnswParams, "lvl")(
@@ -1450,18 +1587,56 @@ object Similarity {
     (1 to lMax).map { l =>
       val mem = levels.filter(col("lvl") >= l)
         .select(col("vec_id"), col("embedding"))
-      val a = mem.select(col("vec_id").as("v"), col("embedding").as("ev"))
-      val b = mem.select(col("vec_id").as("w"), col("embedding").as("ew"))
-      a.join(broadcast(b), col("v") =!= col("w"))
-        .select(col("v"), col("w"),
-          round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
-            .as("cos"))
-        .groupBy(col("v"))
-        .agg(slice(array_sort(collect_list(struct(col("cos"), col("w"))),
-          byCosDesc), 1, LayerK).as("top"))
-        .select(lit(l).as("lvl"), col("v"), explode(col("top")).as("e"))
-        .select(col("lvl"), col("v"), col("e.w").as("w"),
-          col("e.cos").as("cos"))
+      val m = mem.count() // bounded driver scalar: layer cardinality
+      if (m > BruteLayerMax) {
+        // restricted NN-Descent (see BruteLayerMax): members remap to
+        // dense 0..m-1 (the build's init draw is pmod over a dense id
+        // space), gossip runs at layer volume, ids map back, and the
+        // layer keeps its top-LayerK edges (the build's degree
+        // graphKFor(m) ≥ LayerK always — GraphK floor is 20)
+        import spark.implicits._
+        val dense = mem.select(col("vec_id")).orderBy("vec_id")
+          .rdd.map(_.getLong(0)).zipWithIndex()
+          .toDF("vec_id", "did") // deterministic: sorted input
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val embD = mem.join(dense, Seq("vec_id"))
+          .select(col("did").as("vec_id"), col("embedding"))
+        val g = buildKnnGraphFrom(spark, s"hnswl$l:$dir", embD, None)
+        val back = g
+          .join(dense.select(col("did").as("v"), col("vec_id").as("rv")),
+            Seq("v"))
+          .join(dense.select(col("did").as("w"), col("vec_id").as("rw")),
+            Seq("w"))
+          .select(col("rv").as("v"), col("rw").as("w"), col("cos"))
+        // materialize the mapped-back layer eagerly so the build frame
+        // and the id map can release NOW — the commit of the unioned
+        // layer table happens after every layer has built, and holding
+        // each layer's full-degree gossip graph that long is the leak
+        val out = Caches.registerCheckpoint(back
+          .groupBy(col("v"))
+          .agg(slice(array_sort(collect_list(struct(col("cos"), col("w"))),
+            byCosDesc), 1, LayerK).as("top"))
+          .select(lit(l).as("lvl"), col("v"), explode(col("top")).as("e"))
+          .select(col("lvl"), col("v"), col("e.w").as("w"),
+            col("e.cos").as("cos"))
+          .localCheckpoint(true))
+        Caches.releaseCheckpoint(g)
+        dense.unpersist()
+        out
+      } else {
+        val a = mem.select(col("vec_id").as("v"), col("embedding").as("ev"))
+        val b = mem.select(col("vec_id").as("w"), col("embedding").as("ew"))
+        a.join(broadcast(b), col("v") =!= col("w"))
+          .select(col("v"), col("w"),
+            round(graft.functions.CosineSim.cosineSim(col("ev"), col("ew")), 4)
+              .as("cos"))
+          .groupBy(col("v"))
+          .agg(slice(array_sort(collect_list(struct(col("cos"), col("w"))),
+            byCosDesc), 1, LayerK).as("top"))
+          .select(lit(l).as("lvl"), col("v"), explode(col("top")).as("e"))
+          .select(col("lvl"), col("v"), col("e.w").as("w"),
+            col("e.cos").as("cos"))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -1476,12 +1651,31 @@ object Similarity {
     * (`qid`, `qe`) — the OOS entry, same contract as
     * [[graphSearchFor]]. */
   private[operators] def hnswSearchFor(spark: SparkSession, dir: String,
-      probes0: DataFrame): DataFrame = {
+      probes0: DataFrame): DataFrame =
+    hnswDescend(spark, dir, probes0) match {
+      // a corpus too small to draw any level≥1 vertex commits an EMPTY
+      // layer table; the descent has nothing to descend and the search
+      // IS the flat tier (ADVICE r16: getInt on a null max(lvl) NPE'd)
+      case None => graphSearchFor(spark, dir, probes0)
+      case Some(seeds) =>
+        // layer 0: the flat machinery, descent-seeded, one fewer hop
+        graphSearchFor(spark, dir, probes0, Some(seeds), HnswHops0)
+    }
+
+  /** The upper-layer descent alone: returns the layer-1 survivor beam
+    * as (`qid`, `node`) seeds for a layer-0 search, or None when the
+    * corpus drew no upper-layer vertices (descend-nothing fallback).
+    * Split out in r19 so the FILTERED layer-0 search (`sim_filtered
+    * _graph`) can reuse the identical navigation descent — the filter
+    * must never prune the descent itself (upper layers navigate; only
+    * layer-0 result collection filters). */
+  private[operators] def hnswDescend(spark: SparkSession, dir: String,
+      probes0: DataFrame): Option[DataFrame] = {
     val layers = hnswLayers(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val embN = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
-    val probes = broadcast(probes0)
+    val probes = broadcast(probes0.select(col("qid"), col("qe")))
     def score(nodes: DataFrame): DataFrame =
       embN.join(broadcast(nodes), Seq("node"))
         .join(probes, Seq("qid"))
@@ -1502,13 +1696,8 @@ object Similarity {
         .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
     // entry: EVERY top-layer vertex (a handful by the geometric draw) —
     // the deterministic analogue of HNSW's single global entry point.
-    // A corpus too small to draw any level≥1 vertex commits an EMPTY
-    // layer table (valid artifact — AnnIndexStore empty-commit path);
-    // the descent then has nothing to descend and the search IS the
-    // flat tier (ADVICE r16: getInt on a null max(lvl) was an NPE).
     val lTopRow = layers.agg(max(col("lvl"))).collect()(0)
-    if (lTopRow.isNullAt(0))
-      return graphSearchFor(spark, dir, probes0)
+    if (lTopRow.isNullAt(0)) return None
     val lTop = lTopRow.getInt(0)
     val entry = probes.select(col("qid")).crossJoin(
       broadcast(layers.filter(col("lvl") === lTop)
@@ -1544,9 +1733,177 @@ object Similarity {
       beam = Caches.registerCheckpoint(
         topB(beam.union(score(nodes)), LayerBeam).localCheckpoint(true))
     }
-    // layer 0: the flat machinery, seeded by the descent, one fewer hop
-    graphSearchFor(spark, dir, probes0,
-      Some(beam.select(col("qid"), col("node"))), HnswHops0)
+    Some(beam.select(col("qid"), col("node")))
+  }
+
+  // `sim_filtered_graph` — PREDICATE-AWARE graph search (r19, VERDICT
+  // r18 item 3): `sim_filtered` pins the filtered-search semantics on
+  // the exact tier and composes the predicate into the IVF lists;
+  // this key composes it into the GRAPH tier — the tenant-scoped
+  // query a production vector store actually serves from its HNSW
+  // index. The composition rule is filter-DURING-descent, split by
+  // role (the public filtered-HNSW design):
+  //   * NAVIGATION never filters. The upper-layer descent and the
+  //     layer-0 beam walk the UNfiltered graph — pre-filtering the
+  //     edges themselves would shatter connectivity at selective
+  //     predicates (a 10%-label subgraph of a k-NN graph loses the
+  //     long-range paths the walk needs), the same reason the flat
+  //     tier can't post-filter a global top-k (underfill, Q287).
+  //   * COLLECTION always filters. Every frontier the walk scores
+  //     also feeds a label-matched RESULT accumulator — the filter
+  //     applies to the frontier rows BEFORE the collection side's
+  //     CosineSim evaluates (predicate on the index's inline label
+  //     column, map-side; PlanSpec pins Filter below the scoring
+  //     projection) — and the final top-k ranks accumulated MATCHING
+  //     candidates only, so the result can never underfill while the
+  //     walk stays connected.
+  // Scale shape: identical to sim_hnsw (beam broadcasts, the ONE
+  // resident adjacency frame is scanned map-side, per-hop volume
+  // beam×degree — corpus-independent); the label rides IN the
+  // committed index (searchAdj), so filtering adds zero joins and
+  // zero shuffles. Approximate regime ⇒ no SQL oracle (the sim_ann
+  // class); SimilaritySpec pins recall ≥ 0.9 vs the EXACT filtered
+  // search (sim_filtered's brute ground truth) at sf0.01 + sf0.1 and
+  // measures the filter-during vs pre-filter-then-search trade at two
+  // selectivities.
+  def simFilteredGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = emb.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("plabel"))
+    filteredGraphSearchFor(spark, dir, probes)
+      .orderBy("probe_id", "cand_id")
+  }
+
+  /** Filtered layer-0 beam search for (`qid`, `qe`, `plabel`) probes:
+    * descent-seeded unfiltered navigation + predicate-matched
+    * collection. Returns ≤ [[K]] matching candidates per probe. `pred`
+    * generalizes the match (default: label equality, ~10% selective on
+    * this corpus) so the selectivity trade is measurable — the spec
+    * also runs a ~33%-selective coarsening. */
+  private[operators] def filteredGraphSearchFor(spark: SparkSession,
+      dir: String, probes0: DataFrame,
+      pred: (Column, Column) => Column = _ === _): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val n = emb.count()
+    val probes = broadcast(probes0)
+    val embN = emb.select(col("vec_id").as("node"),
+      col("embedding").as("ne"), col("label").as("ln"))
+    val adjE = searchAdj(spark, dir)
+    val byCos = (l: Column, r: Column) =>
+      when(l("cos") > r("cos"), -1).when(l("cos") < r("cos"), 1)
+        .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
+        .otherwise(0)
+    def topB(df: DataFrame, b: Int): DataFrame =
+      df.repartition(col("qid"))
+        .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
+        .groupBy(col("qid"))
+        .agg(slice(array_sort(collect_list(struct(col("cos"), col("node"))),
+          byCos), 1, b).as("top"))
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
+    // node scoring used for BOTH roles at the seed step: navigation
+    // keeps everything, collection keeps label matches
+    def score(nodes: DataFrame): DataFrame =
+      embN.join(broadcast(nodes), Seq("node"))
+        .join(probes, Seq("qid"))
+        .select(col("qid"), col("node"), col("ln"), col("plabel"),
+          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ne")), 4)
+            .as("cos"))
+    val seeds = hnswDescend(spark, dir,
+        probes0.select(col("qid"), col("qe"))).getOrElse(
+      probes.select(col("qid"),
+          explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
+        .select(col("qid"),
+          pmod(conv(substring(md5(concat(lit("gs:"), col("qid"), lit(":"),
+            col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("node")))
+    // MATCHED entry points: [[Seeds]] deterministic draws from each
+    // label region the predicate admits — the per-label analogue of
+    // the descent's entry hierarchy. The descent seeds the walk near
+    // the query's GLOBAL neighborhood; when the predicate's region is
+    // disjoint from it, no amount of hopping recovers (measured at
+    // sf0.1's 10% predicate: 0.86 recall without matched entries, 4
+    // hops — a plateau, not a budget problem). Label member lists are
+    // a bounded 10-row broadcast here; at corpus scale the same role
+    // is served by a bounded deterministic sample per label (the
+    // slice cap below — e.g. the label's IVF list heads), never the
+    // full membership.
+    val byLabel = emb.groupBy(col("label"))
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, 4096)
+        .as("members"))
+    val matchedSeeds = probes
+      .join(broadcast(byLabel), pred(col("label"), col("plabel")))
+      .select(col("qid"), col("members"),
+        explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
+      .select(col("qid"),
+        element_at(col("members"),
+          (pmod(conv(substring(md5(concat(lit("fgs:"), col("qid"),
+            lit(":"), col("i"))), 1, 12), 16, 10).cast("long"),
+            size(col("members"))) + 1).cast("int")).as("node"))
+    // ef-widening (the filtered-HNSW rule): a selective predicate's
+    // true top-K sits ~K/selectivity deep in the GLOBAL ranking, so
+    // the walk must hold a candidate set sized to that depth — the
+    // matched beam widens to 3×Beam (the exploration frontier the
+    // filter thins is re-widened; cost stays beam×degree-bounded).
+    // Measured at sf0.1's 10% predicate: 2× reads 0.90, 3× reads 0.93
+    // recall@10 — the last few points are the deepest-ranked true
+    // matches, bought by holding more matched frontier.
+    val beamF = 3 * Beam
+    val seedScored = score(seeds.unionByName(matchedSeeds))
+    // DUAL beam (the filtered-HNSW widening rule, made structural):
+    // the UNFILTERED beam keeps the walk connected toward the query's
+    // global neighborhood; the MATCHED beam — the best label-matching
+    // candidates seen so far — expands too, descending the walk into
+    // the predicate's own cluster. One beam alone loses: filtered-only
+    // shatters connectivity at selective predicates, unfiltered-only
+    // never leaves the global top's neighborhood (measured at sf0.1's
+    // 10% predicate: unfiltered-only collection read 0.67 recall;
+    // dual beam 0.86; + matched entries and ef-widening 0.93 — a
+    // selective filter's true top-10 sits ~1/selectivity deep in the
+    // GLOBAL ranking, beyond the plain walk's horizon). The matched
+    // beam doubles as the result accumulator — topB is monotone in
+    // its union inputs, so the final top-K needs no separate chain.
+    var beamAll = Caches.register(
+      topB(seedScored.select(col("qid"), col("node"), col("cos")), Beam)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var beamM = Caches.register(
+      topB(seedScored.filter(pred(col("ln"), col("plabel")))
+          .select(col("qid"), col("node"), col("cos")), beamF)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the FULL flat-tier hop budget, not the descent-discounted
+    // HnswHops0: the descent seeds the walk near the query's GLOBAL
+    // neighborhood, but a selective predicate's true top-10 sits past
+    // it (inside the label's own region) — the walk needs its travel
+    // hops back (measured at sf0.1's 10% predicate: 3 hops 0.84, 4
+    // hops 0.86 before the entry/widening levers; per-hop volume
+    // stays beam×degree-bounded)
+    for (_ <- 1 to Hops) {
+      val expand = beamAll.select(col("qid"), col("node").as("v"))
+        .union(beamM.select(col("qid"), col("node").as("v")))
+      val frontier = adjE
+        .join(broadcast(expand), Seq("v"))
+        .join(probes, Seq("qid"))
+      // navigation: every frontier node keeps the walk connected
+      val scoredAll = frontier
+        .select(col("qid"), col("w").as("node"),
+          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
+            .as("cos"))
+      // collection: label-matched BEFORE the scoring projection — the
+      // predicate binds to the index's inline label column map-side
+      val scoredMatch = frontier.filter(pred(col("lw"), col("plabel")))
+        .select(col("qid"), col("w").as("node"),
+          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
+            .as("cos"))
+      beamAll = Caches.register(topB(beamAll.union(scoredAll), Beam)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      beamM = Caches.register(topB(beamM.union(scoredMatch), beamF)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    topB(beamM.filter(col("node") =!= col("qid")), K)
+      .select(col("qid").as("probe_id"), col("node").as("cand_id"),
+        col("cos").as("cosine"))
   }
 
   // `embed_matryoshka` — prefix-truncation ranking fidelity (the

@@ -76,12 +76,21 @@ class GoldenSpec extends SparkSpec {
     // 5): their deterministic emission histories replay as batch SQL —
     // the stream_merge_cdc argument (key-disjoint / stateless-per-batch
     // emissions make the final sink state a pure function of the
-    // declared input).
+    // declared input). stream_join + stream_late_data left in r19
+    // (VERDICT r18 item 1): the inner time-range emission equals the
+    // batch theta-join (watermarks evict, never gate emission) and the
+    // append-mode window set replays from the unrolled per-batch
+    // watermark trajectory.
+    // sim_index_delete joined in r19 (VERDICT r18 item 6): the
+    // approximate-regime class — post-delete recall + no-deleted-id
+    // pins live in SimilaritySpec. sim_filtered_graph (r19, VERDICT
+    // r18 item 3) is the same approximate-search regime — recall
+    // vs the exact filtered tier pinned in SimilaritySpec.
     assert(noOracle === Set(
       "agg_approx_distinct", "sim_ann", "sim_ivfpq", "sim_nndescent",
       "sim_graph_search", "sim_hnsw", "sim_index_refresh",
+      "sim_index_delete", "sim_filtered_graph",
       "agg_sketch_rollup",
-      "stream_late_data", "stream_join",
       "stream_join_outer", "stream_update_mode",
       "stream_transform_state", "stream_state_ttl",
       "stream_foreachbatch"))
@@ -91,7 +100,7 @@ class GoldenSpec extends SparkSpec {
     assert(orphans === Set.empty, s"oracleSql keys without a query: $orphans")
     // The declared contract size — SURVEY §2B, README and this map must
     // move together (update all three when adding a key).
-    assert(SparkEntry.queries.size === 288)
+    assert(SparkEntry.queries.size === 291)
   }
 
   test("bench history parser: per-key mins read back from an emitted " +

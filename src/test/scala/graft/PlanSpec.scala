@@ -307,6 +307,86 @@ class PlanSpec extends SparkSpec {
       "filtered scoring fell back to an all-pairs join")
   }
 
+  test("sim_filtered_graph: the collection branch's label predicate " +
+      "filters BELOW its CosineSim scoring projection; navigation " +
+      "stays broadcast-shaped, nothing corpus-sized nest-loops") {
+    // The filtered-descent contract (VERDICT r18 item 3): navigation
+    // walks the UNfiltered graph (a FilterExec must NOT sit under the
+    // beam-ranking path), while the result COLLECTION branch applies
+    // the predicate to the frontier's inline label column BEFORE its
+    // scoring projection evaluates — structurally: there exists a
+    // FilterExec whose condition binds lw/plabel and whose own subtree
+    // contains no cosine_sim, i.e. the filter is not a post-scoring
+    // strain.
+    val df = operators.Similarity.simFilteredGraph(spark, sf)
+    // The hop beams are persisted, so the predicate's node lives
+    // inside InMemoryRelation cachedPlans — walk into them (and into
+    // AQE wrappers) or the assertion sees only InMemoryTableScan
+    // placeholders. Catalyst may also legally ABSORB the filter into
+    // the broadcast join's condition (lw is an index column, plabel a
+    // probe column) — that placement is before scoring too, so both
+    // node shapes satisfy the pin.
+    import org.apache.spark.sql.execution.SparkPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p.collect { case x => x }
+      here ++ here.flatMap {
+        case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => allNodes(s.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case _ => Nil
+      }
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    def hasPred(s: String) = s.contains("lw") && s.contains("plabel")
+    // Catalyst promotes the equality predicate all the way into the
+    // broadcast join's HASH KEYS (lw on the index side = plabel on the
+    // probe side) — the strongest possible placement, the filter IS
+    // the join — so the pin accepts keys, residual condition, or a
+    // plain FilterExec.
+    val predNodes: Seq[(SparkPlan, Seq[SparkPlan])] = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if hasPred(f.condition.toString) => (f, Seq(f.child))
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if hasPred((j.leftKeys ++ j.rightKeys).mkString(",") +
+          j.condition.map(_.toString).getOrElse("")) =>
+        (j, j.children)
+    }
+    assert(predNodes.nonEmpty,
+      "no label-vs-plabel Filter/join-condition in the collection branch")
+    // the positive structural pin: a cosine_sim scoring PROJECTION
+    // sits DIRECTLY above a predicate-keyed node — this hop's
+    // collection scores the already-filtered join output. (A subtree
+    // negative-check doesn't work here: prior hops' beams carry their
+    // own legitimate scoring history below the join.)
+    def isPredNode(p: SparkPlan): Boolean = p match {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        hasPred(f.condition.toString)
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        hasPred((j.leftKeys ++ j.rightKeys).mkString(",") +
+          j.condition.map(_.toString).getOrElse(""))
+      case _ => false
+    }
+    def overPred(p: SparkPlan, depth: Int): Boolean =
+      isPredNode(p) || (depth > 0 && p.children.size == 1 &&
+        overPred(p.children.head, depth - 1))
+    val scoredOverPred = nodes.exists {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        pr.projectList.mkString(",").toLowerCase.contains("cosine_sim") &&
+          overPred(pr.child, 2)
+      case _ => false
+    }
+    assert(scoredOverPred,
+      "no scoring projection directly above the label predicate — " +
+        "the collection branch post-filters (the Q287 underfill trap)")
+    val flat = nodes.map(_.nodeName).toSet
+    assert(flat.exists(_.contains("BroadcastHashJoin")), "beam must broadcast")
+    assert(!flat.exists(_.contains("CartesianProduct")),
+      "filtered descent went all-pairs")
+    assert(!flat.exists(_.contains("SortMergeJoin")),
+      "stat-less iterative frames must not fall to sort-merge")
+  }
+
   test("sim_hnsw: descent beams broadcast over committed layer edges; " +
       "the only unconditioned join is the 10×entry cross — no " +
       "sort-merge, nothing corpus-sized meets a nested loop") {

@@ -169,4 +169,59 @@ class SnapshotSpec extends SparkSpec {
     // and no version beyond v2 was ever committed
     assert(!fs.exists(new Path(root, "_graft_log/v3.txt")))
   }
+
+  test("merge_concurrent: the version CAS detects the write-write " +
+      "conflict, the loser RECOMPUTES its merge on the winner's base " +
+      "(never rebases stale output), aborted stages vanish, and no " +
+      "update is lost") {
+    import org.apache.spark.sql.functions._
+    val stats = Layout.mergeConcBuild(spark, sf)
+    val root = new Path(stats.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // exactly one conflict: winner commits v1 in 1 attempt, loser v2
+    // in 2
+    assert(stats.committed.values.toSeq.sorted === Seq(1, 2),
+      s"committed=${stats.committed}")
+    assert(stats.attempts.values.toSeq.sorted === Seq(1, 2),
+      s"attempts=${stats.attempts}")
+    // lost-update-impossible MECHANICS: the loser computed its merge
+    // TWICE — the output built on the replaced base was discarded and
+    // re-derived from the winner's committed state, not rebased
+    assert(stats.computes.values.toSeq.sorted === Seq(1, 2),
+      s"computes=${stats.computes}")
+    val winner = stats.committed.collectFirst { case (p, 1) => p }.get
+    val loser = stats.committed.collectFirst { case (p, 2) => p }.get
+    assert(stats.computes(loser) === 2 && stats.computes(winner) === 1)
+
+    // v2 references ONLY the loser's second stage (full-rewrite merge
+    // on the winner's base); the aborted first stage is deleted
+    val v2 = Layout.readManifest(fs, new Path(root, "_graft_log/v2.txt"))
+      .toSet
+    assert(v2.nonEmpty && v2.forall(_.startsWith(s"stage_${loser}_1/")),
+      s"v2=$v2")
+    assert(!fs.exists(new Path(root, s"stage_${loser}_0")),
+      "the loser's aborted stage must be deleted on conflict")
+    // v1 = the winner's merge over v0
+    val v1 = Layout.readManifest(fs, new Path(root, "_graft_log/v1.txt"))
+      .toSet
+    assert(v1.nonEmpty && v1.forall(_.startsWith(s"stage_${winner}_0/")))
+    assert(!fs.exists(new Path(root, "_graft_log/v3.txt")))
+
+    // the final-state check the oracle also hashes, asserted row-wise
+    // here: EVERY id carries both increments over base (mod-15 ids got
+    // +110) — a lost update would leave the winner's or loser's delta
+    // missing on the overlap
+    val base = graft.Tables.events(spark, sf)
+      .select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("b"))
+    val fin = Layout.readSnapshot(spark, stats.path, 2)
+      .select(col("event_id"), col("cents"))
+    val bad = fin.join(base, "event_id")
+      .filter(col("cents") =!= col("b")
+        + when(pmod(col("event_id"), lit(3)) === 0, 10L).otherwise(0L)
+        + when(pmod(col("event_id"), lit(5)) === 0, 100L).otherwise(0L))
+      .count()
+    assert(bad === 0L, s"$bad rows lost an update")
+  }
 }
