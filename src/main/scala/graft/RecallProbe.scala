@@ -39,11 +39,20 @@ object RecallProbe {
       "nndescent" -> (operators.Similarity.simNndescent _),
       "graph_search" -> (operators.Similarity.simGraphSearch _),
       "hnsw" -> (operators.Similarity.simHnsw _))
+    // filtered_graph grades against ITS OWN ground truth (the exact
+    // FILTERED top-10, sim_filtered) — the unfiltered truth would
+    // penalize it for honoring the predicate
+    lazy val truthFiltered = pairs(operators.Similarity.simFiltered(spark, dir))
     tiers.foreach { t =>
       val t0 = System.nanoTime()
-      val got = pairs(fns(t)(spark, dir))
+      val (got, base) = t match {
+        case "filtered_graph" =>
+          (pairs(operators.Similarity.simFilteredGraph(spark, dir)),
+            truthFiltered)
+        case _ => (pairs(fns(t)(spark, dir)), truth)
+      }
       val secs = (System.nanoTime() - t0) / 1e9
-      val rec = (truth & got).size.toDouble / truth.size
+      val rec = (base & got).size.toDouble / base.size
       println(f"""{"tier":"$t","recall":$rec%.4f,"secs":$secs%.1f}""")
     }
     spark.stop()
