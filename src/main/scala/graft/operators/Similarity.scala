@@ -1462,35 +1462,47 @@ object Similarity {
           byCos), 1, b).as("top"))
         .select(col("qid"), explode(col("top")).as("e"))
         .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
-    val seeds = seeds0.getOrElse(
-      probes.select(col("qid"),
-          explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
-        .select(col("qid"),
-          pmod(conv(substring(md5(concat(lit("gs:"), col("qid"), lit(":"),
-            col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("node")))
     // Each hop's beam is consumed TWICE by the next hop (frontier join +
     // union) — persist every round or the terminal action re-executes
     // hop h's work 2^(Hops-h) times (measured: the unpersisted loop ran
     // ~4 s; persisted ~1.5 s — lazy persist suffices, both references
     // share one cached computation, no eager barrier needed; frames are
     // ≤ Beam rows/query and Caches releases them at the harness
-    // boundary)
-    var beam = Caches.register(topB(score(seeds), Beam)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    for (_ <- 1 to hops) {
-      // beam side broadcast (≤ queries·Beam rows) — the cached index is
-      // scanned map-side once per hop, never shuffled (see score())
-      val frontier = adjE
-        .join(broadcast(beam.select(col("qid"), col("node").as("v"))),
-          Seq("v"))
-        .join(probes, Seq("qid"))
-        .select(col("qid"), col("w").as("node"),
-          round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
-            .as("cos"))
-      beam = Caches.register(topB(beam.union(frontier), Beam)
+    // boundary).
+    // Descent-provided seeds arrive ALREADY scored, deduped and capped
+    // (the descent's last round is itself a topB over the identical
+    // round(cos, 4) scoring — r19): they ARE a valid round-0 beam, so
+    // the seed re-score + re-cap round runs only for the md5-random
+    // flat-tier entry.
+    var beam = seeds0.getOrElse {
+      val seeds = probes.select(col("qid"),
+          explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
+        .select(col("qid"),
+          pmod(conv(substring(md5(concat(lit("gs:"), col("qid"), lit(":"),
+            col("i"))), 1, 12), 16, 10).cast("long"), lit(n)).as("node"))
+      Caches.register(topB(score(seeds), Beam)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    topB(beam.filter(col("node") =!= col("qid")), K)
+    // beam side broadcast (≤ queries·Beam rows) — the cached index is
+    // scanned map-side once per hop, never shuffled (see score())
+    def frontierOf(b: DataFrame): DataFrame = adjE
+      .join(broadcast(b.select(col("qid"), col("node").as("v"))),
+        Seq("v"))
+      .join(probes, Seq("qid"))
+      .select(col("qid"), col("w").as("node"),
+        round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
+          .as("cos"))
+    for (_ <- 1 until hops) {
+      beam = Caches.register(topB(beam.union(frontierOf(beam)), Beam)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    // the LAST hop folds the output cap into its own round (r19): with
+    // Beam ≥ K+1 and at most one self-row per query, top-K of the
+    // self-dropped union equals the former topB(Beam)-then-filter-then-
+    // topB(K) chain — one whole shuffle round (exchange + two aggs)
+    // saved on every graph-search key.
+    val last = if (hops >= 1) beam.union(frontierOf(beam)) else beam
+    topB(last.filter(col("node") =!= col("qid")), K)
       .select(col("qid").as("probe_id"), col("node").as("cand_id"),
         col("cos").as("cosine"))
       .orderBy("probe_id", "cand_id")
@@ -1539,10 +1551,23 @@ object Similarity {
   private val LayerBeam = 8    // descent beam width per layer
   private val LayerHops = 2    // expansion steps per upper layer
   private val HnswHops0 = 3    // layer-0 hops (flat tier uses 4)
+  /** Entry-layer flattening bound (r19): the descent ENTERS at the
+    * deepest layer with ≤ this many members, scoring all of them as
+    * the entry beam instead of walking the trivially-small layers
+    * above it (see the entry note in [[hnswDescend]]). 512 members ×
+    * NProbes scored rows is one map-side broadcast — cheaper than even
+    * a single descent round — and keeps the enumerated layer ~LayerK×
+    * smaller than the first layer that genuinely needs walking. */
+  private val EntryMax = 512L
 
   private val hnswMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  Caches.onRelease(() => hnswMemo.clear())
+  /** dir → (entry level, entry-layer member ids) — see the entry
+    * memo note in [[hnswDescend]]; entryLvl 0 encodes "no upper
+    * layers" (the descend-nothing fallback). */
+  private val hnswEntryMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Array[Long])]
+  Caches.onRelease(() => { hnswMemo.clear(); hnswEntryMemo.clear() })
   /** Member count above which an upper layer's edge lists build by
     * RESTRICTED NN-DESCENT instead of the within-layer brute-force
     * join (r19, the mult-1000 wall): brute force scores |layer|² pairs
@@ -1694,14 +1719,47 @@ object Similarity {
           byCos), 1, b).as("top"))
         .select(col("qid"), explode(col("top")).as("e"))
         .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"))
-    // entry: EVERY top-layer vertex (a handful by the geometric draw) —
-    // the deterministic analogue of HNSW's single global entry point.
-    val lTopRow = layers.agg(max(col("lvl"))).collect()(0)
-    if (lTopRow.isNullAt(0)) return None
-    val lTop = lTopRow.getInt(0)
+    // entry: the top of the hierarchy is trivially SMALL (fanout-16
+    // geometry: layer ℓ has n/16^ℓ members — at sf0.1 layer 3 has ~5,
+    // layer 2 ~78), so descending it buys nothing over simply SCORING
+    // it — each skipped round is one eager barrier saved (the r19
+    // HnswProbe decomposition: at bench SFs the descent is pure stage
+    // count). Enter instead at the DEEPEST layer whose membership is
+    // enumerable (≤ [[EntryMax]]) and score ALL its members as the
+    // entry beam. Recall can only improve: members of every level ≥ ℓ
+    // are members of level ℓ (levels are cumulative), so the candidates
+    // any top-down walk could have accumulated by layer ℓ are a SUBSET
+    // of members(ℓ) — the full-membership topB is the true layer-ℓ
+    // optimum. Saves MORE at scale (2 M vectors: entry at layer 3's
+    // ~500 members skips 3 rounds; the old path ran 6).
+    // Index-side metadata — lTop, per-level member counts, the entry
+    // layer's membership — is a pure function of the committed layer
+    // table, so it is MEMOIZED per dir (r19): the first cut re-ran two
+    // collect jobs + a layer scan on every serve pass, and the probe's
+    // job census showed the filtered key spending its whole budget on
+    // ~50 tiny jobs' scheduling, not on data. Bounded driver scalars
+    // throughout (≤ log16 n count rows; ≤ EntryMax entry ids); the
+    // memo clears with hnswMemo at the harness cache boundary.
+    val (entryLvl, entryIds) = hnswEntryMemo.getOrElseUpdate(dir, {
+      val lTopRow = layers.agg(max(col("lvl"))).collect()(0)
+      if (lTopRow.isNullAt(0)) (0, Array.empty[Long])
+      else {
+        val lTop = lTopRow.getInt(0)
+        val memCounts = layers.groupBy(col("lvl"))
+          .agg(countDistinct(col("v")).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val eLvl = (1 to lTop)
+          .find(l => memCounts.getOrElse(l, 0L) <= EntryMax)
+          .getOrElse(lTop)
+        (eLvl, layers.filter(col("lvl") === eLvl)
+          .select(col("v")).distinct()
+          .collect().map(_.getLong(0)).sorted)
+      }
+    })
+    if (entryLvl == 0) return None
+    import spark.implicits._
     val entry = probes.select(col("qid")).crossJoin(
-      broadcast(layers.filter(col("lvl") === lTop)
-        .select(col("v").as("node")).distinct()))
+      broadcast(entryIds.toSeq.toDF("node")))
     var beam = Caches.registerCheckpoint(
       topB(score(entry), LayerBeam).localCheckpoint(true))
     // descent: ONE round per layer — the beam's whole LayerHops-hop
@@ -1717,7 +1775,7 @@ object Similarity {
     // scored nodes per query per layer. Lineage still cuts per layer —
     // an UNCUT multi-layer chain re-executes its nested broadcast
     // subtrees geometrically (measured 77 s/pass at 20k vectors).
-    for (l <- lTop to 1 by -1) {
+    for (l <- (entryLvl - 1) to 1 by -1) {
       val edgesL = layers.filter(col("lvl") === l)
       val sym = broadcast(
         edgesL.select(col("v"), col("w"))
@@ -1733,7 +1791,9 @@ object Similarity {
       beam = Caches.registerCheckpoint(
         topB(beam.union(score(nodes)), LayerBeam).localCheckpoint(true))
     }
-    Some(beam.select(col("qid"), col("node")))
+    // full (qid, node, cos) — the layer-0 search consumes this as its
+    // round-0 beam without re-scoring (see graphSearchFor)
+    Some(beam)
   }
 
   // `sim_filtered_graph` — PREDICATE-AWARE graph search (r19, VERDICT
@@ -1813,7 +1873,10 @@ object Similarity {
           round(graft.functions.CosineSim.cosineSim(col("qe"), col("ne")), 4)
             .as("cos"))
     val seeds = hnswDescend(spark, dir,
-        probes0.select(col("qid"), col("qe"))).getOrElse(
+        probes0.select(col("qid"), col("qe")))
+      // this path re-scores under the label-carrying projection, so
+      // only the (qid, node) columns of the descent beam are wanted
+      .map(_.select(col("qid"), col("node"))).getOrElse(
       probes.select(col("qid"),
           explode(sequence(lit(0), lit(Seeds - 1))).as("i"))
         .select(col("qid"),
@@ -1830,9 +1893,14 @@ object Similarity {
     // is served by a bounded deterministic sample per label (the
     // slice cap below — e.g. the label's IVF list heads), never the
     // full membership.
-    val byLabel = emb.groupBy(col("label"))
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, 4096)
-        .as("members"))
+    // index-side frame (label → bounded member sample): persisted so
+    // serve passes share one materialization (CacheManager dedup, the
+    // searchAdj convention) instead of re-aggregating the corpus
+    val byLabel = Caches.register(
+      emb.groupBy(col("label"))
+        .agg(slice(sort_array(collect_list(col("vec_id"))), 1, 4096)
+          .as("members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val matchedSeeds = probes
       .join(broadcast(byLabel), pred(col("label"), col("plabel")))
       .select(col("qid"), col("members"),
@@ -1865,12 +1933,41 @@ object Similarity {
     // GLOBAL ranking, beyond the plain walk's horizon). The matched
     // beam doubles as the result accumulator — topB is monotone in
     // its union inputs, so the final top-K needs no separate chain.
-    var beamAll = Caches.register(
-      topB(seedScored.select(col("qid"), col("node"), col("cos")), Beam)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var beamM = Caches.register(
-      topB(seedScored.filter(pred(col("ln"), col("plabel")))
-          .select(col("qid"), col("node"), col("cos")), beamF)
+    //
+    // Both tiers live in ONE cached frame per round, tagged `m`
+    // (r19): the first cut cached beamAll and beamM separately, and
+    // the pair BRANCHED the uncut broadcast lineage — each round's
+    // frontier references both prior frames, each of those references
+    // the round before, so un-materialized cache nodes re-executed
+    // their nested broadcast subtrees ~2^hops times (measured: 17–76 s
+    // per bench pass at 20k vectors vs ~1.5 s for the single-beam flat
+    // tier — the r16 uncut-chain lesson in dual form). One frame per
+    // round restores the flat tier's LINEAR chain under the identical
+    // candidate sets, and both tier caps share one exchange + one agg.
+    val byCosM = (l: Column, r: Column) =>
+      when(l("cos") > r("cos"), -1).when(l("cos") < r("cos"), 1)
+        .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
+        .otherwise(0)
+    // (qid, node, cos, m) → the union of top-Beam overall and
+    // top-beamF matched, deduped — the expansion set AND accumulator
+    def topBoth(df: DataFrame): DataFrame =
+      df.repartition(col("qid"))
+        .groupBy(col("qid"), col("node"))
+        .agg(max(col("cos")).as("cos"), max(col("m")).as("m"))
+        .groupBy(col("qid"))
+        .agg(
+          slice(array_sort(collect_list(struct(col("cos"), col("node"),
+            col("m"))), byCosM), 1, Beam).as("ta"),
+          slice(array_sort(collect_list(when(col("m"),
+            struct(col("cos"), col("node"), col("m")))), byCosM), 1, beamF)
+            .as("tm"))
+        .select(col("qid"),
+          explode(array_distinct(concat(col("ta"), col("tm")))).as("e"))
+        .select(col("qid"), col("e.node").as("node"), col("e.cos").as("cos"),
+          col("e.m").as("m"))
+    var beam = Caches.register(
+      topBoth(seedScored.select(col("qid"), col("node"), col("cos"),
+          pred(col("ln"), col("plabel")).as("m")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the FULL flat-tier hop budget, not the descent-discounted
     // HnswHops0: the descent seeds the walk near the query's GLOBAL
@@ -1879,29 +1976,34 @@ object Similarity {
     // hops back (measured at sf0.1's 10% predicate: 3 hops 0.84, 4
     // hops 0.86 before the entry/widening levers; per-hop volume
     // stays beam×degree-bounded)
-    for (_ <- 1 to Hops) {
-      val expand = beamAll.select(col("qid"), col("node").as("v"))
-        .union(beamM.select(col("qid"), col("node").as("v")))
+    def roundOf(b: DataFrame): DataFrame = {
       val frontier = adjE
-        .join(broadcast(expand), Seq("v"))
+        .join(broadcast(b.select(col("qid"), col("node").as("v"))),
+          Seq("v"))
         .join(probes, Seq("qid"))
       // navigation: every frontier node keeps the walk connected
       val scoredAll = frontier
         .select(col("qid"), col("w").as("node"),
           round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
-            .as("cos"))
+            .as("cos"), lit(false).as("m"))
       // collection: label-matched BEFORE the scoring projection — the
-      // predicate binds to the index's inline label column map-side
+      // predicate binds to the index's inline label column map-side;
+      // the (qid, node) dedupe's max(m) re-merges the matched rows
       val scoredMatch = frontier.filter(pred(col("lw"), col("plabel")))
         .select(col("qid"), col("w").as("node"),
           round(graft.functions.CosineSim.cosineSim(col("qe"), col("ew")), 4)
-            .as("cos"))
-      beamAll = Caches.register(topB(beamAll.union(scoredAll), Beam)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      beamM = Caches.register(topB(beamM.union(scoredMatch), beamF)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .as("cos"), lit(true).as("m"))
+      b.union(scoredAll).union(scoredMatch)
     }
-    topB(beamM.filter(col("node") =!= col("qid")), K)
+    for (_ <- 1 until Hops) {
+      beam = Caches.registerCheckpoint(topBoth(roundOf(beam))
+        .localCheckpoint(true))
+    }
+    // final hop folds the matched-only output cap into its own round
+    // (the graphSearchFor convention: beamF ≥ K+1, so top-K of the
+    // self-dropped matched union equals the former cap chain)
+    topB(roundOf(beam).filter(col("m") && col("node") =!= col("qid"))
+        .select(col("qid"), col("node"), col("cos")), K)
       .select(col("qid").as("probe_id"), col("node").as("cand_id"),
         col("cos").as("cosine"))
   }
