@@ -66,4 +66,73 @@ object Tables {
     */
   val lineitemKey: Seq[String] =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  /** Whether the parquet input under `path` (file or directory) can
+    * split into at least `want` scan tasks — driver-side footer reads,
+    * memoized per (path, want) for the JVM. Parquet assigns each row
+    * group to ONE scan task, so a single-row-group file is
+    * unsplittable however the split math slices it. Footers are read
+    * only until the threshold is proven, so a 10k-part production
+    * table costs a handful of footer reads, once. */
+  private val rowGroupMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+  private def splittableTo(spark: SparkSession, path: String,
+      want: Int): Boolean =
+    rowGroupMemo.getOrElseUpdate((path, want), {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq(p)
+        var groups = 0
+        val it = files.iterator
+        while (groups < want && it.hasNext) {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(it.next(), conf))
+          try groups += r.getFooter.getBlocks.size()
+          finally r.close()
+        }
+        groups >= want
+      } catch { case _: Exception => true } // unknown layout: assume splittable
+    })
+
+  /** INPUT-SKEW fan-out (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read").
+    * The driver fixtures are ONE row group per table, so every scan
+    * stage in the suite runs its map-side compute on one core while
+    * the other cores idle. Operators whose scan stage carries heavy
+    * compute (expand/dedup, parse_json, tokenization HOFs) read
+    * through this wrapper: when the source cannot split to at least
+    * half the session parallelism, rows are hash-spread on `key` (a
+    * high-cardinality stable column — deterministic under task retry,
+    * unlike rand-derived keys, SPARK-38388) so the heavy expressions
+    * above run wide. At production scale (many files / row groups)
+    * the splittability probe says yes and this is a provable NO-OP —
+    * no extra exchange ever reaches a 100 TB plan. Filters and column
+    * pruning still push through the RepartitionByExpression to the
+    * scan, so the fanned frame prunes/pushes exactly like `load`. */
+  def fanned(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = load(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (splittableTo(spark, s"$dir/$name.parquet", math.max(1, p / 2))) df
+    else df.repartition(p, col(key))
+  }
+
+  /** [[fanned]] for the ts-normalized events frame. */
+  def fannedEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = events(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    if (splittableTo(spark, s"$dir/events.parquet", math.max(1, p / 2))) df
+    else df.repartition(p, col("event_id"))
+  }
 }

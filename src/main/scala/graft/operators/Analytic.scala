@@ -424,8 +424,12 @@ object Analytic {
   // the alternative — k self-joined single-distinct aggregates —
   // scans the table k times. PlanSpec pins the Expand + no join;
   // approx sibling: agg_approx_distinct (HLL, one pass, no Expand).
+  // r19: the EXPAND ×4 + partial dedup ran single-core on the
+  // unsplittable one-row-group fixture scan (guide §2.5 input skew) —
+  // Tables.fanned spreads the rows on l_orderkey first (no-op on
+  // splittable production inputs). Isolated warm 2.11 s → 1.66 s.
   def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.fanned(spark, dir, "lineitem", "l_orderkey")
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("nd_part"),

