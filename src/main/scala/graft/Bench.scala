@@ -141,6 +141,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor = session parallelism (r19, measured): the
+      // advisory-size coalescer collapses every small shuffle to ONE
+      // partition, so each CPU-heavy post-shuffle stage (interpreted
+      // variant consumers, HOF projections above a terminal sort) ran
+      // single-core while 31 cores idled — variant_explode 2.7 → 1.6 s,
+      // json_variant 1.8 → 1.5 s in the same window. The floor is
+      // DERIVED (cores), not a tuned constant: at production volumes
+      // coalesced partition counts sit far above core count and the
+      // floor never binds; it binds exactly in the small-shuffle regime
+      // where partitions are compute-bound, not byte-bound. Env
+      // override for A/Bs; the driver's invocation takes the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", cpus))
       // Let AQE re-plan (and coalesce) shuffles above cached plans too —
       // the iterative CC loop's per-round joins read persisted frames,
       // which this conf otherwise pins at the static partition count.

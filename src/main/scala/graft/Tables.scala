@@ -127,6 +127,13 @@ object Tables {
     else df.repartition(p, col(key))
   }
 
+  /** [[fanned]] for the documents corpus (doc_id-keyed): the
+    * tokenize/shingle/hash pipelines run orders of magnitude more CPU
+    * per input byte than a scan, so the single-row-group fixture made
+    * them single-core. */
+  def fannedDocuments(spark: SparkSession, dir: String): DataFrame =
+    fanned(spark, dir, "documents", "doc_id")
+
   /** [[fanned]] for the ts-normalized events frame. */
   def fannedEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -122,7 +122,7 @@ object Dedup {
   // The driver data plants 25 true near-dup pairs (5-gram J ≥ 0.875)
   // with a clean gap below 0.3, so 0.8 separates cleanly.
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    ngramPairs(Tables.documents(spark, dir))
+    ngramPairs(Tables.fannedDocuments(spark, dir))
 
   /** Exact shingle-Jaccard pairs over any (doc_id, text) frame —
     * factored out so DedupSpec can plant synthetic duplicates. */
@@ -229,7 +229,7 @@ object Dedup {
     val canon = concat(
       lower(regexp_extract(c4, "^(https?://[^/]+)", 1)),
       regexp_extract(c4, "^https?://[^/]+(.*)$", 1))
-    Tables.events(spark, dir)
+    Tables.fannedEvents(spark, dir)
       .select(id, raw.as("raw"), canon.as("url"))
       .groupBy("url")
       .agg(count(lit(1)).as("n_raw"),
@@ -252,7 +252,7 @@ object Dedup {
   // never all-pairs); at 100 TB the candidate set would come from the
   // banded-MinHash stage instead — the verify tail is unchanged.
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.documents(spark, dir))
+    containmentPairs(Tables.fannedDocuments(spark, dir))
 
   /** Containment pairs over any (doc_id, text) frame — factored out so
     * DedupSpec can plant a subset-doc pair that Jaccard misses. */
@@ -280,7 +280,7 @@ object Dedup {
   // generation never goes all-pairs. Everything is xxhash64 — seedless,
   // deterministic, no fit step, no driver state.
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(spark, dir))
+    minhashPairs(Tables.fannedDocuments(spark, dir))
 
   /** Checkpointed LEAF view of [[minhashPairs]] over the corpus,
     * memoized per dir (r19, measured with KeyProbe on graph_pagerank):
@@ -304,7 +304,7 @@ object Dedup {
       dir: String): DataFrame =
     pairsLeafMemo.getOrElseUpdate(dir,
       Caches.registerCheckpoint(
-        minhashPairs(Tables.documents(spark, dir))
+        minhashPairs(Tables.fannedDocuments(spark, dir))
           .select("doc_a", "doc_b").localCheckpoint(true)))
 
   /** Banded-MinHash near-dup pipeline over any (doc_id, text) frame:
@@ -506,7 +506,7 @@ object Dedup {
   // output bit-identical (VERDICT r6 stretch item; SCALING.md).
   def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = 20
-    val spans = Tables.documents(spark, dir)
+    val spans = Tables.fannedDocuments(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), col("w"),
@@ -610,7 +610,7 @@ object Dedup {
     // the key's declared dominant cost, paid twice. The cached frame is
     // one (doc_id, long) row per document — negligible storage at any
     // corpus scale — and the shingle scan now runs exactly once.
-    val fp = Caches.register(simhash(Tables.documents(spark, dir))
+    val fp = Caches.register(simhash(Tables.fannedDocuments(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = fp.select(
       col("doc_id"), col("simhash"),
@@ -653,7 +653,7 @@ object Dedup {
   // exact dup is trivially also a near dup) so each column replays as
   // its own EXISTS.
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    incrementalFlags(Tables.documents(spark, dir))
+    incrementalFlags(Tables.fannedDocuments(spark, dir))
 
   /** The flag pipeline over any (doc_id, text) frame — factored out so
     * DedupSpec can plant synthetic cross-set and batch-internal

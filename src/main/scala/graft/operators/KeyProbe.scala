@@ -16,7 +16,11 @@ object KeyProbe {
     val keys = args(1).split(",").toSeq
     val passes = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // GRAFT_CONF="k=v;k=v" — ad-hoc session-conf A/Bs without editing
+    val extra = sys.env.get("GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k, v) }
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -24,6 +28,7 @@ object KeyProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(spark0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts =

@@ -383,10 +383,23 @@ object Layout {
     graft.sources.FormatSources.exportPath(s"codec_$c", dir)
   def writeCodecs(spark: SparkSession, dir: String): DataFrame = {
     val slice = codecSlice(spark, dir)
-    WriteCodecNames.foreach { c =>
-      slice.write.mode("overwrite").option("compression", c)
-        .parquet(codecPath(c, dir))
-    }
+    // The three codec writes are INDEPENDENT jobs over the same slice
+    // (different output paths) — run them from a small thread pool so
+    // each job's tail back-fills the others' idle cores (optimization
+    // guide §2.6 "overlap independent jobs"); actions were only
+    // sequential because this loop called them sequentially. Wall
+    // drops from Σ(writes) to ~max(writes); failures rethrow via get().
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(WriteCodecNames.size)
+    try {
+      WriteCodecNames.map { c =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            slice.write.mode("overwrite").option("compression", c)
+              .parquet(codecPath(c, dir))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     spark.read.parquet(codecPath("zstd", dir))
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
   }

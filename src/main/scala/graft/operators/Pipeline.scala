@@ -44,7 +44,11 @@ object Pipeline {
     val d = Caches.register(docs.join(surv, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // 2. near-dup clusters over survivors (exact J ≥ 0.8 contract)
+    // 2. near-dup clusters over survivors (exact J ≥ 0.8 contract).
+    // (r19: a checkpointed-leaf wrap of this pair frame was A/B'd and
+    // measured NEUTRAL — connectedComponents already persists the edge
+    // frame and checkpoints every round, so the LSH tree is planned
+    // once either way; the extra materialization job buys nothing.)
     val comp = Dedup.connectedComponents(
       Dedup.minhashPairs(d).select("doc_a", "doc_b"))
 

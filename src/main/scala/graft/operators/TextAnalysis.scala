@@ -468,7 +468,7 @@ object TextAnalysis {
   // not a grid value, so the half-boundary class that bit
   // ts_interpolate cannot arise.
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
+    val counts = Tables.fannedDocuments(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
     counts
@@ -702,7 +702,7 @@ object TextAnalysis {
   // both content-derived keys; nothing is corpus-global except the
   // scalar N (computed as an aggregation, broadcast by the join).
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fannedDocuments(spark, dir)
     val terms = docs.select(col("doc_id"), explode(toks).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -745,7 +745,7 @@ object TextAnalysis {
   // engine-order float error (~1e-13 relative) sits ~9 orders below
   // the rounding grid.
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fannedDocuments(spark, dir)
     val tokStream = docs.select(col("doc_id"), explode(toks).as("tok"))
     val counts = Caches.register(
       tokStream.groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
@@ -798,7 +798,7 @@ object TextAnalysis {
     // Dedup.shingleArray: a captured split(...) subtree would be
     // re-evaluated per lambda element (O(tokens²) per doc).
     val w = col("w")
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.fannedDocuments(spark, dir)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         explode(concat(w,
@@ -841,7 +841,7 @@ object TextAnalysis {
   // + fraction + a `contaminated` 0/1 flag at ≥ 0.5 on the rounded
   // fraction (planted near-dups crossing the eval boundary trip it).
   def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.hashedShingles(Tables.documents(spark, dir))
+    val sh = Dedup.hashedShingles(Tables.fannedDocuments(spark, dir))
     val eval_ = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("h")).distinct()
     sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -981,7 +981,7 @@ object TextAnalysis {
   }
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sk = Dedup.shingles(Tables.documents(spark, dir))
+    val sk = Dedup.shingles(Tables.fannedDocuments(spark, dir))
       .select(col("doc_id"), md5(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(
@@ -1089,7 +1089,7 @@ object TextAnalysis {
   def textHashingVec(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long"), lit(64))
-    Tables.documents(spark, dir)
+    Tables.fannedDocuments(spark, dir)
       .select(col("doc_id"), explode(toks).as("term"))
       .select(col("doc_id"), bucket.as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
@@ -1123,7 +1123,7 @@ object TextAnalysis {
     val bucket = pmod(
       conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long"), lit(64))
     val w = pmod(col("b") * lit(2654435761L), lit(1001L)) - lit(500L)
-    Tables.documents(spark, dir)
+    Tables.fannedDocuments(spark, dir)
       .select(col("doc_id"), explode(toks).as("term"))
       .select(col("doc_id"), bucket.as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
@@ -1310,7 +1310,7 @@ object TextAnalysis {
     val queryTerms = Seq("dup", "vector", "hash") // df 25 / 382 / 394 of 500
     val k1 = 1.2
     val b = 0.75
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fannedDocuments(spark, dir)
     val terms = docs.select(col("doc_id"), explode(toks).as("term"))
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val qtf = terms.filter(col("term").isin(queryTerms: _*))
