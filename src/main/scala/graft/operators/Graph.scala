@@ -158,31 +158,32 @@ object Graph {
       // keeps 4.2k structural edges — the standard co-occurrence
       // denoise, and the same bounded-volume shape
       .filter(col("w") >= 2)
-    val edges = ebase.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .union(ebase.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .persist(lvl)
+    // Persisted CLUSTERED ON THE JOIN KEY v (r19, the graphPagerank
+    // treatment): each LPA round joins (edges ⋈ lab) on v, so the
+    // pre-partitioned cache is scanned in place and only the tiny
+    // label vector shuffles per round (guide §2.4).
+    val edges = Caches.register(
+      ebase.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .union(ebase.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .repartition(col("v"))
+        .persist(lvl))
     var lab = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    var lastCk = lab
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("sw").desc, col("label"))
-    for (i <- 1 to LpaRounds) {
-      val step = edges
+    // NO per-round eager checkpoint (r19, re-measured — the
+    // graphPagerank rationale): each round consumes the previous label
+    // frame exactly once, so the unrolled lazy plan executes every
+    // round once in a single action over the persisted edge cache;
+    // the eager barriers (plan + materialize + block IO per cadence
+    // step) were the key's dominant cost at bench scale.
+    for (_ <- 1 to LpaRounds) {
+      lab = edges
         .join(lab.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u"), col("label")).agg(sum(col("w")).as("sw"))
         .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
         .select(col("u").as("node"), col("label"))
-      if (i % 2 == 0 || i == LpaRounds) {
-        lab = step.localCheckpoint(true)
-        Caches.releaseCheckpoint(lastCk)
-        lastCk = lab
-      } else lab = step
     }
-    edges.unpersist(false)
-    // final checkpoint escapes via the returned join — register for
-    // release at the harness boundary (ADVICE r15, graphBfs convention)
-    Caches.registerCheckpoint(lab)
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("comm_size"))
     lab.join(sizes, Seq("label"))
       .select(col("node").as("user_id"), col("label").as("community"),
@@ -284,34 +285,36 @@ object Graph {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    // symmetric adjacency, persisted once — every round probes it
+    // symmetric adjacency, persisted once CLUSTERED ON THE PROBE KEY u
+    // (r19, the graphPagerank treatment): every round's frontier join
+    // probes it on u, so the cache is scanned in place and only the
+    // frontier shuffles per round (guide §2.4).
     val edges = Caches.register(
-      e0.union(e0.select(col("v").as("u"), col("u").as("v"))).persist())
-    var dist = edges.select(col("u").as("node")).distinct()
-      .filter(col("node") % 97 === 0)
-      .select(col("node"), lit(0).as("hops"))
-      .localCheckpoint(true)
-    var frontier = dist
+      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).persist())
+    // ONE eager checkpoint per round — the new frontier, which the next
+    // round consumes twice (expansion + settled-set anti-join), so its
+    // lineage must cut. The settled set itself needs NO checkpoint
+    // (r19, halving the loop's barrier count): BFS frontiers are
+    // disjoint by construction, so dist is a lazy UNION of the ≤ h
+    // frontier LEAVES — plan size stays O(rounds), nothing re-executes.
+    var frontiers = List(
+      Caches.registerCheckpoint(
+        edges.select(col("u").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+          .select(col("node"), lit(0).as("hops"))
+          .localCheckpoint(true)))
+    def dist() = frontiers.reduce(_ unionByName _)
     for (h <- 1 to MaxHops) {
-      val (prevFrontier, prevDist) = (frontier, dist)
-      frontier = frontier
+      val frontier = frontiers.head
+      frontiers ::= Caches.registerCheckpoint(frontier
         .join(edges, frontier("node") === edges("u"))
         .select(edges("v").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti") // settled vertices stay settled
+        .join(dist(), Seq("node"), "left_anti") // settled stay settled
         .select(col("node"), lit(h).as("hops"))
-        .localCheckpoint(true)
-      // the new settled set is materialized eagerly, so the previous
-      // round's checkpoint blocks (frontier + settled set) are dead —
-      // release them now, not at ContextCleaner GC time
-      dist = dist.union(frontier).localCheckpoint(true)
-      Caches.releaseCheckpoint(prevFrontier)
-      if (prevDist ne prevFrontier) Caches.releaseCheckpoint(prevDist)
+        .localCheckpoint(true))
     }
-    Caches.releaseCheckpoint(frontier)
-    // the final settled set ESCAPES to the caller — queue its release
-    // for the next harness boundary instead of dropping it now
-    Caches.registerCheckpoint(dist)
-    dist.orderBy("node")
+    dist().orderBy("node")
   }
   // `graph_kcore` — k-core peeling (k = 2, FIXED 3 rounds — the
   // graph_pagerank declared-round contract; this edge set's peel is

@@ -1373,6 +1373,15 @@ object Similarity {
   // like every sim_* key. Approximate regime → no SQL oracle (the
   // sim_ann class); SimilaritySpec pins recall@10 vs brute force.
   private val Beam = 20  // beam width (2× the output K)
+  /** Partitioning for the per-query beam frames: one partition per
+    * probe, capped at session parallelism (r19) — the beam frames are
+    * ≤ probes×Beam rows, and letting them default to shuffle.partitions
+    * made every walk round a 32-task stage over near-empty partitions
+    * (with Bench's AQE floor they can no longer coalesce; an EXPLICIT
+    * user count is respected by AQE either way). The probe set is the
+    * serve batch's parallel unit, so the count scales with it. */
+  private def qidParts(spark: SparkSession): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, NProbes))
   private val Hops = 4   // fixed expansion rounds
   private val Seeds = 4  // md5-derived entry points per query
   def simGraphSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -1409,26 +1418,49 @@ object Similarity {
     * filter map-side — the production convention (vector stores store
     * filterable metadata inline with the graph) — instead of a
     * per-hop corpus-sized label join. */
+  private val searchAdjMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val embCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  Caches.onRelease(() => searchAdjMemo.clear())
+  /** Corpus size for the seed-draw modulus — a bounded driver scalar
+    * over an immutable fixture dir (the rebalRowCounts convention), so
+    * repeated serve passes skip the count job. */
+  private[operators] def embCount(spark: SparkSession, dir: String): Long =
+    embCountMemo.getOrElseUpdate(dir,
+      Tables.embeddings(spark, dir).count())
   private[operators] def searchAdj(spark: SparkSession,
-      dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val graph = knnGraph(spark, dir)
-    Caches.register(
-      graph.select(col("v"), col("w"))
-        .union(graph.select(col("w").as("v"), col("v").as("w")))
-        .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"),
-            col("label").as("lw"))
-          .hint("shuffle_hash"), Seq("w"))
-        .repartition(col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+      dir: String): DataFrame =
+    // Served as a memoized CHECKPOINT LEAF per dir (r19, the
+    // Dedup.pairsLeaf rationale measured on this tier with KeyProbe):
+    // every hop of every graph-search key referenced this frame's full
+    // logical tree (union + shuffle-hash join + repartition over the
+    // committed k-NN graph), so the walks' per-round plans re-analyzed
+    // and re-canonicalized it Hops× per pass — the tier's job census
+    // showed all-tiny jobs with the wall in driver planning between
+    // them. The leaf materializes once per harness window (volume
+    // O(n·k·dim) — the index itself, exactly what a production search
+    // tier keeps resident), cleared with the memo at the Caches
+    // boundary so each bench key still pays its own cold build.
+    searchAdjMemo.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val graph = knnGraph(spark, dir)
+      Caches.registerCheckpoint(
+        graph.select(col("v"), col("w"))
+          .union(graph.select(col("w").as("v"), col("v").as("w")))
+          .join(emb.select(col("vec_id").as("w"), col("embedding").as("ew"),
+              col("label").as("lw"))
+            .hint("shuffle_hash"), Seq("w"))
+          .repartition(col("v"))
+          .localCheckpoint(true))
+    })
 
   private[operators] def graphSearchFor(spark: SparkSession, dir: String,
       probes0: DataFrame, seeds0: Option[DataFrame] = None,
       hops: Int = Hops): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val n = emb.count()
+    val n = embCount(spark, dir)
     val probes = broadcast(probes0)
     val embN = emb.select(col("vec_id").as("node"), col("embedding").as("ne"))
     val adjE = searchAdj(spark, dir)
@@ -1455,7 +1487,7 @@ object Similarity {
         .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
         .otherwise(0)
     def topB(df: DataFrame, b: Int): DataFrame =
-      df.repartition(col("qid"))
+      df.repartition(qidParts(spark), col("qid"))
         .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
         .groupBy(col("qid"))
         .agg(slice(array_sort(collect_list(struct(col("cos"), col("node"))),
@@ -1712,7 +1744,7 @@ object Similarity {
         .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
         .otherwise(0)
     def topB(df: DataFrame, b: Int): DataFrame =
-      df.repartition(col("qid"))
+      df.repartition(qidParts(spark), col("qid"))
         .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
         .groupBy(col("qid"))
         .agg(slice(array_sort(collect_list(struct(col("cos"), col("node"))),
@@ -1847,7 +1879,7 @@ object Similarity {
       pred: (Column, Column) => Column = _ === _): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
-    val n = emb.count()
+    val n = embCount(spark, dir)
     val probes = broadcast(probes0)
     val embN = emb.select(col("vec_id").as("node"),
       col("embedding").as("ne"), col("label").as("ln"))
@@ -1857,7 +1889,7 @@ object Similarity {
         .when(l("node") < r("node"), -1).when(l("node") > r("node"), 1)
         .otherwise(0)
     def topB(df: DataFrame, b: Int): DataFrame =
-      df.repartition(col("qid"))
+      df.repartition(qidParts(spark), col("qid"))
         .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
         .groupBy(col("qid"))
         .agg(slice(array_sort(collect_list(struct(col("cos"), col("node"))),
@@ -1951,7 +1983,7 @@ object Similarity {
     // (qid, node, cos, m) → the union of top-Beam overall and
     // top-beamF matched, deduped — the expansion set AND accumulator
     def topBoth(df: DataFrame): DataFrame =
-      df.repartition(col("qid"))
+      df.repartition(qidParts(spark), col("qid"))
         .groupBy(col("qid"), col("node"))
         .agg(max(col("cos")).as("cos"), max(col("m")).as("m"))
         .groupBy(col("qid"))
