@@ -141,19 +141,25 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing floor = session parallelism (r19, measured): the
-      // advisory-size coalescer collapses every small shuffle to ONE
-      // partition, so each CPU-heavy post-shuffle stage (interpreted
-      // variant consumers, HOF projections above a terminal sort) ran
-      // single-core while 31 cores idled — variant_explode 2.7 → 1.6 s,
-      // json_variant 1.8 → 1.5 s in the same window. The floor is
-      // DERIVED (cores), not a tuned constant: at production volumes
-      // coalesced partition counts sit far above core count and the
-      // floor never binds; it binds exactly in the small-shuffle regime
-      // where partitions are compute-bound, not byte-bound. Env
-      // override for A/Bs; the driver's invocation takes the default.
+      // AQE coalescing floor = cores/4 (r19, measured): the advisory-
+      // size coalescer collapses every small shuffle to ONE partition,
+      // so each CPU-heavy post-shuffle stage (interpreted variant
+      // consumers, HOF projections above a terminal sort) ran
+      // single-core while 31 cores idled — variant_explode 2.7 → 1.2 s,
+      // win_running 1.0 → 0.5 s in the same window. The floor is
+      // DERIVED (a quarter of session parallelism, min 2), not a tuned
+      // constant: at production volumes byte-targeted partition counts
+      // sit far above core count and the floor never binds; it binds
+      // exactly in the small-shuffle regime where partitions are
+      // compute-bound, not byte-bound. A quarter rather than all cores
+      // because the floor also taxes every genuinely tiny stage with
+      // task overhead — the 4-arm A/B (floor 1/8/16/32 over a mixed
+      // 22-key sample, same window) read 19.4 / 15.8 / 16.7 / 16.3 s:
+      // cores/4 keeps ~all of the heavy-stage win at a quarter of the
+      // overhead. Env override for A/Bs; the driver takes the default.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED",
+          math.max(2, cpus.toInt / 4).toString))
       // Let AQE re-plan (and coalesce) shuffles above cached plans too —
       // the iterative CC loop's per-round joins read persisted frames,
       // which this conf otherwise pins at the static partition count.

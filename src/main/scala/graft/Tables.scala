@@ -123,8 +123,13 @@ object Tables {
     import org.apache.spark.sql.functions.col
     val df = load(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
-    if (splittableTo(spark, s"$dir/$name.parquet", math.max(1, p / 2))) df
-    else df.repartition(p, col(key))
+    // cores/4 spread, not all cores (r19, same calibration as Bench's
+    // AQE coalescing floor): full-width fanning made every downstream
+    // scan of the shared cached frames a 32-task stage, taxing the
+    // light consumers more than the heavy map stages gained.
+    val spread = math.max(2, p / 4)
+    if (splittableTo(spark, s"$dir/$name.parquet", math.max(1, spread))) df
+    else df.repartition(spread, col(key))
   }
 
   /** [[fanned]] for the documents corpus (doc_id-keyed): the
@@ -139,7 +144,8 @@ object Tables {
     import org.apache.spark.sql.functions.col
     val df = events(spark, dir)
     val p = spark.sparkContext.defaultParallelism
-    if (splittableTo(spark, s"$dir/events.parquet", math.max(1, p / 2))) df
-    else df.repartition(p, col("event_id"))
+    val spread = math.max(2, p / 4)
+    if (splittableTo(spark, s"$dir/events.parquet", math.max(1, spread))) df
+    else df.repartition(spread, col("event_id"))
   }
 }
