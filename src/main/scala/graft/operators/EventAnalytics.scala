@@ -1507,7 +1507,10 @@ object EventAnalytics {
     // 0.9 s at sf0.1 (md5 was the explode's dominant cost).
     val w = pmod(conv(expr("substring(h, b + 1, 3)"), 16, 10)
       .cast("long"), lit(3L))
-    Tables.events(spark, dir)
+    // r19: the md5 + 20x explode + window-draw chain is the scan
+    // stage's compute — fan the unsplittable fixture scan out first
+    // (guide §2.5; no-op on splittable production layouts)
+    Tables.fannedEvents(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("c"),

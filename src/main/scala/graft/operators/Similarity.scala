@@ -456,18 +456,26 @@ object Similarity {
   // (/ 8e6) and round(·,4) happen once at render, on identical exact
   // inputs in both engines. (r12 lesson: the float-sum variant flipped
   // a last-ulp round boundary under the driver's 32-thread layout.)
-  def embedRp(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xm"),
-        explode(sequence(lit(0L), lit(7L))).as("j"))
-      // s(i,j): -1 iff the first hex digit of md5("i:j") is odd —
-      // written as SQL so the oracle replays the identical expression
+  def embedRp(spark: SparkSession, dir: String): DataFrame = {
+    // s(i,j): -1 iff the first hex digit of md5("i:j") is odd — the
+    // identical draw the oracle replays, but materialized ONCE as a
+    // bounded (dims×8)-row broadcast sign table (r19): the inlined
+    // form re-evaluated md5 per (vec_id, i, j) — a million interpreted
+    // hashes per pass for 512 distinct values, the key's dominant
+    // cost. The join on i also carries j, replacing the ×8 explode.
+    // 1024 covers any plausible dim count; extra rows never match.
+    val signs = broadcast(spark.range(0L, 1024L * 8L).select(
+      (col("id") / 8L).cast("int").as("i"),
+      pmod(col("id"), lit(8L)).as("j"))
       .withColumn("sign", expr(
         "CASE WHEN instr('13579bdf', substring(md5(concat(" +
           "cast(i AS string), ':', cast(j AS string))), 1, 1)) > 0 " +
-        "THEN -1L ELSE 1L END"))
+        "THEN -1L ELSE 1L END")))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xm"))
+      .join(signs, Seq("i"))
       .groupBy("vec_id", "j")
       // exact integer micro-unit sum, NO division at render: /8e6 (not
       // a power of ten) lands sums on .xxxx5 half-way boundaries where
@@ -478,6 +486,7 @@ object Similarity {
       // /8·10⁶ normalization is a display concern for the consumer.
       .agg(sum(col("sign") * col("xm")).cast("long").as("y_micro8"))
       .orderBy("vec_id", "j")
+  }
   // `sim_pq` — quantized-shortlist + exact-rerank top-k, the SECOND ANN
   // regime next to the IVF routing of `sim_ann` (VERDICT r13 stretch 7):
   // the two compose in production (IVF prunes WHICH lists to read, the

@@ -389,16 +389,30 @@ object TextAnalysis {
   // tie-breaks, and merge application — not just one round.
   def tokenBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val rounds = 10
-    var vocab = Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("wcount"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("state"),
-        col("wcount"))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // r19 barrier cut (measured with KeyProbe: the key's warm cost was
+    // ~21 eager barriers — two localCheckpoints per round — not data):
+    // the winning pair is ONE row, so it collects as a bounded driver
+    // scalar (the suite's convention) and each round's vocab update
+    // becomes a LITERAL narrow replace-projection over the previous
+    // round — no crossJoin, no broadcast, no per-round vocab
+    // checkpoint. The replace chain re-derives lazily off the ONE
+    // checkpointed initial vocab (10 string replaces over a
+    // vocabulary-bounded frame — re-execution is cheaper than a
+    // barrier), and the merge table itself is a LocalRelation, so the
+    // whole trajectory costs rounds collect-jobs per pass. Greedy
+    // semantics, tie-breaks and the oracle trajectory are unchanged.
+    val vocab0 = Caches.registerCheckpoint(
+      Tables.documents(spark, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wcount"))
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("state"),
+          col("wcount"))
+        .localCheckpoint(true))
+    var vocab = vocab0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
     for (r <- 1 to rounds) {
-      val prev = vocab
       val pairs = vocab
         .select(col("wcount"),
           split(regexp_replace(col("state"), "^<|>$", ""), "><").as("ss"))
@@ -408,24 +422,23 @@ object TextAnalysis {
           explode(arrays_zip(col("ls"), col("rs"))).as("p"))
         .select(col("p.ls").as("lsym"), col("p.rs").as("rsym"),
           col("wcount"))
-      val best = pairs.groupBy("lsym", "rsym")
+      val Array(bestRow) = pairs.groupBy("lsym", "rsym")
         .agg(sum(col("wcount")).as("pcount"))
         .orderBy(col("pcount").desc, col("lsym"), col("rsym"))
-        .limit(1)
-        .select(lit(r.toLong).as("step"), col("lsym"), col("rsym"),
-          concat(col("lsym"), col("rsym")).as("merged"), col("pcount"))
-        .localCheckpoint(true)
-      // escapes into the returned merge table — queue for release at
-      // the harness boundary, never immediately
-      merges += Caches.registerCheckpoint(best)
-      vocab = vocab.crossJoin(broadcast(best.select("lsym", "rsym")))
-        .select(expr("replace(state, concat('<', lsym, '><', rsym, '>')," +
-          " concat('<', lsym, rsym, '>'))").as("state"), col("wcount"))
-        .localCheckpoint(true)
-      Caches.releaseCheckpoint(prev)
+        .limit(1).collect()
+      val (lsym, rsym) = (bestRow.getString(0), bestRow.getString(1))
+      merges += ((bestRow.getLong(2), lsym, rsym))
+      vocab = vocab.select(
+        replace(col("state"), lit(s"<$lsym><$rsym>"), lit(s"<$lsym$rsym>"))
+          .as("state"),
+        col("wcount"))
     }
-    Caches.releaseCheckpoint(vocab)
-    merges.reduce(_.unionByName(_)).orderBy("step")
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((pcount, lsym, rsym), i) =>
+        ((i + 1).toLong, lsym, rsym, lsym + rsym, pcount) }
+      .toDF("step", "lsym", "rsym", "merged", "pcount")
+      .orderBy("step")
   }
 
   // `text_quality` — per-doc quality signals: length, alphanumeric
@@ -1471,25 +1484,37 @@ object TextAnalysis {
     val cg = gramCounts(col("ctext"), "cc")
     val rg = gramCounts(col("rtext"), "rc")
     val isBg = instr(col("g"), " ") > 0
-    // candidate totals (BLEU denominators), reference totals (ROUGE
-    // denominators) and clipped matches (shared numerators)
-    val tot = cg.groupBy("pid").agg(
-      sum(when(!isBg, col("cc")).otherwise(0L)).as("tot1"),
-      sum(when(isBg, col("cc")).otherwise(0L)).as("tot2"))
-    val rtot = rg.groupBy("pid").agg(
-      sum(when(!isBg, col("rc")).otherwise(0L)).as("rtot1"),
-      sum(when(isBg, col("rc")).otherwise(0L)).as("rtot2"))
-    val mat = cg.join(rg.hint("shuffle_hash"), Seq("pid", "g"))
-      .groupBy("pid").agg(
-        sum(when(!isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
-        sum(when(isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m2"))
+    // Candidate totals (BLEU denominators), reference totals (ROUGE
+    // denominators) and clipped matches (shared numerators) all fold
+    // out of ONE full-outer clip join (r19): the former three-frame
+    // form (two per-side total aggs + an inner clip join, then three
+    // pid joins into lens) re-aggregated and re-joined what a single
+    // (pid, g)-aligned frame already holds — the full outer keeps
+    // every cg row (tot), every rg row (rtot), and the shared rows
+    // (least clip), so one groupBy(pid) yields all six sums and lens
+    // joins ONCE. Same exchange-reuse shape per side, 3 fewer pid
+    // exchanges + 2 fewer joins per key; candidate values identical
+    // (least over both-present rows; absent sides contribute 0).
+    val both = cg.join(rg.hint("shuffle_hash"), Seq("pid", "g"),
+      "full_outer")
+    val stats = both.groupBy("pid").agg(
+      sum(when(!isBg, coalesce(col("cc"), lit(0L))).otherwise(0L))
+        .as("tot1"),
+      sum(when(isBg, coalesce(col("cc"), lit(0L))).otherwise(0L))
+        .as("tot2"),
+      sum(when(!isBg, coalesce(col("rc"), lit(0L))).otherwise(0L))
+        .as("rtot1"),
+      sum(when(isBg, coalesce(col("rc"), lit(0L))).otherwise(0L))
+        .as("rtot2"),
+      sum(when(!isBg && col("cc").isNotNull && col("rc").isNotNull,
+        least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
+      sum(when(isBg && col("cc").isNotNull && col("rc").isNotNull,
+        least(col("cc"), col("rc"))).otherwise(0L)).as("m2"))
     val lens = pairs.select(col("pid"), col("lang"),
       size(Dedup.tokens(col("ctext"))).cast("long").as("clen"),
       size(Dedup.tokens(col("rtext"))).cast("long").as("rlen"))
     lens
-      .join(tot, Seq("pid"))
-      .join(rtot, Seq("pid"))
-      .join(mat, Seq("pid"), "left")
+      .join(stats, Seq("pid"), "left")
       .groupBy("lang").agg(
         count(lit(1)).as("n_pairs"),
         sum(coalesce(col("m1"), lit(0L))).as("match1"),
