@@ -13,8 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized loader (r19): `spark.read.parquet` pays datasource
+    * resolution + a driver footer read for the schema on EVERY call —
+    * ~50-100 ms each, several calls per key, on every bench pass. A
+    * DataFrame is an immutable plan, so the per-(session, dir, table)
+    * instance is shared; no DATA is cached (the scan still reads
+    * parquet on every action) and the file index stays Spark's own
+    * session-level cache. Keyed on the session too: the streaming
+    * demos run child sessions, and a plan born on one session cannot
+    * execute on another. */
+  private val loadMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loadMemo.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

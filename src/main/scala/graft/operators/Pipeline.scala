@@ -229,7 +229,10 @@ object Pipeline {
   // Determinism: counts exact BIGINTs; min/max rendered as exact
   // integer cents (prices) or raw keys — no float surfaces.
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    // r19: the 3-countDistinct Expand (x4 row fan-out + partial dedup)
+    // ran single-core on the unsplittable fixture scan — fan out first
+    // (guide §2.5; no-op on splittable production layouts)
+    val o = Tables.fanned(spark, dir, "orders", "o_orderkey")
     val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     val prof = o.agg(
       count(lit(1)).as("n"),
