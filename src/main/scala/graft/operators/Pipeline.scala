@@ -34,6 +34,10 @@ import graft.Tables
 object Pipeline {
 
   def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // (r19: a fannedDocuments read was A/B'd here and REVERTED —
+    // 1.87 s control vs 2.07-2.18 s fanned in one clean window; the
+    // pipeline's stages shuffle on content keys immediately, so the
+    // extra exchange buys nothing the first groupBy doesn't already.)
     val docs = Tables.documents(spark, dir)
 
     // 1. exact dedup
