@@ -98,16 +98,27 @@ object Tables {
         val conf = spark.sessionState.newHadoopConf()
         val p = new Path(path)
         val fs = p.getFileSystem(conf)
-        val files =
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).toSeq.map(_.getPath)
-              .filter(_.getName.endsWith(".parquet"))
-          else Seq(p)
+        // RECURSIVE listing (ADVICE r19): a hive-partitioned production
+        // layout (date=.../part-*.parquet) has no .parquet files at the
+        // top level — a flat listing read groups=0 and classified a huge
+        // table unsplittable, inserting a narrow repartition where the
+        // 100 TB contract promises a no-op. listFiles(p, true) is a lazy
+        // RemoteIterator, and the loop below stops at the first `want`
+        // row groups, so a 10k-file table still costs a handful of
+        // footer reads.
+        val files: Iterator[Path] =
+          if (fs.getFileStatus(p).isDirectory) {
+            val remote = fs.listFiles(p, true)
+            new Iterator[org.apache.hadoop.fs.LocatedFileStatus] {
+              def hasNext: Boolean = remote.hasNext
+              def next(): org.apache.hadoop.fs.LocatedFileStatus =
+                remote.next()
+            }.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          } else Iterator(p)
         var groups = 0
-        val it = files.iterator
-        while (groups < want && it.hasNext) {
+        while (groups < want && files.hasNext) {
           val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(it.next(), conf))
+            HadoopInputFile.fromPath(files.next(), conf))
           try groups += r.getFooter.getBlocks.size()
           finally r.close()
         }

@@ -392,13 +392,24 @@ object Layout {
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(WriteCodecNames.size)
     try {
-      WriteCodecNames.map { c =>
+      val futures = WriteCodecNames.map { c =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit =
             slice.write.mode("overwrite").option("compression", c)
               .parquet(codecPath(c, dir))
         })
-      }.foreach(_.get())
+      }
+      try futures.foreach(_.get())
+      catch { case e: Throwable =>
+        // ADVICE r19: shutdown() does not cancel running tasks — on one
+        // codec's failure, cancel the rest and WAIT for them, or their
+        // writes keep racing past the key's failure into the harness's
+        // next steps.
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw e
+      }
     } finally pool.shutdown()
     spark.read.parquet(codecPath("zstd", dir))
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")

@@ -456,6 +456,19 @@ object Similarity {
   // (/ 8e6) and round(·,4) happen once at render, on identical exact
   // inputs in both engines. (r12 lesson: the float-sum variant flipped
   // a last-ulp round boundary under the driver's 32-thread layout.)
+  // Embedding dim bound for embedRp's sign table, memoized per
+  // (session, dir) — ADVICE r19: the previous hard-coded 1024 silently
+  // DROPPED dimensions >= 1024 on the inner join for wider models
+  // (1536/3072-dim). One bounded 1-row driver scalar (max array size)
+  // per dir derives the true bound; like the r19 corpus-count memo it
+  // caches metadata, never data.
+  private val rpDimsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def rpDims(spark: SparkSession, dir: String): Long =
+    rpDimsMemo.getOrElseUpdate((spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(max(size(col("embedding")))).head().getInt(0).toLong)
+
   def embedRp(spark: SparkSession, dir: String): DataFrame = {
     // s(i,j): -1 iff the first hex digit of md5("i:j") is odd — the
     // identical draw the oracle replays, but materialized ONCE as a
@@ -463,8 +476,8 @@ object Similarity {
     // form re-evaluated md5 per (vec_id, i, j) — a million interpreted
     // hashes per pass for 512 distinct values, the key's dominant
     // cost. The join on i also carries j, replacing the ×8 explode.
-    // 1024 covers any plausible dim count; extra rows never match.
-    val signs = broadcast(spark.range(0L, 1024L * 8L).select(
+    // The bound is measured from the data (rpDims), never assumed.
+    val signs = broadcast(spark.range(0L, rpDims(spark, dir) * 8L).select(
       (col("id") / 8L).cast("int").as("i"),
       pmod(col("id"), lit(8L)).as("j"))
       .withColumn("sign", expr(

@@ -412,7 +412,9 @@ object TextAnalysis {
     var vocab = vocab0
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val pairs = vocab
         .select(col("wcount"),
           split(regexp_replace(col("state"), "^<|>$", ""), "><").as("ss"))
@@ -422,16 +424,23 @@ object TextAnalysis {
           explode(arrays_zip(col("ls"), col("rs"))).as("p"))
         .select(col("p.ls").as("lsym"), col("p.rs").as("rsym"),
           col("wcount"))
-      val Array(bestRow) = pairs.groupBy("lsym", "rsym")
+      // headOption, not a 1-element pattern match (ADVICE r19): a
+      // degenerate corpus can run out of adjacent pairs before `rounds`
+      // merges — emit the completed merges instead of a MatchError.
+      pairs.groupBy("lsym", "rsym")
         .agg(sum(col("wcount")).as("pcount"))
         .orderBy(col("pcount").desc, col("lsym"), col("rsym"))
-        .limit(1).collect()
-      val (lsym, rsym) = (bestRow.getString(0), bestRow.getString(1))
-      merges += ((bestRow.getLong(2), lsym, rsym))
-      vocab = vocab.select(
-        replace(col("state"), lit(s"<$lsym><$rsym>"), lit(s"<$lsym$rsym>"))
-          .as("state"),
-        col("wcount"))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(bestRow) =>
+          val (lsym, rsym) = (bestRow.getString(0), bestRow.getString(1))
+          merges += ((bestRow.getLong(2), lsym, rsym))
+          vocab = vocab.select(
+            replace(col("state"), lit(s"<$lsym><$rsym>"),
+              lit(s"<$lsym$rsym>")).as("state"),
+            col("wcount"))
+      }
+      r += 1
     }
     import spark.implicits._
     merges.toSeq.zipWithIndex
