@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md /
   * FIXTURES.md). One parquet file per table under the sf dir; the
@@ -153,6 +153,31 @@ object Tables {
     val spread = math.max(2, p / 4)
     if (splittableTo(spark, s"$dir/$name.parquet", math.max(1, spread))) df
     else df.repartition(spread, col(key))
+  }
+
+  /** CONTRACT-SORT width for heavy consumers above a sort (r20). The
+    * sort-first pattern (narrow orderBy, interpreted parse/variant
+    * consumers projected above it) keeps the heavy chain out of the
+    * range-partitioner's sample pass — but the post-sort stage is then
+    * sized by AQE's BYTE-targeted coalescer, which lands these tiny-
+    * bytes/heavy-CPU stages on the minPartitionNum floor (cores/4)
+    * while 3/4 of the machine idles. When the backing table cannot
+    * split to the fan-out spread (the single-row-group fixture
+    * regime), the sort instead takes an EXPLICIT cores-wide range
+    * partition count — explicit counts bypass the AQE coalescer (the
+    * r19 probe-derived-beam convention) — so the consumers above run
+    * machine-wide. On splittable production layouts the probe says
+    * yes and the plain orderBy keeps AQE's byte-targeted sizing: no
+    * hard-coded width ever reaches a 100 TB plan. Total order is
+    * IDENTICAL either way: range partitions concatenate in index
+    * order, and every downstream consumer (noop sink, Verify's
+    * coalesce(1) write) preserves partition order. */
+  def wideSorted(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, cols: Column*): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (splittableTo(spark, s"$dir/$name.parquet", math.max(2, p / 4)))
+      df.orderBy(cols: _*)
+    else df.repartitionByRange(p, cols: _*).sortWithinPartitions(cols: _*)
   }
 
   /** [[fanned]] for the documents corpus (doc_id-keyed): the

@@ -474,7 +474,13 @@ object Analytic {
   // sketch variant (approx_percentile) is asserted against this exact
   // result in ApproxDistinctSpec.
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    // fanned (r20, guide §2.5): exact percentile's map-side partial
+    // buffers EVERY value of its group — on the single-row-group
+    // fixture that buffer build ran in one task. Hash-spreading on the
+    // key parallelizes the partial build; the shuffle carries the same
+    // value multiset either way (partials concatenate). No-op on
+    // splittable production layouts.
+    Tables.fanned(spark, dir, "orders", "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(
         round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),

@@ -165,9 +165,10 @@ object SemiStructured {
     // + five variant consumers — none codegen-able yet — executed
     // twice when they sat under the sort; a Project above Sort
     // preserves ordering, no exchange between them).
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("props"), col("event_type"))
-      .orderBy("event_id")
+    Tables.wideSorted(spark, dir, "events",
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("props"), col("event_type")),
+      col("event_id"))
       .select(col("event_id"),
         parse_json(col("props")).as("v"),
         parse_json(nestedJson).as("nested"))
@@ -234,28 +235,33 @@ object SemiStructured {
     //    of it IS kk — the oracle hash is unchanged.
     // A Project above Sort preserves ordering (no exchange between
     // them — plan shape pinned in PlanSpec).
-    spark.sql(
-      """SELECT event_id, pos,
-        |       CASE WHEN pos = 0 THEN CAST(kk AS STRING)
-        |            WHEN pos = 1 THEN CAST(kk * 2 AS STRING)
-        |            ELSE to_json(item) END AS item_json,
-        |       CASE WHEN pos = 0 THEN kk
-        |            WHEN pos = 1 THEN kk * 2
-        |            ELSE try_variant_get(item, '$', 'bigint') END AS item_num
-        |FROM (
-        |  SELECT e.event_id, e.kk, v.pos, v.value AS item
-        |  FROM (SELECT event_id, kk,
-        |          parse_json(concat(
-        |            '[', CAST(kk AS STRING), ',',
-        |            CAST(kk * 2 AS STRING),
-        |            ',"', event_type, '"]')) AS arr
-        |        FROM (SELECT event_id, event_type,
-        |                CAST(get_json_object(props, '$.k') AS BIGINT)
-        |                  AS kk
-        |              FROM vex_events)) e,
-        |  LATERAL variant_explode(e.arr) v
-        |  ORDER BY event_id, pos
-        |)""".stripMargin)
+    val exploded = spark.sql(
+      """SELECT e.event_id, e.kk, v.pos, v.value AS item
+        |FROM (SELECT event_id, kk,
+        |        parse_json(concat(
+        |          '[', CAST(kk AS STRING), ',',
+        |          CAST(kk * 2 AS STRING),
+        |          ',"', event_type, '"]')) AS arr
+        |      FROM (SELECT event_id, event_type,
+        |              CAST(get_json_object(props, '$.k') AS BIGINT)
+        |                AS kk
+        |            FROM vex_events)) e,
+        |LATERAL variant_explode(e.arr) v""".stripMargin)
+    // contract sort via wideSorted (r20): the interpreted consumers
+    // above ran on the AQE byte-floor's cores/4 partitions; an explicit
+    // cores-wide range sort (fixture regime only — see Tables
+    // .wideSorted) spreads them machine-wide with the identical total
+    // order.
+    Tables.wideSorted(spark, dir, "events", exploded,
+      col("event_id"), col("pos"))
+      .selectExpr("event_id", "pos",
+        """CASE WHEN pos = 0 THEN CAST(kk AS STRING)
+          |     WHEN pos = 1 THEN CAST(kk * 2 AS STRING)
+          |     ELSE to_json(item) END AS item_json""".stripMargin,
+        """CASE WHEN pos = 0 THEN kk
+          |     WHEN pos = 1 THEN kk * 2
+          |     ELSE try_variant_get(item, '$', 'bigint') END
+          |  AS item_num""".stripMargin)
   }
 
   def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -274,9 +280,10 @@ object SemiStructured {
     // json_variant lesson: the chain starts with an interpreted
     // get_json_object, and under the sort the range-partitioner
     // sample pass evaluated all of it twice)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("props"), col("event_type"))
-      .orderBy("event_id")
+    Tables.wideSorted(spark, dir, "events",
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("props"), col("event_type")),
+      col("event_id"))
       .select(col("event_id"), url.as("url"))
       .select(col("event_id"),
         graft.functions.UrlParts.urlParts(col("url")).as("u"))

@@ -816,9 +816,16 @@ class PlanSpec extends SparkSpec {
     // projection must come after Sort, with no exchange between.
     val lines = p.linesIterator.toSeq
     val consumerIdx = lines.indexWhere(_.contains("try_variant_get"))
-    val sortIdx = lines.indexWhere(l =>
-      l.contains("Sort [event_id") && l.contains("true"))
+    // r20 wideSorted: on the fixture the contract sort is a LOCAL sort
+    // above an explicit range exchange (identical total order — range
+    // partitions concatenate in index order); on splittable layouts it
+    // stays the plain global Sort. Accept either, but a local sort must
+    // have the range exchange below it.
+    val sortIdx = lines.indexWhere(_.contains("Sort [event_id"))
     assert(consumerIdx >= 0 && sortIdx >= 0, p)
+    if (lines(sortIdx).contains("false"))
+      assert(lines.drop(sortIdx + 1).exists(_.contains("rangepartitioning")),
+        s"local contract sort without a range exchange below it:\n$p")
     // r17: the plan-time-typed positions (0, 1) take the typed fast
     // path off the carried kk column — variant eval is confined to the
     // runtime-mixed position 2 behind lazy CASE branches
