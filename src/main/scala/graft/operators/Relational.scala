@@ -887,6 +887,14 @@ object Relational {
           when(col("next_t_us") - unix_micros(col("t")) <= tolUs,
             col("next_key")),
           lit(-1L)).as("next_order"))
+      // LAZY localCheckpoint before the contract sort (r20): the
+      // terminal orderBy's range sampler re-executed the whole
+      // union+window subtree (two ~0.37 s jobs for one window's work).
+      // A lazy checkpoint materializes the narrow (event_id,
+      // next_order) result on the SAMPLE pass and the sort job reads
+      // the stored blocks — one window execution per action, no extra
+      // job (eager=false), result rows identical.
+      .localCheckpoint(false)
       .orderBy("event_id")
   }
 

@@ -129,9 +129,10 @@ object SemiStructured {
     // variant_explode/json_variant lesson: get_json_object/from_json
     // are CodegenFallback, and under the sort the range-partitioner
     // sample pass evaluates them twice)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("props"))
-      .orderBy("event_id")
+    Tables.wideSorted(spark, dir, "events",
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("props")),
+      col("event_id"))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_path"),

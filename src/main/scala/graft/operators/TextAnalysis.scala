@@ -1477,52 +1477,51 @@ object TextAnalysis {
           .select((col("doc_id") - 1L).as("pid"), col("text").as("rtext")),
           Seq("pid"))
         .persist())
-    // unigram + bigram stream per side (bound token array first — the
-    // Dedup.shingleArray lambda-capture rule)
-    def gramCounts(text: Column, cnt: String): DataFrame = {
-      val w = col("w")
-      pairs.select(col("pid"), Dedup.tokens(text).as("w"))
-        .select(col("pid"),
-          explode(concat(w,
-            when(size(w) >= 2,
-              transform(sequence(lit(0), size(w) - 2),
-                i => concat_ws(" ", slice(w, i + lit(1), lit(2)))))
-              .otherwise(array()))).as("g"))
-        .groupBy("pid", "g").agg(count(lit(1)).as(cnt))
-    }
-    val cg = gramCounts(col("ctext"), "cc")
-    val rg = gramCounts(col("rtext"), "rc")
+    // ONE tagged gram stream for BOTH sides (r20, completing the r19
+    // fusion): the former two per-side gram passes + full-outer clip
+    // join re-aligned on (pid, g) what a single exploded stream can
+    // carry as a side tag — one pass over pairs computes both token
+    // arrays, one explode emits struct(g, side), and the (pid, g) agg
+    // pivots the tag into the aligned (cc, rc) row the clip needs.
+    // That removes one explode pass, one (pid, g) exchange and the
+    // full-outer join outright. The clip semantics are unchanged:
+    // a side absent at a gram now counts 0 instead of NULL, and
+    // least(cc, 0) = 0 = the old both-present-only filter. The lens
+    // tokenization is gone too: per pid, the unigram candidate total
+    // IS the candidate token count (each token occurrence contributes
+    // exactly one unigram), so c_len/r_len fold out of tot1/rtot1.
+    // (bound token array first — the Dedup.shingleArray
+    // lambda-capture rule)
+    def withBigrams(w: Column): Column =
+      concat(w,
+        when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(2)))))
+          .otherwise(array()))
+    val tagged = pairs
+      .select(col("pid"),
+        Dedup.tokens(col("ctext")).as("cw"),
+        Dedup.tokens(col("rtext")).as("rw"))
+      .select(col("pid"),
+        withBigrams(col("cw")).as("cgs"),
+        withBigrams(col("rw")).as("rgs"))
+      .select(col("pid"), explode(concat(
+        transform(col("cgs"), g => struct(g.as("g"), lit(1).as("s"))),
+        transform(col("rgs"), g => struct(g.as("g"), lit(2).as("s")))))
+        .as("x"))
+      .select(col("pid"), col("x.g").as("g"), col("x.s").as("s"))
+    val counts = tagged.groupBy("pid", "g").agg(
+      sum(when(col("s") === 1, lit(1L)).otherwise(0L)).as("cc"),
+      sum(when(col("s") === 2, lit(1L)).otherwise(0L)).as("rc"))
     val isBg = instr(col("g"), " ") > 0
-    // Candidate totals (BLEU denominators), reference totals (ROUGE
-    // denominators) and clipped matches (shared numerators) all fold
-    // out of ONE full-outer clip join (r19): the former three-frame
-    // form (two per-side total aggs + an inner clip join, then three
-    // pid joins into lens) re-aggregated and re-joined what a single
-    // (pid, g)-aligned frame already holds — the full outer keeps
-    // every cg row (tot), every rg row (rtot), and the shared rows
-    // (least clip), so one groupBy(pid) yields all six sums and lens
-    // joins ONCE. Same exchange-reuse shape per side, 3 fewer pid
-    // exchanges + 2 fewer joins per key; candidate values identical
-    // (least over both-present rows; absent sides contribute 0).
-    val both = cg.join(rg.hint("shuffle_hash"), Seq("pid", "g"),
-      "full_outer")
-    val stats = both.groupBy("pid").agg(
-      sum(when(!isBg, coalesce(col("cc"), lit(0L))).otherwise(0L))
-        .as("tot1"),
-      sum(when(isBg, coalesce(col("cc"), lit(0L))).otherwise(0L))
-        .as("tot2"),
-      sum(when(!isBg, coalesce(col("rc"), lit(0L))).otherwise(0L))
-        .as("rtot1"),
-      sum(when(isBg, coalesce(col("rc"), lit(0L))).otherwise(0L))
-        .as("rtot2"),
-      sum(when(!isBg && col("cc").isNotNull && col("rc").isNotNull,
-        least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
-      sum(when(isBg && col("cc").isNotNull && col("rc").isNotNull,
-        least(col("cc"), col("rc"))).otherwise(0L)).as("m2"))
-    val lens = pairs.select(col("pid"), col("lang"),
-      size(Dedup.tokens(col("ctext"))).cast("long").as("clen"),
-      size(Dedup.tokens(col("rtext"))).cast("long").as("rlen"))
-    lens
+    val stats = counts.groupBy("pid").agg(
+      sum(when(!isBg, col("cc")).otherwise(0L)).as("tot1"),
+      sum(when(isBg, col("cc")).otherwise(0L)).as("tot2"),
+      sum(when(!isBg, col("rc")).otherwise(0L)).as("rtot1"),
+      sum(when(isBg, col("rc")).otherwise(0L)).as("rtot2"),
+      sum(when(!isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m1"),
+      sum(when(isBg, least(col("cc"), col("rc"))).otherwise(0L)).as("m2"))
+    pairs.select(col("pid"), col("lang"))
       .join(stats, Seq("pid"), "left")
       .groupBy("lang").agg(
         count(lit(1)).as("n_pairs"),
@@ -1532,8 +1531,8 @@ object TextAnalysis {
         sum(coalesce(col("m2"), lit(0L))).as("match2"),
         sum(col("tot2")).as("total2"),
         sum(col("rtot2")).as("rtotal2"),
-        sum(col("clen")).as("c_len"),
-        sum(col("rlen")).as("r_len"))
+        sum(coalesce(col("tot1"), lit(0L))).as("c_len"),
+        sum(coalesce(col("rtot1"), lit(0L))).as("r_len"))
   }
 
   // `eval_rouge` — corpus-level ROUGE-1/ROUGE-2 (Lin 2004): the RECALL

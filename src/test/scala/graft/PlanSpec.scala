@@ -271,13 +271,13 @@ class PlanSpec extends SparkSpec {
   test("eval_bleu: one generator per side, clip join is hash-partitionable, " +
       "no cartesian") {
     val p = plan(operators.TextAnalysis.evalBleu(spark, sf))
-    // ONE fused gram stream per side (the text_repetition rule), each
-    // consumed twice since the eval_rouge refactor (totals + clip);
-    // exchange reuse collapses what it can, so the bound is ≤ 2
-    // Generates per side — a 5th would mean the fused stream split
-    assert(count(p, "Generate") <= 4,
+    // ONE tagged gram stream for BOTH sides (r20): a single explode
+    // emits struct(gram, side) and the (pid, g) agg pivots the tag
+    // into aligned (cc, rc) — the former per-side streams and their
+    // full-outer clip join are gone. A 2nd Generate would mean the
+    // fused stream split again.
+    assert(count(p, "Generate") === 1,
       s"gram stream fragmented: ${count(p, "Generate")} explodes")
-    assert(p.contains("ShuffledHashJoin"), "clip join must stay hashed")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), "pair machinery went all-pairs")
   }
