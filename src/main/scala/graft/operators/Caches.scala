@@ -38,6 +38,19 @@ object Caches {
     frames += df; df
   }
 
+  /** Pre-sort persist of a narrow result frame (r20): a terminal
+    * contract sort's range sampler re-executes its whole child subtree
+    * (windows, joins, parses) a second time per action. Persisting the
+    * narrow pre-sort frame makes the sample pass fill the cache and the
+    * sort read it — one subtree execution per action. persist, not
+    * localCheckpoint: the checkpoint variant pays ~0.25 s of physical
+    * planning at CONSTRUCT (toRdd) for the same dedup (A/B'd on
+    * multimodal_decode). Registered here so the harness releases the
+    * blocks at the per-key boundary; within one action the cache holds
+    * exactly one narrow copy of the key's own result. */
+  private[graft] def presortPersist[T <: Dataset[_]](df: T): T =
+    register({ df.persist(); df })
+
   /** Queue an eager `localCheckpoint` frame that ESCAPED to a caller
     * (e.g. `join_bloom`'s result) for release at the next
     * `releaseAll()`. Unlike [[releaseCheckpoint]], this is safe for

@@ -166,6 +166,7 @@ object Relational {
         col("l_extendedprice") > col("p_retailprice") * 55.0)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"), col("l_extendedprice"), col("p_retailprice"))
+      .transform(graft.operators.Caches.presortPersist) // r20
       .orderBy(Tables.lineitemKey.map(col): _*)
 
   // Q11 `join_asof` — as-of join: each event matched to the latest order
@@ -204,6 +205,7 @@ object Relational {
       .filter(col("kind") === 1)
       .select(col("event_id"),
         coalesce(col("matched"), lit(-1L)).as("matched_order"))
+      .transform(presortPersist) // r20: see presortPersist
       .orderBy("event_id")
   }
 
@@ -260,6 +262,7 @@ object Relational {
             .when(col("fk").isNull, distB)
             .otherwise(least(distB, distF)),
           lit(-1L)).as("dist_us"))
+      .transform(presortPersist) // r20: see presortPersist
       .orderBy("event_id")
   }
 
@@ -708,6 +711,7 @@ object Relational {
       .join(dim, col("user_id") === col("d_user") &&
         col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
       .select(col("user_id"), col("ts"), col("event_id"), col("status"))
+      .transform(presortPersist) // r20: see presortPersist
       .orderBy("user_id", "ts", "event_id")
   }
 
@@ -887,16 +891,12 @@ object Relational {
           when(col("next_t_us") - unix_micros(col("t")) <= tolUs,
             col("next_key")),
           lit(-1L)).as("next_order"))
-      // LAZY localCheckpoint before the contract sort (r20): the
-      // terminal orderBy's range sampler re-executed the whole
-      // union+window subtree (two ~0.37 s jobs for one window's work).
-      // A lazy checkpoint materializes the narrow (event_id,
-      // next_order) result on the SAMPLE pass and the sort job reads
-      // the stored blocks — one window execution per action, no extra
-      // job (eager=false), result rows identical.
-      .localCheckpoint(false)
+      .transform(presortPersist)
       .orderBy("event_id")
   }
+
+  private def presortPersist(df: DataFrame): DataFrame =
+    graft.operators.Caches.presortPersist(df)
 
   // `sql_recursive_cte` — WITH RECURSIVE (Spark 4.0's headline SQL
   // addition): iterative queries — hierarchy walks, transitive closure,

@@ -107,7 +107,11 @@ object TextAnalysis {
   // identity on corpus docs, and the id-space partition.
   def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    // fanned (r20, guide §2.5): both the learner's word-count explode
+    // and the greedy per-doc encode (the mapPartitions below) are
+    // heavy per-row work above the unsplittable fixture scan — spread
+    // them; no-op on splittable production layouts.
+    val docs = Tables.fannedDocuments(spark, dir)
     val (ranks, symIds) = bpeTables(docs)
     val bcRanks = spark.sparkContext.broadcast(ranks)
     val bcSyms = spark.sparkContext.broadcast(symIds)
@@ -559,7 +563,14 @@ object TextAnalysis {
       col("text"), lit(" contact user"), col("doc_id"),
       lit("@example.com or +1-555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-    Tables.documents(spark, dir)
+    // contract sort FIRST via wideSorted (r20): the regex chain (two
+    // extract_alls + two replaces + md5) sat below the terminal sort,
+    // so the range sampler executed it twice and the scrub stage ran
+    // on the AQE byte floor; sorted-narrow-first it runs once,
+    // machine-wide (fixture regime only — see Tables.wideSorted).
+    Tables.wideSorted(spark, dir, "documents",
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), aug.as("t"))
       .select(
         col("doc_id"),
@@ -569,7 +580,6 @@ object TextAnalysis {
           .cast("long").as("n_phones"),
         md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>")).as("scrubbed_md5"))
-      .orderBy("doc_id")
   }
 
   // `seq_pack` — context-window packing: stream each language's docs

@@ -23,8 +23,16 @@ class PlanSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  private def plan(df: => DataFrame): String =
+  private def plan(df: => DataFrame): String = {
+    // Per-pin cache isolation (r20): operators persist frames (shingle
+    // caches, presortPersist), and a cache MATERIALIZED by an earlier
+    // test renders differently (CacheManager may substitute another
+    // canonically-equal plan's cached block), making operator counts
+    // order-dependent. Releasing first pins every plan in the same
+    // fresh-cache state the bench's per-key releaseAll gives it.
+    operators.Caches.releaseAll()
     withoutAQE { df.queryExecution.executedPlan.toString }
+  }
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -159,10 +167,19 @@ class PlanSpec extends SparkSpec {
 
   test("ts_interpolate: spine and lerp consume the cached hourly agg; " +
       "both neighbor passes ride ONE type-keyed sort") {
-    val exec = withoutAQE {
+    operators.Caches.releaseAll()
+    val exec0 = withoutAQE {
       operators.EventAnalytics.tsInterpolate(spark, sf)
         .queryExecution.executedPlan
     }
+    // unwrap the r20 presortPersist cache: the pinned computation now
+    // lives in the top cache's cachedPlan (the outer plan is just
+    // InMemoryTableScan -> Sort)
+    val exec = exec0.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        if s.relation.cachedPlan.toString.contains("Window") =>
+          s.relation.cachedPlan
+    }.getOrElse(exec0)
     val leaves = exec.collectLeaves()
     val fileScans = leaves.count(
       _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
